@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Readers for the driver-generated testdata tables (TESTDATA.md /
+  * FIXTURES.md §A). Parquet carries its own schema, so no inferSchema
+  * step is needed — unlike the reference's all-string CSV raw zone
+  * (reference `main.py:75-79`), which `pipeline.CovidPipeline` models.
+  *
+  * Every reader is a plain parquet scan: column pruning and predicate
+  * pushdown happen in Catalyst when callers `.select`/`.filter`, so a
+  * 2-column projection reads 2 columns off disk (`PushedFilters` /
+  * `ReadSchema` in `.explain`). At cluster scale the same call reads a
+  * directory of many files in parallel; nothing here assumes a single
+  * file.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads
+    * under `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * Verify/Bench/test sessions) — it then arrives as LongType nanos.
+    * Normalize to µs TimestampType here so downstream operators see a
+    * plain timestamp column (FIXTURES.md timestamp caution).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+      case TimestampType => df
+      case other => df // already usable; leave untouched
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join-based MERGE/upsert semantics — the Spark-first re-expression of
+  * the reference's Delta MERGE and Synapse staged-upsert family
+  * (SURVEY.md §2.9: M1–M4). No Delta dependency: each merge is a single
+  * declarative join plan that Catalyst schedules as one shuffle on the
+  * natural key (or a broadcast join when the update side is small),
+  * which is exactly the physical shape Delta's own MERGE produces.
+  *
+  * Scale notes (100 TB posture):
+  *  - all three shapes shuffle both sides *once* on the merge key; with
+  *    AQE on, a small update set downgrades to a broadcast join for free;
+  *  - the column rewrite is pure projection (codegen'd `coalesce`), so
+  *    cost is dominated by the join itself;
+  *  - no driver-side collection anywhere.
+  */
+object Upsert {
+
+  private def qualify(df: DataFrame, prefix: String): DataFrame =
+    df.toDF(df.columns.map(prefix + _): _*)
+
+  /** M1/M4 — update-only merge (reference `main.py:191-199` loop driven
+    * by the mapping tables at `main.py:138-189`; M4 single-column reset
+    * at `main.py:293-304`). Matched target rows take the mapped update
+    * columns; unmatched target rows pass through; update rows without a
+    * match are dropped (Delta `whenMatchedUpdate` has no insert clause).
+    *
+    * @param mapping targetColumn -> updateColumn, mirroring the
+    *                reference's per-source `mappings` dicts.
+    */
+  def updateMerge(
+      target: DataFrame,
+      updates: DataFrame,
+      keys: Seq[(String, String)], // (targetKey, updateKey)
+      mapping: Map[String, String]
+  ): DataFrame = {
+    val u = qualify(updates, "_u_")
+    val cond = keys
+      .map { case (tk, uk) => target(tk) === u("_u_" + uk) }
+      .reduce(_ && _)
+    // matched-flag from a non-null join key on the update side
+    val matched = u("_u_" + keys.head._2).isNotNull
+    val joined = target.join(u, cond, "left")
+    val projected = target.columns.map { c =>
+      mapping.get(c) match {
+        case Some(uc) => when(matched, u("_u_" + uc)).otherwise(target(c)).as(c)
+        case None     => target(c)
+      }
+    }
+    joined.select(projected.toIndexedSeq: _*)
+  }
+
+  /** M2 — full upsert (reference `load_functions.py:64-122`): matched
+    * rows take the update's mapped columns, unmatched update rows are
+    * inserted whole, unmatched target rows pass through. Implemented as
+    * one full outer join + per-column `coalesce`, preferring the update
+    * side — equivalent to `whenMatchedUpdate` + `whenNotMatchedInsert`.
+    *
+    * Requires `updates` to share the target's schema (the reference's
+    * enterprise merge maps all 25 columns by name).
+    */
+  def fullUpsert(
+      target: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String]
+  ): DataFrame = {
+    val u = qualify(updates, "_u_")
+    val cond = keys.map(k => target(k) === u("_u_" + k)).reduce(_ && _)
+    val joined = target.join(u, cond, "full_outer")
+    val projected = target.columns.map { c =>
+      if (keys.contains(c)) coalesce(target(c), u("_u_" + c)).as(c)
+      else coalesce(u("_u_" + c), target(c)).as(c)
+    }
+    joined.select(projected.toIndexedSeq: _*)
+  }
+
+  /** M3 — last-writer-wins staged upsert (reference
+    * `load_functions.py:2-60`): the Synapse postActions SQL deletes
+    * whichever side is older by `versionCol` (`_TF_LAST_UPDATE >=`
+    * comparison ⇒ tie goes to staging) and inserts the survivors.
+    * Re-expressed as unionByName + one windowed dedup keeping, per key,
+    * the newest row with staging preferred on ties.
+    *
+    * When `versionCol` is None the reference falls back to a key-only
+    * match (staging always wins) — same code path, constant version.
+    */
+  def lwwUpsert(
+      target: DataFrame,
+      staging: DataFrame,
+      keys: Seq[String],
+      versionCol: Option[String]
+  ): DataFrame = {
+    val t = target.withColumn("_is_staging", lit(0))
+    val s = staging.withColumn("_is_staging", lit(1))
+    val versionOrder = versionCol match {
+      case Some(v) => Seq(col(v).desc_nulls_last, col("_is_staging").desc)
+      case None    => Seq(col("_is_staging").desc)
+    }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(versionOrder: _*)
+    t.unionByName(s)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_is_staging")
+  }
+}

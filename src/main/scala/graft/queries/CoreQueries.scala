@@ -1,0 +1,687 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{SurrogateKey, Transform, Upsert}
+
+/** Core relational operator queries — one per SURVEY.md §2 id, each
+  * paired with ANSI SQL for the DuckDB oracle.
+  *
+  * Determinism conventions (SURVEY.md §7.5):
+  *  - every query ends with an explicit ORDER BY on a unique key;
+  *  - no `current_date`/`current_timestamp`: the reference's
+  *    "yesterday" cutoffs become pinned literals;
+  *  - double aggregation goes through DECIMAL so Spark and DuckDB sum
+  *    the exact same values regardless of accumulation order, then is
+  *    cast back to DOUBLE at the output edge (identical nearest-double
+  *    conversion on both engines);
+  *  - timestamps are cast to DATE at output edges (testdata parquet is
+  *    ns/ms, Spark is µs — SURVEY.md §7.5.3).
+  */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -- shared helpers -------------------------------------------------
+
+  /** Exact sum of a 2-dp-ish double column: decimal in, double out. */
+  private def sumd(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(20, scale))).cast(DoubleType)
+
+  private def d(s: String) = to_date(lit(s))
+
+  // pinned cutoffs (orders span 1995-01-01..2001-08-01)
+  private val CutWarehouse = "1998-01-01" // "already in the warehouse"
+  private val CutToday     = "1996-12-31" // SET1 "today" snapshot
+  private val CutYesterday = "1995-12-31" // SET1 "yesterday" snapshot
+  private val PinYesterday = "1998-06-15" // F2 incremental split date
+
+  // ===================================================================
+  // Flagship — §3.3 warehouse-reconciliation shape on testdata: scan,
+  // dim joins (J1/J3), dirty-flag filter (F3), max-key aggregate (A1),
+  // anti-join insert split (F4), surrogate keys (W1), union (SET2),
+  // ordered final projection (P11).
+  // ===================================================================
+
+  def reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+
+    // curated fact: orders enriched with customer + nation dims.
+    // nation (25 rows) is explicitly broadcast; customer is small
+    // enough that AQE broadcasts it at test scale, while at 100 TB the
+    // o_custkey shuffle is the correct plan.
+    val curated = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        o("o_orderkey"),
+        c("c_name"),
+        n("n_name").as("nation"),
+        o("o_totalprice").cast(DecimalType(20, 2)).cast(DoubleType).as("total_price"),
+        o("o_orderdate").cast(DateType).as("order_date"),
+        when(o("o_orderstatus") === "O", "Y").otherwise("N").as("is_updated"))
+
+    // warehouse key map (reference S6): rows already synced, with their
+    // surrogate keys. In production this is a JDBC projection scan; the
+    // harness models it as a derived table.
+    val warehouse = o
+      .filter(o("o_orderdate").cast(DateType) < d(CutWarehouse))
+      .select(o("o_orderkey").as("wh_orderkey"),
+        (o("o_orderkey") + lit(1000000L)).as("wh_sk"))
+
+    // A1: max existing SK — kept in-plan via crossJoin of a 1-row agg
+    // (no driver-side collect; reference pushes this to Synapse).
+    val maxSk = warehouse.agg(coalesce(max("wh_sk"), lit(1000000L)).as("max_sk"))
+
+    // updates: dirty curated rows that already exist in the warehouse
+    // keep their existing SK (F3 + J3).
+    val updates = curated
+      .filter(col("is_updated") === "Y")
+      .join(warehouse, curated("o_orderkey") === col("wh_orderkey"))
+      .select(curated.columns.map(curated(_)) :+ col("wh_sk").as("sk"): _*)
+
+    // inserts: curated rows not yet in the warehouse get fresh dense
+    // keys continuing from max_sk (W1). Global row_number is fine for
+    // daily-increment sizes; SurrogateKey.scalable is the 100 TB path.
+    val inserts = curated
+      .join(warehouse, curated("o_orderkey") === col("wh_orderkey"), "left_anti")
+      .crossJoin(broadcast(maxSk))
+      .withColumn("sk",
+        col("max_sk") + row_number().over(Window.orderBy("o_orderkey")).cast(LongType))
+      .drop("max_sk")
+
+    updates.unionByName(inserts).orderBy("o_orderkey")
+  }
+
+  private val reconcileSql =
+    s"""WITH curated AS (
+       |  SELECT o.o_orderkey, c.c_name, n.n_name AS nation,
+       |         CAST(CAST(o.o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS total_price,
+       |         CAST(o.o_orderdate AS DATE) AS order_date,
+       |         CASE WHEN o.o_orderstatus = 'O' THEN 'Y' ELSE 'N' END AS is_updated
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+       |warehouse AS (
+       |  SELECT o_orderkey AS wh_orderkey, o_orderkey + 1000000 AS wh_sk
+       |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '$CutWarehouse'),
+       |mx AS (SELECT COALESCE(MAX(wh_sk), 1000000) AS max_sk FROM warehouse),
+       |updates AS (
+       |  SELECT cu.*, w.wh_sk AS sk
+       |  FROM curated cu JOIN warehouse w ON cu.o_orderkey = w.wh_orderkey
+       |  WHERE cu.is_updated = 'Y'),
+       |inserts AS (
+       |  SELECT cu.*, mx.max_sk + ROW_NUMBER() OVER (ORDER BY cu.o_orderkey) AS sk
+       |  FROM curated cu CROSS JOIN mx
+       |  WHERE NOT EXISTS (SELECT 1 FROM warehouse w WHERE w.wh_orderkey = cu.o_orderkey))
+       |SELECT * FROM updates UNION ALL SELECT * FROM inserts ORDER BY o_orderkey
+       |""".stripMargin
+
+  // ===================================================================
+  // Scans / projections
+  // ===================================================================
+
+  /** S3+P1+P2 — projection with aliasing straight off the scan; the
+    * explain plan must show ReadSchema with exactly these columns.
+    */
+  def s3ScanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name").as("customer_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** P4 — uppercase-first-letter column rename (metadata-only). */
+  def p4UpperCols(spark: SparkSession, dir: String): DataFrame =
+    Transform.upperFirstCols(Tables.nation(spark, dir)).orderBy("N_nationkey")
+
+  /** P8 — Year int + zero-padded Month string date parts. */
+  def p8DateParts(spark: SparkSession, dir: String): DataFrame =
+    Transform.withDateParts(
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("order_date")),
+        "order_date")
+      .orderBy("o_orderkey")
+
+  /** P9 — declarative cast-with-rounding (Decimal2/Decimal1/Int/Date of
+    * the reference cast spec). Rounding runs on DECIMAL (HALF_UP in
+    * both engines) and is cast to DOUBLE at the edge.
+    */
+  def p9CastRound(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round((col("l_extendedprice") * col("l_discount")).cast(DecimalType(20, 6)), 2)
+          .cast(DoubleType).as("disc_amount"),
+        round(col("l_tax").cast(DecimalType(20, 6)), 1).cast(DoubleType).as("tax_1dp"),
+        col("l_quantity").cast(IntegerType).as("qty_int"),
+        col("l_shipdate").cast(DateType).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P10 — null-fill after a null-producing left join: orders without
+    * large lineitems get 0s.
+    */
+  def p10FillNa(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey")
+    val big = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45)
+      .groupBy("l_orderkey")
+      .agg(sumd(col("l_extendedprice")).as("big_price"), count(lit(1)).as("big_cnt"))
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left")
+      .select(o("o_orderkey"), col("big_price"), col("big_cnt"))
+      .na.fill(0)
+      .orderBy("o_orderkey")
+  }
+
+  // ===================================================================
+  // Filters / pivot
+  // ===================================================================
+
+  /** F1 — the reference's pivot-by-filter (4 filtered scans re-joined,
+    * `main.py:111-114,217-220`) re-expressed as ONE pass: conditional
+    * aggregation. At 100 TB this is 1 scan + 1 shuffle instead of the
+    * reference's 4 scans + 4 joins.
+    */
+  def f1PivotFilter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def piv(t: String) =
+      coalesce(sum(when(col("event_type") === t, col("value").cast(DecimalType(20, 2)))),
+        lit(0).cast(DecimalType(20, 2))).cast(DoubleType)
+    e.groupBy("user_id")
+      .agg(
+        piv("click").as("click_value"),
+        piv("view").as("view_value"),
+        piv("purchase").as("purchase_value"),
+        piv("signup").as("signup_value"),
+        piv("error").as("error_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** F2 — incremental split: pinned-"yesterday" date predicate flags
+    * insert rows vs restated (update) rows.
+    */
+  def f2DateSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").cast(DateType).between(d("1998-06-01"), d("1998-06-30")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast(DateType).as("ship_date"),
+        when(col("l_shipdate").cast(DateType) === d(PinYesterday), "Y").otherwise("N")
+          .as("is_insert"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ===================================================================
+  // Joins
+  // ===================================================================
+
+  /** J1 — dimension equi-join with explicit broadcast of the small
+    * sides (nation 25 rows, region 5 — the reference's ~250-row
+    * country map analogue).
+    */
+  def j1DimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(c("c_custkey"), c("c_name"), n("n_name").as("nation"), r("r_name").as("region"))
+      .orderBy("c_custkey")
+  }
+
+  /** J2 — multi-way left-join star assembly (the reference's 7-way
+    * composite-key join, `main.py:213-220`): orders LEFT JOIN
+    * pre-aggregated lineitem LEFT JOIN customer LEFT JOIN nation, with
+    * null-fill on the fact measures (P6/P10 tail).
+    */
+  def j2MultiLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_orderkey")
+      .agg(sumd(col("l_quantity")).as("ret_qty"), count(lit(1)).as("ret_lines"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+      .join(c, o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .select(
+        o("o_orderkey"), c("c_name"), n("n_name").as("nation"),
+        coalesce(col("ret_qty"), lit(0.0)).as("ret_qty"),
+        coalesce(col("ret_lines"), lit(0L)).as("ret_lines"))
+      .orderBy("o_orderkey")
+  }
+
+  // ===================================================================
+  // Set ops
+  // ===================================================================
+
+  /** D1 — distinct projection (the reference's country map). */
+  def d1DistinctMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select("c_nationkey", "c_mktsegment")
+      .distinct()
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** SET1 — EXCEPT DISTINCT change detection: "today's file minus
+    * yesterday's file" (`main.py:89-93`). Spark `except` ≡ PySpark
+    * `subtract` ≡ SQL EXCEPT (distinct). NOTE the reference's
+    * `main.py:93` self-subtracts full_data (always empty — a latent
+    * bug); we implement the intended today-vs-yesterday form.
+    */
+  def set1Except(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_shipdate").cast(DateType).as("ship_date"))
+    val today     = li.filter(col("ship_date") <= d(CutToday))
+    val yesterday = li.filter(col("ship_date") <= d(CutYesterday))
+    today.except(yesterday).orderBy("l_orderkey", "l_partkey", "l_suppkey")
+  }
+
+  /** SET2 — positional union of the update and insert branches after a
+    * shared canonical projection (`main.py:287`). Spark `union` is
+    * UNION ALL, matching PySpark.
+    */
+  def set2Union(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("order_date"))
+    val updates = o.filter(col("order_date") < d(CutYesterday)).withColumn("src", lit("U"))
+    val inserts = o.filter(col("order_date") >= d("2001-01-01")).withColumn("src", lit("I"))
+    updates.union(inserts).orderBy("o_orderkey")
+  }
+
+  // ===================================================================
+  // Aggregates
+  // ===================================================================
+
+  /** A1 — scalar aggregates (the reference pushes max(SK) to Synapse
+    * via a JDBC query scan; natively it is one partial-agg plan).
+    */
+  def a1Max(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        max("o_orderkey").as("value"),
+        count(lit(1)).as("cnt"),
+        min(col("o_orderdate").cast(DateType)).as("min_date"))
+
+  /** groupBy + distinct aggregates (SURVEY §2.6 extension: the
+    * reference imports countDistinct but never calls it).
+    */
+  def a2GroupbyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Headline scan-heavy aggregation (TPC-H Q1 shape) — the bench
+    * anchor: one scan, partial agg map-side, 6-group result.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").cast(DateType) <= d("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(20, 4))).cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ===================================================================
+  // Windows
+  // ===================================================================
+
+  /** W1 — dense surrogate keys continuing from a warehouse max. */
+  def w1SurrogateKey(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    SurrogateKey.ordered(dim, "sk", Seq("c_custkey"), 1000000L)
+      .orderBy("c_custkey")
+  }
+
+  /** Running sum per partition — frame-spec window (beyond-reference
+    * window surface; explicit ROWS frame for engine parity).
+    */
+  def w2RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("order_date", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast(DateType).as("order_date"),
+        col("o_totalprice").cast(DecimalType(20, 2)).as("price_dec"))
+      .withColumn("running_total", sum(col("price_dec")).over(w).cast(DoubleType))
+      .select("o_orderkey", "o_custkey", "order_date", "running_total")
+      .orderBy("o_orderkey")
+  }
+
+  /** lag/lead delta per key — sequence window. */
+  def w3LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .orderBy("event_id")
+  }
+
+  // ===================================================================
+  // Merge family (M1-M4) — join-based upserts over graft.ops.Upsert
+  // ===================================================================
+
+  /** M1 — update-only merge: restated rows overwrite mapped columns of
+    * the curated table; everything else passes through.
+    */
+  def m1UpdateMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val target = o.select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").cast(DecimalType(20, 2)).cast(DoubleType).as("total_price"),
+      col("o_orderdate").cast(DateType).as("order_date"))
+    val updates = o
+      .filter(col("o_orderstatus") === "O" &&
+        col("o_orderdate").cast(DateType) >= d(CutWarehouse))
+      .select(
+        col("o_orderkey").as("u_orderkey"),
+        lit("F").as("u_status"),
+        round((col("o_totalprice") * 1.05).cast(DecimalType(20, 6)), 2)
+          .cast(DoubleType).as("u_price"))
+    Upsert.updateMerge(target, updates,
+        keys = Seq("o_orderkey" -> "u_orderkey"),
+        mapping = Map("status" -> "u_status", "total_price" -> "u_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** M2 — full upsert: matched rows updated, new rows inserted. */
+  def m2FullUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val base = c.select(
+      col("c_custkey"), col("c_name"),
+      col("c_acctbal").cast(DecimalType(20, 2)).cast(DoubleType).as("acctbal"))
+    val n = c.count() // sf-proportional split bounds
+    val target  = base.filter(col("c_custkey") <= lit(n * 2 / 3))
+    val updates = base.filter(col("c_custkey") > lit(n / 3))
+      .select(
+        col("c_custkey"),
+        concat(col("c_name"), lit("_v2")).as("c_name"),
+        round((col("acctbal") + 100.0).cast(DecimalType(20, 6)), 2)
+          .cast(DoubleType).as("acctbal"))
+    Upsert.fullUpsert(target, updates, Seq("c_custkey")).orderBy("c_custkey")
+  }
+
+  /** M3 — last-writer-wins staged upsert keyed on event_id, version =
+    * a shifted timestamp (staging newer for even ids, older for odd,
+    * tied for ids ≡ 0 mod 3 → staging wins the tie, mirroring the
+    * reference's `>=` comparison in `load_functions.py:29-37`).
+    */
+  def m3LwwUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val base = e.select(
+      col("event_id"), col("user_id"),
+      col("value").cast(DecimalType(20, 2)).cast(DoubleType).as("value"),
+      col("ts").cast(DateType).as("version_date"))
+    val target = base
+      .filter(col("event_id") % 4 =!= 3)
+      .withColumn("version", lit(100L))
+      .withColumn("src", lit("target"))
+    val staging = base
+      .filter(col("event_id") % 2 === 0)
+      .withColumn("value", col("value") * 2.0)
+      .withColumn("version",
+        when(col("event_id") % 3 === 0, lit(100L))       // tie -> staging wins
+          .when(col("event_id") % 4 === 0, lit(200L))    // staging newer
+          .otherwise(lit(50L)))                          // staging older
+      .withColumn("src", lit("staging"))
+    Upsert.lwwUpsert(target, staging, Seq("event_id"), Some("version"))
+      .orderBy("event_id")
+  }
+
+  /** M4 — single-column flag reset after warehouse sync
+    * (`main.py:293-304`): synced keys flip Is_updated Y→N.
+    */
+  def m4FlagReset(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val curated = o.select(
+      col("o_orderkey"),
+      when(col("o_orderstatus") === "O", "Y").otherwise("N").as("is_updated"))
+    val synced = o
+      .filter(col("o_orderdate").cast(DateType) < d(CutWarehouse))
+      .select(col("o_orderkey").as("s_orderkey"), lit("N").as("new_flag"))
+    Upsert.updateMerge(curated, synced,
+        keys = Seq("o_orderkey" -> "s_orderkey"),
+        mapping = Map("is_updated" -> "new_flag"))
+      .orderBy("o_orderkey")
+  }
+
+  // ===================================================================
+  // Registry
+  // ===================================================================
+
+  val queries: Map[String, Q] = Map(
+    "q_reconcile"       -> reconcile _,
+    "q1_agg"            -> q1Agg _,
+    "s3_scan_project"   -> s3ScanProject _,
+    "p4_upper_cols"     -> p4UpperCols _,
+    "p8_date_parts"     -> p8DateParts _,
+    "p9_cast_round"     -> p9CastRound _,
+    "p10_fillna"        -> p10FillNa _,
+    "f1_pivot_filter"   -> f1PivotFilter _,
+    "f2_date_split"     -> f2DateSplit _,
+    "j1_dim_join"       -> j1DimJoin _,
+    "j2_multi_left_join" -> j2MultiLeftJoin _,
+    "d1_distinct_map"   -> d1DistinctMap _,
+    "set1_except"       -> set1Except _,
+    "set2_union"        -> set2Union _,
+    "a1_max"            -> a1Max _,
+    "a2_groupby_agg"    -> a2GroupbyAgg _,
+    "w1_surrogate_key"  -> w1SurrogateKey _,
+    "w2_running_sum"    -> w2RunningSum _,
+    "w3_lag_delta"      -> w3LagDelta _,
+    "m1_update_merge"   -> m1UpdateMerge _,
+    "m2_full_upsert"    -> m2FullUpsert _,
+    "m3_lww_upsert"     -> m3LwwUpsert _,
+    "m4_flag_reset"     -> m4FlagReset _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_reconcile" -> reconcileSql,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "s3_scan_project" ->
+      "SELECT c_custkey, c_name AS customer_name, c_mktsegment FROM customer ORDER BY c_custkey",
+    "p4_upper_cols" ->
+      """SELECT n_nationkey AS N_nationkey, n_name AS N_name, n_regionkey AS N_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "p8_date_parts" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS Year,
+        |  LPAD(CAST(EXTRACT(MONTH FROM o_orderdate) AS VARCHAR), 2, '0') AS Month
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p9_cast_round" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(CAST(l_extendedprice * l_discount AS DECIMAL(20,6)), 2) AS DOUBLE) AS disc_amount,
+        |  CAST(ROUND(CAST(l_tax AS DECIMAL(20,6)), 1) AS DOUBLE) AS tax_1dp,
+        |  CAST(l_quantity AS INT) AS qty_int,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p10_fillna" ->
+      """SELECT o.o_orderkey,
+        |  COALESCE(b.big_price, 0) AS big_price,
+        |  COALESCE(b.big_cnt, 0) AS big_cnt
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS big_price,
+        |    COUNT(*) AS big_cnt
+        |  FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey) b
+        |ON o.o_orderkey = b.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "f1_pivot_filter" ->
+      """SELECT user_id,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(20,2)) END), 0) AS DOUBLE) AS click_value,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(20,2)) END), 0) AS DOUBLE) AS view_value,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(20,2)) END), 0) AS DOUBLE) AS purchase_value,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(20,2)) END), 0) AS DOUBLE) AS signup_value,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(20,2)) END), 0) AS DOUBLE) AS error_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "f2_date_split" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+        |  CASE WHEN CAST(l_shipdate AS DATE) = DATE '1998-06-15' THEN 'Y' ELSE 'N' END AS is_insert
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1998-06-01' AND DATE '1998-06-30'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j1_dim_join" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "j2_multi_left_join" ->
+      """SELECT o.o_orderkey, c.c_name, n.n_name AS nation,
+        |  COALESCE(li.ret_qty, 0) AS ret_qty,
+        |  COALESCE(li.ret_lines, 0) AS ret_lines
+        |FROM orders o
+        |LEFT JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS ret_qty,
+        |    COUNT(*) AS ret_lines
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey) li
+        |ON o.o_orderkey = li.l_orderkey
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "d1_distinct_map" ->
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY c_nationkey, c_mktsegment",
+    "set1_except" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1996-12-31'
+        |EXCEPT
+        |SELECT l_orderkey, l_partkey, l_suppkey, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1995-12-31'
+        |ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin,
+    "set2_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, 'U' AS src
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1995-12-31'
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, 'I' AS src
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01')
+        |ORDER BY o_orderkey""".stripMargin,
+    "a1_max" ->
+      """SELECT MAX(o_orderkey) AS value, COUNT(*) AS cnt,
+        |  CAST(MIN(o_orderdate) AS DATE) AS min_date
+        |FROM orders""".stripMargin,
+    "a2_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "w1_surrogate_key" ->
+      """SELECT c_custkey, c_name,
+        |  1000000 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w3_lag_delta" ->
+      """SELECT event_id, user_id, value,
+        |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |  value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+    "m1_update_merge" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS total_price,
+        |    CAST(o_orderdate AS DATE) AS order_date
+        |  FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey AS u_orderkey, 'F' AS u_status,
+        |    CAST(ROUND(CAST(o_totalprice * 1.05 AS DECIMAL(20,6)), 2) AS DOUBLE) AS u_price
+        |  FROM orders
+        |  WHERE o_orderstatus = 'O' AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01')
+        |SELECT t.o_orderkey,
+        |  CASE WHEN u.u_orderkey IS NOT NULL THEN u.u_status ELSE t.status END AS status,
+        |  CASE WHEN u.u_orderkey IS NOT NULL THEN u.u_price ELSE t.total_price END AS total_price,
+        |  t.order_date
+        |FROM target t LEFT JOIN updates u ON t.o_orderkey = u.u_orderkey
+        |ORDER BY t.o_orderkey""".stripMargin,
+    "m2_full_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(20,2)) AS DOUBLE) AS acctbal
+        |  FROM customer),
+        |n AS (SELECT COUNT(*) AS cnt FROM customer),
+        |target AS (SELECT base.* FROM base, n WHERE c_custkey <= n.cnt * 2 / 3),
+        |updates AS (
+        |  SELECT c_custkey, c_name || '_v2' AS c_name,
+        |    CAST(ROUND(CAST(acctbal + 100.0 AS DECIMAL(20,6)), 2) AS DOUBLE) AS acctbal
+        |  FROM base, n WHERE c_custkey > n.cnt / 3)
+        |SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+        |  COALESCE(u.c_name, t.c_name) AS c_name,
+        |  COALESCE(u.acctbal, t.acctbal) AS acctbal
+        |FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "m3_lww_upsert" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(20,2)) AS DOUBLE) AS value,
+        |    CAST(ts AS DATE) AS version_date
+        |  FROM events),
+        |target AS (
+        |  SELECT *, CAST(100 AS BIGINT) AS version, 'target' AS src
+        |  FROM base WHERE event_id % 4 <> 3),
+        |staging AS (
+        |  SELECT event_id, user_id, value * 2.0 AS value, version_date,
+        |    CAST(CASE WHEN event_id % 3 = 0 THEN 100
+        |         WHEN event_id % 4 = 0 THEN 200 ELSE 50 END AS BIGINT) AS version,
+        |    'staging' AS src
+        |  FROM base WHERE event_id % 2 = 0),
+        |unioned AS (
+        |  SELECT *, 0 AS is_staging FROM target
+        |  UNION ALL SELECT *, 1 AS is_staging FROM staging),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY event_id ORDER BY version DESC, is_staging DESC) AS rn
+        |  FROM unioned)
+        |SELECT event_id, user_id, value, version_date, version, src
+        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "m4_flag_reset" ->
+      """WITH curated AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'Y' ELSE 'N' END AS is_updated
+        |  FROM orders),
+        |synced AS (
+        |  SELECT o_orderkey AS s_orderkey, 'N' AS new_flag FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+        |SELECT c.o_orderkey,
+        |  CASE WHEN s.s_orderkey IS NOT NULL THEN s.new_flag ELSE c.is_updated END AS is_updated
+        |FROM curated c LEFT JOIN synced s ON c.o_orderkey = s.s_orderkey
+        |ORDER BY c.o_orderkey""".stripMargin
+  )
+}
