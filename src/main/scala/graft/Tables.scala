@@ -28,18 +28,23 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads
-    * under `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * Verify/Bench/test sessions) — it then arrives as LongType nanos.
+    * under `spark.sql.legacy.parquet.nanosAsLong=true` (set centrally
+    * by [[GraftSession]]) — it then arrives as LongType nanos.
     * Normalize to µs TimestampType here so downstream operators see a
     * plain timestamp column (FIXTURES.md timestamp caution).
+    *
+    * The ns→µs conversion uses *integral* division (`div`): `/` would
+    * be double division, and nanosecond epochs (~1.7e18) exceed
+    * double's 53-bit exact range, giving ±1 µs errors.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = read(spark, dir, "events")
     df.schema("ts").dataType match {
-      case LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
-      case other => df // already usable; leave untouched
+      case other => throw new IllegalStateException(
+        s"events.ts: expected LongType (nanosAsLong) or TimestampType, got $other — " +
+          "was the session built via graft.GraftSession?")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")

@@ -29,6 +29,13 @@ object Upsert {
     * columns; unmatched target rows pass through; update rows without a
     * match are dropped (Delta `whenMatchedUpdate` has no insert clause).
     *
+    * PRECONDITION: `updates` must be unique on its merge key — Delta
+    * MERGE raises a multiple-match error there, and this left join
+    * would instead silently fan target rows out. Enforced here with a
+    * windowed uniqueness check that fails the job on the first
+    * duplicate key (cheap: rides the same shuffle as the join when the
+    * keys align).
+    *
     * @param mapping targetColumn -> updateColumn, mirroring the
     *                reference's per-source `mappings` dicts.
     */
@@ -38,12 +45,17 @@ object Upsert {
       keys: Seq[(String, String)], // (targetKey, updateKey)
       mapping: Map[String, String]
   ): DataFrame = {
-    val u = qualify(updates, "_u_")
+    // per-key cardinality on the update side; >1 fails the merge below
+    val kcW = Window.partitionBy(keys.map { case (_, uk) => col(uk) }: _*)
+    val u = qualify(updates.withColumn("_kc", count(lit(1)).over(kcW)), "_u_")
     val cond = keys
       .map { case (tk, uk) => target(tk) === u("_u_" + uk) }
       .reduce(_ && _)
-    // matched-flag from a non-null join key on the update side
-    val matched = u("_u_" + keys.head._2).isNotNull
+    // matched-flag from the (always non-null) update-side row marker;
+    // routes through the duplicate-key check so it cannot be pruned.
+    val matched = when(u("_u__kc") > 1, raise_error(lit(
+        "updateMerge: duplicate update-side merge key (Delta MERGE would raise a multiple-match error)")))
+      .otherwise(u("_u__kc").isNotNull)
     val joined = target.join(u, cond, "left")
     val projected = target.columns.map { c =>
       mapping.get(c) match {
@@ -55,10 +67,13 @@ object Upsert {
   }
 
   /** M2 — full upsert (reference `load_functions.py:64-122`): matched
-    * rows take the update's mapped columns, unmatched update rows are
-    * inserted whole, unmatched target rows pass through. Implemented as
-    * one full outer join + per-column `coalesce`, preferring the update
-    * side — equivalent to `whenMatchedUpdate` + `whenNotMatchedInsert`.
+    * rows take the update's mapped columns *including legitimate
+    * NULLs*, unmatched update rows are inserted whole, unmatched
+    * target rows pass through — exactly `whenMatchedUpdate` +
+    * `whenNotMatchedInsert`. One full outer join; matched-ness comes
+    * from the update-side key being non-null (merge keys are non-null
+    * by construction), NOT per-column `coalesce`, which would keep the
+    * stale target value when an update legitimately nulls a column.
     *
     * Requires `updates` to share the target's schema (the reference's
     * enterprise merge maps all 25 columns by name).
@@ -71,9 +86,10 @@ object Upsert {
     val u = qualify(updates, "_u_")
     val cond = keys.map(k => target(k) === u("_u_" + k)).reduce(_ && _)
     val joined = target.join(u, cond, "full_outer")
+    val matched = keys.map(k => u("_u_" + k).isNotNull).reduce(_ && _)
     val projected = target.columns.map { c =>
       if (keys.contains(c)) coalesce(target(c), u("_u_" + c)).as(c)
-      else coalesce(u("_u_" + c), target(c)).as(c)
+      else when(matched, u("_u_" + c)).otherwise(target(c)).as(c)
     }
     joined.select(projected.toIndexedSeq: _*)
   }

@@ -643,8 +643,8 @@ object CoreQueries {
         |    CAST(ROUND(CAST(acctbal + 100.0 AS DECIMAL(20,6)), 2) AS DOUBLE) AS acctbal
         |  FROM base, n WHERE c_custkey > n.cnt / 3)
         |SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
-        |  COALESCE(u.c_name, t.c_name) AS c_name,
-        |  COALESCE(u.acctbal, t.acctbal) AS acctbal
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.acctbal ELSE t.acctbal END AS acctbal
         |FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
         |ORDER BY c_custkey""".stripMargin,
     "m3_lww_upsert" ->
