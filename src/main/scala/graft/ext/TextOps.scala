@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, shingling, hashing, language-ID scoring, quality
+  * stats, fingerprinting. The reference repo has no text surface at
+  * all (its only string ops are column-NAME case changes,
+  * `transform_functions.py:8-24`), so this module is part of the
+  * beyond-reference extension set (SURVEY.md §7.3 step 5).
+  *
+  * Design constraints:
+  *  - Everything is a Catalyst `Column` expression (codegen-friendly,
+  *    no UDFs) built from `functions._` + higher-order functions, so
+  *    it runs map-side with zero shuffles — at 100 TB each operator is
+  *    a single pass over the corpus, embarrassingly parallel.
+  *  - Every function is *cross-engine deterministic*: only integer
+  *    arithmetic, md5 (identical lowercase hex in Spark and DuckDB),
+  *    lexicographic string min, and in-order left folds — so each
+  *    query has an exact DuckDB oracle (no float-accumulation-order
+  *    nondeterminism).
+  */
+object TextOps {
+
+  /** Whitespace tokens. `trim` first: Spark's `split` drops trailing
+    * empty strings while DuckDB's `string_split` keeps them, so a
+    * trailing space would desync the engines.
+    */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Word n-shingles ("n-grams of tokens") as space-joined strings.
+    * Guarded: Spark `sequence(0, -1)` would generate a DESCENDING
+    * sequence for docs shorter than n, so short docs map to an empty
+    * array explicitly (DuckDB's `range(1, len-1)` is empty naturally).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
+
+  /** MinHash signature element for one seeded hash function:
+    * min over shingles of md5(seed || "|" || shingle), compared
+    * lexicographically (hex strings — identical ordering in both
+    * engines). NULL for shingle-less docs.
+    */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed|"), s))))
+
+  /** 16-bit SimHash over tokens. Bit b is set iff the sum over tokens
+    * of ±1 (sign taken from hex digit b of the token's md5: >= '8'
+    * means +1) is non-negative. Pure integer math → exact oracle.
+    */
+  def simhash16(toks: Column): Column =
+    (0 until 16).map { b =>
+      val contrib = transform(toks, t =>
+        when(substring(md5(t), b + 1, 1) >= "8", lit(1)).otherwise(lit(-1)))
+      val s = aggregate(contrib, lit(0), (acc, x) => acc + x)
+      when(s >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Token → 27-bit-ish integer from the first 4 hex chars of its md5
+    * (via `ascii`, which both engines share); feeds [[rollingHash]].
+    */
+  def tokenInt(t: Column): Column = {
+    val m = md5(t)
+    (ascii(substring(m, 1, 1)) * lit(1000000L) +
+      ascii(substring(m, 2, 1)) * lit(10000L) +
+      ascii(substring(m, 3, 1)) * lit(100L) +
+      ascii(substring(m, 4, 1))).cast(LongType)
+  }
+
+  /** Polynomial rolling hash over the token stream:
+    * fold(acc * 131 + tokenInt) mod 1e9+7 — an order-sensitive
+    * document fingerprint (content AND sequence), vs the order-free
+    * md5-of-text fingerprint. In-order left fold from 0 in both
+    * engines (`aggregate` / `list_reduce(list_prepend(0, ...))`).
+    */
+  def rollingHash(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => (acc * 131L + tokenInt(t)) % 1000000007L)
+
+  /** Quality-scoring stopword list (drawn from the synthetic corpus
+    * vocabulary; stands in for a real language's function words).
+    */
+  val Stopwords: Seq[String] = Seq("a", "the", "data", "key")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(Stopwords)))
+
+  /** Language marker sets for the n-gram-heuristic language ID. Real
+    * lang-ID uses char-n-gram profiles per language; the synthetic
+    * corpus shares one vocabulary across its `lang` labels, so the
+    * heuristic demonstrates the operator shape (per-language marker
+    * scoring + deterministic argmax), not label recovery.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("table", "join", "merge"),
+    "de" -> Seq("stream", "window", "batch"))
+
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Deterministic argmax over the language scores: first language in
+    * [[LangMarkers]] order wins ties (same CASE shape as the oracle).
+    */
+  def predictedLang(scores: Seq[(String, Column)]): Column = {
+    // en wins if >= all others; else es if >= remaining; else de
+    def pick(rest: List[(String, Column)]): Column = rest match {
+      case (lang, _) :: Nil => lit(lang)
+      case (lang, s) :: tail =>
+        when(tail.map(_._2).map(s >= _).reduce(_ && _), lit(lang))
+          .otherwise(pick(tail))
+      case Nil => lit(null).cast(StringType)
+    }
+    pick(scores.toList)
+  }
+
+  /** Exact mean token length as int/int double division (single IEEE
+    * op → identical in both engines), NULL on empty docs.
+    */
+  def avgTokenLen(toks: Column): Column = {
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    when(size(toks) === 0, lit(null).cast(DoubleType))
+      .otherwise(totalLen.cast(DoubleType) / size(toks).cast(DoubleType))
+  }
+}

@@ -29,15 +29,23 @@ object Transform {
 
   /** P9 — declarative typing of an all-string raw frame
     * (reference `transform_functions.py:29-47`).
+    *
+    * Casts are `try_cast`: the reference runs Spark 3 with ANSI off,
+    * where an unparseable string (e.g. `aged_65_older = "19.4"` cast to
+    * Integer — a real case in its own spec, `main.py:121`) silently
+    * becomes NULL and is then zero-filled. Spark 4 defaults ANSI on,
+    * which would instead fail the job; `try_cast` restores the
+    * reference's invalid→NULL semantics without disabling ANSI
+    * session-wide.
     */
   def castTypes(df: DataFrame, specs: Seq[CastSpec]): DataFrame = {
     val present = df.columns.toSet
     specs.foldLeft(df) { (acc, spec) =>
       spec.fields.filter(present.contains).foldLeft(acc) { (d, f) =>
         spec.kind match {
-          case ToInt        => d.withColumn(f, col(f).cast(IntegerType))
-          case ToDate       => d.withColumn(f, col(f).cast(DateType))
-          case ToRounded(n) => d.withColumn(f, round(col(f).cast(DoubleType), n))
+          case ToInt        => d.withColumn(f, col(f).try_cast(IntegerType))
+          case ToDate       => d.withColumn(f, col(f).try_cast(DateType))
+          case ToRounded(n) => d.withColumn(f, round(col(f).try_cast(DoubleType), n))
         }
       }
     }

@@ -77,19 +77,33 @@ object Upsert {
     *
     * Requires `updates` to share the target's schema (the reference's
     * enterprise merge maps all 25 columns by name).
+    *
+    * @param updateCols when set, only these columns are rewritten on
+    *                   matched rows (the reference's enterprise merge
+    *                   updates 20 of the 25 columns — matched rows keep
+    *                   their existing `_SK_METRICS_FACT`,
+    *                   `_TF_LAST_UPDATE` and `Location`,
+    *                   `load_functions.py:71-92`); inserts always take
+    *                   the full update row.
     */
   def fullUpsert(
       target: DataFrame,
       updates: DataFrame,
-      keys: Seq[String]
+      keys: Seq[String],
+      updateCols: Option[Seq[String]] = None
   ): DataFrame = {
     val u = qualify(updates, "_u_")
     val cond = keys.map(k => target(k) === u("_u_" + k)).reduce(_ && _)
     val joined = target.join(u, cond, "full_outer")
     val matched = keys.map(k => u("_u_" + k).isNotNull).reduce(_ && _)
+    val inserted = keys.map(k => target(k).isNull).reduce(_ && _)
+    val rewrite = updateCols.map(_.toSet)
     val projected = target.columns.map { c =>
       if (keys.contains(c)) coalesce(target(c), u("_u_" + c)).as(c)
-      else when(matched, u("_u_" + c)).otherwise(target(c)).as(c)
+      else if (rewrite.forall(_.contains(c)))
+        when(matched, u("_u_" + c)).otherwise(target(c)).as(c)
+      else // non-updated column: kept on match, taken from updates on insert
+        when(inserted, u("_u_" + c)).otherwise(target(c)).as(c)
     }
     joined.select(projected.toIndexedSeq: _*)
   }

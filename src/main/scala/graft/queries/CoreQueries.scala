@@ -34,6 +34,16 @@ object CoreQueries {
 
   private def d(s: String) = to_date(lit(s))
 
+  /** Pushdown-friendly timestamp literal: testdata date columns are
+    * physically timestamp[ms], and a `cast(ts AS DATE) <= DATE 'x'`
+    * predicate blocks parquet filter pushdown (the cast wraps the
+    * attribute). `ts < TIMESTAMP 'x+1 00:00'` is the same predicate on
+    * the raw column — constant-folded and pushed to the scan
+    * (PushedFilters: [LessThan(...)]), which at 100 TB means row-group
+    * pruning instead of a full decode. Session tz is pinned UTC.
+    */
+  private def ts(s: String) = to_timestamp(lit(s))
+
   // pinned cutoffs (orders span 1995-01-01..2001-08-01)
   private val CutWarehouse = "1998-01-01" // "already in the warehouse"
   private val CutToday     = "1996-12-31" // SET1 "today" snapshot
@@ -71,7 +81,7 @@ object CoreQueries {
     // surrogate keys. In production this is a JDBC projection scan; the
     // harness models it as a derived table.
     val warehouse = o
-      .filter(o("o_orderdate").cast(DateType) < d(CutWarehouse))
+      .filter(o("o_orderdate") < ts(CutWarehouse)) // ⇔ cast-to-date < CutWarehouse, but pushed down
       .select(o("o_orderkey").as("wh_orderkey"),
         (o("o_orderkey") + lit(1000000L)).as("wh_sk"))
 
@@ -207,7 +217,8 @@ object CoreQueries {
     */
   def f2DateSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate").cast(DateType).between(d("1998-06-01"), d("1998-06-30")))
+      .filter(col("l_shipdate") >= ts("1998-06-01") &&
+        col("l_shipdate") < ts("1998-07-01")) // ⇔ date BETWEEN 06-01 AND 06-30, pushed down
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate").cast(DateType).as("ship_date"),
@@ -275,11 +286,12 @@ object CoreQueries {
     */
   def set1Except(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .select(
-        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        col("l_shipdate").cast(DateType).as("ship_date"))
-    val today     = li.filter(col("ship_date") <= d(CutToday))
-    val yesterday = li.filter(col("ship_date") <= d(CutYesterday))
+    val proj = Seq(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_shipdate").cast(DateType).as("ship_date"))
+    // raw-timestamp filters (pushed to the scan) BEFORE the date cast
+    val today     = li.filter(col("l_shipdate") < ts("1997-01-01")).select(proj: _*)
+    val yesterday = li.filter(col("l_shipdate") < ts("1996-01-01")).select(proj: _*)
     today.except(yesterday).orderBy("l_orderkey", "l_partkey", "l_suppkey")
   }
 
@@ -289,9 +301,11 @@ object CoreQueries {
     */
   def set2Union(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("order_date"))
-    val updates = o.filter(col("order_date") < d(CutYesterday)).withColumn("src", lit("U"))
-    val inserts = o.filter(col("order_date") >= d("2001-01-01")).withColumn("src", lit("I"))
+    val proj = Seq(col("o_orderkey"), col("o_orderdate").cast(DateType).as("order_date"))
+    val updates = o.filter(col("o_orderdate") < ts(CutYesterday))
+      .select(proj: _*).withColumn("src", lit("U"))
+    val inserts = o.filter(col("o_orderdate") >= ts("2001-01-01"))
+      .select(proj: _*).withColumn("src", lit("I"))
     updates.union(inserts).orderBy("o_orderkey")
   }
 
@@ -326,7 +340,7 @@ object CoreQueries {
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate").cast(DateType) <= d("1998-09-02"))
+      .filter(col("l_shipdate") < ts("1998-09-03")) // ⇔ date <= 1998-09-02, pushed down
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sumd(col("l_quantity")).as("sum_qty"),
@@ -392,7 +406,7 @@ object CoreQueries {
       col("o_orderdate").cast(DateType).as("order_date"))
     val updates = o
       .filter(col("o_orderstatus") === "O" &&
-        col("o_orderdate").cast(DateType) >= d(CutWarehouse))
+        col("o_orderdate") >= ts(CutWarehouse)) // pushed down (raw ts, no cast)
       .select(
         col("o_orderkey").as("u_orderkey"),
         lit("F").as("u_status"),
@@ -457,7 +471,7 @@ object CoreQueries {
       col("o_orderkey"),
       when(col("o_orderstatus") === "O", "Y").otherwise("N").as("is_updated"))
     val synced = o
-      .filter(col("o_orderdate").cast(DateType) < d(CutWarehouse))
+      .filter(col("o_orderdate") < ts(CutWarehouse)) // pushed down (raw ts, no cast)
       .select(col("o_orderkey").as("s_orderkey"), lit("N").as("new_flag"))
     Upsert.updateMerge(curated, synced,
         keys = Seq("o_orderkey" -> "s_orderkey"),

@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources & sinks — the Spark-native re-expression of the reference's
+  * raw/curated/enterprise zone I/O (SURVEY.md §2.1, S1–S10).
+  *
+  * The reference's zones are DBFS/ADLS mounts written by Databricks
+  * utilities; here every path is a plain Hadoop path so the same code
+  * runs on local FS, HDFS, or object stores.
+  */
+object RawZone {
+
+  /** S3 — raw-zone CSV scan: header row, NO inferSchema, every column
+    * arrives as string (reference `main.py:75-79`). Types are imposed
+    * later by the declarative cast spec (`ops.Transform.castTypes`),
+    * exactly like the reference's poor-man's declared schema.
+    *
+    * Scale note: schema-less CSV reads avoid the inferSchema extra
+    * full pass over 100 TB of input; the single-pass string scan plus
+    * cast-in-plan is the right shape for bulk raw ingest.
+    */
+  def csvAllString(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** S3 production variant — CSV with a declared schema: no inference
+    * pass, no all-string detour; malformed rows become nulls
+    * (PERMISSIVE), which the pipeline's `na.fill` then normalizes.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S2 — archive/rotate: copy the incoming file set to the dated
+    * archive (`archived/yyyy/mm/dd/`) and move it to the `last/`
+    * snapshot (reference `extract_functions.py:24-28`, `main.py:63-67`).
+    * Pure Hadoop FileSystem metadata ops — no Spark job.
+    */
+  def archiveAndRotate(
+      spark: SparkSession,
+      incomingDir: String,
+      rawRoot: String,
+      date: java.time.LocalDate): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(incomingDir)
+    val fs = src.getFileSystem(conf)
+    val archived = new Path(
+      f"$rawRoot/archived/${date.getYear}%04d/${date.getMonthValue}%02d/${date.getDayOfMonth}%02d")
+    val last = new Path(s"$rawRoot/last")
+    fs.mkdirs(archived)
+    fs.delete(last, true)
+    fs.mkdirs(last)
+    val files = fs.listStatus(src).filter(_.isFile)
+    files.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, st.getPath, fs, new Path(archived, st.getPath.getName), false, conf)
+      fs.rename(st.getPath, new Path(last, st.getPath.getName))
+    }
+  }
+
+  /** S7 — partitioned curated sink. The reference writes
+    * `coalesce(1).partitionBy("Year","Month")` (`main.py:235`), which
+    * serializes the whole write through one task — an anti-pattern at
+    * scale (SURVEY.md §4). The scale-correct shape repartitions by the
+    * partition columns so each Hive partition is written by the task
+    * that owns it: one shuffle, parallel writers, no small-file storm
+    * (one file per partition, like coalesce(1) achieved, but N-way
+    * parallel across partitions).
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Append): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode(mode)
+      .parquet(path)
+
+  /** S8 — unpartitioned append sink (reference enterprise first load,
+    * `load_functions.py:124`).
+    */
+  def writeAppend(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S10 — full-mode wipe-and-reload. The reference deletes + vacuums
+    * the Delta table then appends (`main.py:231-235`); on parquet the
+    * atomic equivalent is a single overwrite.
+    */
+  def overwritePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    writePartitioned(df, path, partitionCols, SaveMode.Overwrite)
+
+  /** S9 — the staged-upsert postActions SQL generator (reference
+    * `load_functions.py:2-44`): given staging + target table names, the
+    * pipe-separated lookup key list and an optional last-update column,
+    * produce the three statements the warehouse runs after the staging
+    * load:
+    *   1. delete target rows for which staging has a same-key row at
+    *      least as new (`>=` ⇒ ties go to staging);
+    *   2. delete staging rows strictly older than a surviving target
+    *      row (`>`);
+    *   3. insert all remaining staging rows into the target.
+    * Together: last-writer-wins upsert with tie→staging — the exact
+    * semantics `ops.Upsert.lwwUpsert` implements natively in Spark.
+    * Without a delta column the match is key-only (staging always
+    * wins).
+    */
+  def stagedUpsertSql(
+      staging: String,
+      target: String,
+      lookupCols: Seq[String],
+      deltaCol: Option[String]): Seq[String] = {
+    def keyEq(a: String, b: String) =
+      lookupCols.map(c => s"$a.$c = $b.$c")
+    val newerInStaging =
+      (keyEq(staging, target) ++ deltaCol.map(d => s"$staging.$d >= $target.$d"))
+        .mkString(" and ")
+    val olderInStaging =
+      (keyEq(target, staging) ++ deltaCol.map(d => s"$target.$d > $staging.$d"))
+        .mkString(" and ")
+    Seq(
+      s"delete from $target where exists (select 1 from $staging where $newerInStaging);",
+      s"delete from $staging where exists (select 1 from $target where $olderInStaging);",
+      s"insert into $target select * from $staging;")
+  }
+
+  /** S5/S6/S9 — the JDBC read/write option shape of the reference's
+    * warehouse connector (`main.py:252-271`, `load_functions.py:53-60`),
+    * expressed against Spark's generic JDBC source. `query` pushes the
+    * whole statement to the remote engine (the reference pushes
+    * `select max(_SK_METRICS_FACT) ...` so the aggregate runs in the
+    * DWH, not Spark). Offered as option-map builders so callers can
+    * `.format("jdbc").options(...)` when a warehouse is reachable; the
+    * harness exercises the same semantics on local tables instead.
+    */
+  def jdbcQueryOptions(url: String, query: String): Map[String, String] =
+    Map("url" -> url, "query" -> query)
+
+  def jdbcStagedWriteOptions(
+      url: String,
+      stagingTable: String,
+      postActions: Seq[String]): Map[String, String] =
+    Map(
+      "url" -> url,
+      "dbtable" -> stagingTable,
+      "postActions" -> postActions.mkString(""))
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (0L, "spark reads parquet files fast and scans columns quickly today"),
+      (1L, "spark reads parquet files fast and scans columns quickly today"), // exact dup of 0
+      (2L, "spark reads parquet files fast and scans columns slowly today"),  // near dup of 0
+      (3L, "completely different content about streams windows and state stores")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDupRank: duplicate texts share a group; first doc_id is the keeper") {
+    val out = Dedup.exactDupRank(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("group_size"), r.getAs[Int]("dup_rank"), r.getAs[String]("is_dup")))).toMap
+    assert(out(0L) == ((2L, 1, "N")))
+    assert(out(1L) == ((2L, 2, "Y")))
+    assert(out(2L) == ((1L, 1, "N")))
+  }
+
+  test("minhash LSH: exact dups share all bands; near-dups share some; unrelated docs none") {
+    val banded = Dedup.minhashBands(corpus, n = 3, k = 8, bands = 4)
+    val pairs = Dedup.minhashCandidates(banded)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) == 4L) // identical signatures -> all 4 bands
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("ngramJaccard: identical docs = 1.0, near-dups in (0,1), computed over distinct shingles") {
+    val out = Dedup.ngramJaccardPairs(corpus, n = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(out((0L, 1L)) == 1.0)
+    val near = out((0L, 2L))
+    assert(near > 0.0 && near < 1.0)
+  }
+
+  test("simhashBuckets: identical docs share a bucket and are flagged") {
+    val out = Dedup.simhashBuckets(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("simhash"), r.getAs[Long]("bucket_size")))).toMap
+    assert(out(0L)._1 == out(1L)._1)
+    assert(out(0L)._2 >= 2L)
+  }
+}

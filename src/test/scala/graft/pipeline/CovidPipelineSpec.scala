@@ -1,0 +1,214 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.CovidPipeline.Raw
+
+/** End-to-end pipeline test over the FIXTURES.md §B 2-day OWID-shaped
+  * fixture: full-mode load on day 1, incremental on day 2 (one restated
+  * row → M1 update path, one new "yesterday" row → F2 insert path),
+  * then warehouse reconciliation with the Is_updated Y→N lifecycle.
+  *
+  * Fixture content requirements covered (FIXTURES.md §B):
+  *  - 3 countries; Narnia present in owid but missing from
+  *    excess_mortality (left-join nulls → 0-filled);
+  *  - Atlantis appears in full_data but not in the country map
+  *    (dropped by the J1 inner join);
+  *  - day-2 restates ESP@d1 with changed values and adds d2 rows.
+  */
+class CovidPipelineSpec extends SparkSpec {
+
+  private val D1 = "2021-03-01"
+  private val D2 = "2021-03-02"
+  private val Day2 = LocalDate.parse("2021-03-03") // "today" when d2 files land
+  private val AsOf1 = "2021-03-02 04:00:00"
+  private val AsOf2 = "2021-03-03 04:00:00"
+
+  // ---- day-1 raw files (all-string, like header-only CSV reads) ----
+  private def s(rows: Seq[Product], cols: String*): DataFrame = {
+    import spark.implicits._
+    val data = rows.map(p => p.productIterator.map(v => Option(v).map(_.toString).orNull).toSeq)
+    val rdd = spark.sparkContext.parallelize(data.map(org.apache.spark.sql.Row.fromSeq))
+    spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+  }
+
+  private def owidRows(extra: Seq[(String, String, String, String)] = Nil) = s(
+    Seq(
+      ("Spain", "ESP", D1, "71.3", "47350000", "19.4", "13.9", "10000", "400000"),
+      ("France", "FRA", D1, "63.01", "67390000", "20.8", "14.3", "20000", "900000"),
+      ("Narnia", "NAR", D1, "50.55", "1000000", "10.1", "5.5", "300", "4000")) ++
+      extra.map { case (l, i, d, si) => (l, i, d, si, "47350001", "19.4", "13.9", "10001", "400001") },
+    "location", "iso_code", "date", "stringency_index", "population",
+    "aged_65_older", "aged_70_older", "new_tests", "total_tests")
+
+  private def vaccRows(extra: Seq[(String, String, String)] = Nil) = s(
+    Seq(
+      ("ESP", D1, "1000000", "50000", "1000"),
+      ("FRA", D1, "2000000", "80000", "2000")) ++
+      extra.map { case (i, d, t) => (i, d, t, "50001", "1001") },
+    "iso_code", "date", "total_vaccinations", "daily_vaccinations", "total_boosters")
+
+  private def hospRows(extra: Seq[(String, String, String, String)] = Nil) = s(
+    Seq(
+      ("ESP", D1, "Daily hospital occupancy", "8000.123"),
+      ("ESP", D1, "Daily ICU occupancy", "1500.567"),
+      ("FRA", D1, "Daily hospital occupancy", "25000.9"),
+      ("FRA", D1, "Weekly new ICU admissions", "900.45")) ++ extra,
+    "iso_code", "date", "indicator", "value")
+
+  private def excessRows(extra: Seq[(String, String, String)] = Nil) = s(
+    Seq(
+      ("Spain", D1, "1234.567"),
+      ("France", D1, "2345.678"),
+      ("Atlantis", D1, "99.9")) ++ extra, // Atlantis: not in country map -> dropped
+    "location", "date", "excess_proj_all_ages")
+
+  private def fullDataRows(extra: Seq[(String, String, String)] = Nil) = s(
+    Seq(
+      ("Spain", D1, "5000"),
+      ("France", D1, "9000"),
+      ("Narnia", D1, "10"),
+      ("Atlantis", D1, "77")) ++
+      extra,
+    "location", "date", "new_cases").withColumn("new_deaths", lit("1"))
+    .withColumn("total_cases", lit("100")).withColumn("total_deaths", lit("2"))
+    .withColumn("weekly_cases", lit("10")).withColumn("weekly_deaths", lit("3"))
+
+  private def day1Raw = Raw.fromCsv(
+    owidRows(), vaccRows(), hospRows(), excessRows(), fullDataRows())
+
+  // day-2 files: everything from day 1, plus a restated ESP@D1 row with
+  // changed values, plus new D2 rows (the "yesterday" of Day2).
+  private def day2Raw = Raw.fromCsv(
+    owidRows(extra = Seq(
+      ("Spain", "ESP", D2, "72.0"), ("France", "FRA", D2, "60.0"))).union(
+      s(Seq(("Spain", "ESP", D1, "75.5", "47350000", "19.4", "13.9", "10000", "400111")),
+        "location", "iso_code", "date", "stringency_index", "population",
+        "aged_65_older", "aged_70_older", "new_tests", "total_tests")),
+    vaccRows(extra = Seq(("ESP", D2, "1100000"))),
+    hospRows(extra = Seq(("ESP", D2, "Daily hospital occupancy", "7900.001"))),
+    excessRows(extra = Seq(("Spain", D2, "1300.001"))),
+    fullDataRows(extra = Seq(("Spain", D2, "5100"), ("France", D2, "9100"))))
+
+  private def fact(df: DataFrame, iso: String, date: String) =
+    df.filter(col("CodeISO") === iso && col("Date") === to_date(lit(date)))
+
+  // shared across tests; cached — every assert would otherwise re-run
+  // the whole merge chain (the reference executes each merge eagerly
+  // into Delta, so one evaluation is the faithful cost model too)
+  private lazy val curatedDay1 = CovidPipeline.fullLoad(day1Raw, AsOf1).cache()
+  private lazy val curatedDay2 =
+    CovidPipeline.incremental(day2Raw, day1Raw, curatedDay1, Day2, AsOf2).cache()
+
+  test("full load: 25+3 cols, typed, zero-filled, unmapped locations dropped") {
+    val curated = curatedDay1
+
+    assert(curated.columns.toSet ==
+      (CovidPipeline.FinalColumns.toSet - "_SK_METRICS_FACT") ++ Set("Year", "Month", "Is_updated"))
+    // 3 countries x 1 day; Atlantis dropped by the inner country-map join
+    assert(curated.count() == 3)
+
+    val esp = fact(curated, "ESP", D1).collect().head
+    assert(esp.getAs[Double]("Daily_hospital_occupancy") == 8000.12) // Decimal2
+    assert(esp.getAs[Double]("Stringency_index") == 71.3)            // Decimal1
+    assert(esp.getAs[Int]("New_cases") == 5000)
+    assert(esp.getAs[Int]("Population") == 47350000)
+    assert(esp.getAs[String]("Is_updated") == "N")
+    assert(esp.getAs[Int]("Year") == 2021 && esp.getAs[String]("Month") == "03")
+
+    // Narnia: no vacc/hosp/excess data -> all 0 after na.fill (left joins)
+    val nar = fact(curated, "NAR", D1).collect().head
+    assert(nar.getAs[Double]("Projection_excess_death") == 0.0)
+    assert(nar.getAs[Int]("Total_vaccinations") == 0)
+    assert(nar.getAs[Double]("Daily_icu_occupancy") == 0.0)
+  }
+
+  test("incremental: restated row merges (Y), yesterday's rows insert (N)") {
+    val cur2 = curatedDay2
+
+    // 3 day-1 rows + 2 day-2 inserts (ESP, FRA)
+    assert(cur2.count() == 5)
+
+    // ESP@D1 was restated: stringency 71.3 -> 75.5, flag flips to Y,
+    // but columns owned by other sources are untouched
+    val esp1 = fact(cur2, "ESP", D1).collect().head
+    assert(esp1.getAs[Double]("Stringency_index") == 75.5)
+    assert(esp1.getAs[Int]("Total_tests") == 400111)
+    assert(esp1.getAs[String]("Is_updated") == "Y")
+    assert(esp1.getAs[Int]("Total_vaccinations") == 1000000) // untouched
+    assert(esp1.getAs[Double]("Daily_hospital_occupancy") == 8000.12) // untouched
+
+    // FRA@D1 untouched entirely
+    val fra1 = fact(cur2, "FRA", D1).collect().head
+    assert(fra1.getAs[String]("Is_updated") == "N")
+    assert(fra1.getAs[Double]("Stringency_index") == 63.0)
+
+    // D2 inserts assembled through the star with flag N
+    val esp2 = fact(cur2, "ESP", D2).collect().head
+    assert(esp2.getAs[String]("Is_updated") == "N")
+    assert(esp2.getAs[Double]("Stringency_index") == 72.0)
+    assert(esp2.getAs[Int]("Total_vaccinations") == 1100000)
+    assert(esp2.getAs[Double]("Daily_hospital_occupancy") == 7900.0)
+    assert(esp2.getAs[Double]("Projection_excess_death") == 1300.0)
+    val fra2 = fact(cur2, "FRA", D2).collect().head
+    assert(fra2.getAs[Int]("Total_vaccinations") == 0) // no FRA d2 vacc row
+  }
+
+  test("reconcile: SKs dense from warehouse max, LWW + enterprise upserts, Y->N reset") {
+    import spark.implicits._
+    val curated = curatedDay1
+
+    // day-1 full-mode reconcile against empty warehouse/enterprise
+    val empty = curated.limit(0)
+      .drop("Year", "Month", "Is_updated")
+      .withColumn("_SK_METRICS_FACT", lit(0L))
+      .select(CovidPipeline.FinalColumns.map(col): _*)
+    val r1 = {
+      val r = CovidPipeline.reconcile(curated, empty, empty,
+        fullMode = true, LocalDate.parse(D2), AsOf1)
+      r.copy(r.upsertBatch.cache(), r.warehouse.cache(), r.enterprise.cache(), r.curated.cache())
+    }
+
+    assert(r1.upsertBatch.count() == 3)
+    val sks = r1.upsertBatch.select("_SK_METRICS_FACT").as[Long].collect().sorted
+    assert(sks.toSeq == Seq(1L, 2L, 3L)) // dense from 0 in full mode
+    assert(r1.warehouse.count() == 3 && r1.enterprise.count() == 3)
+
+    // day-2 incremental + reconcile
+    val r2 = {
+      val r = CovidPipeline.reconcile(curatedDay2, r1.warehouse, r1.enterprise,
+        fullMode = false, Day2, AsOf2)
+      r.copy(r.upsertBatch.cache(), r.warehouse.cache(), r.enterprise.cache(), r.curated.cache())
+    }
+
+    // batch = 2 inserts (D2) + 1 update (restated ESP@D1)
+    assert(r2.upsertBatch.count() == 3)
+    val insSks = r2.upsertBatch.filter(col("Date") === to_date(lit(D2)))
+      .select("_SK_METRICS_FACT").as[Long].collect().sorted
+    assert(insSks.toSeq == Seq(4L, 5L)) // continue from warehouse max 3
+    val updSk = r2.upsertBatch.filter(col("Date") === to_date(lit(D1)))
+      .select("_SK_METRICS_FACT").as[Long].collect()
+    assert(updSk.length == 1 && updSk.head <= 3L) // kept its warehouse SK
+
+    // warehouse after LWW: 5 keys, ESP@D1 carries the restated value
+    assert(r2.warehouse.count() == 5)
+    assert(fact(r2.warehouse, "ESP", D1).collect().head.getAs[Double]("Stringency_index") == 75.5)
+
+    // enterprise after M2: matched row updated but kept its original
+    // _TF_LAST_UPDATE/_SK (20-col update set), inserts take everything
+    assert(r2.enterprise.count() == 5)
+    val entEsp1 = fact(r2.enterprise, "ESP", D1).collect().head
+    assert(entEsp1.getAs[Double]("Stringency_index") == 75.5)
+    assert(entEsp1.getAs[java.sql.Timestamp]("_TF_LAST_UPDATE").toString.startsWith("2021-03-02"))
+
+    // curated flag reset: Y -> N everywhere
+    assert(r2.curated.filter(col("Is_updated") === "Y").count() == 0)
+    assert(r2.curated.count() == 5)
+  }
+}

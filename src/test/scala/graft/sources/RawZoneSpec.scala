@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class RawZoneSpec extends SparkSpec {
+
+  private def tmpDir() = Files.createTempDirectory("rawzone").toString
+
+  test("csvAllString: header row consumed, every column lands as string") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Path.of(dir, "data.csv"),
+      "location,date,new_cases\nSpain,2021-03-01,5000\nFrance,2021-03-01,\n")
+    val df = RawZone.csvAllString(spark, s"$dir/data.csv")
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.count() == 2)
+    // empty CSV field -> NULL (the pipeline's na.fill target)
+    assert(df.filter(col("new_cases").isNull).count() == 1)
+  }
+
+  test("csv with declared schema: no inference pass, typed columns") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Path.of(dir, "data.csv"),
+      "k,v\n1,2.5\n2,3.5\n")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    val df = RawZone.csv(spark, s"$dir/data.csv", schema)
+    assert(df.schema == schema)
+    assert(df.agg(sum("v")).collect().head.getDouble(0) == 6.0)
+  }
+
+  test("archiveAndRotate: dated archive copy + last/ snapshot move") {
+    val root = tmpDir()
+    val incoming = s"$root/incoming"
+    Files.createDirectories(java.nio.file.Path.of(incoming))
+    Files.writeString(java.nio.file.Path.of(incoming, "a.csv"), "x\n1\n")
+    RawZone.archiveAndRotate(spark, incoming, s"$root/raw", java.time.LocalDate.parse("2021-03-02"))
+    assert(Files.exists(java.nio.file.Path.of(s"$root/raw/archived/2021/03/02/a.csv")))
+    assert(Files.exists(java.nio.file.Path.of(s"$root/raw/last/a.csv")))
+    assert(!Files.exists(java.nio.file.Path.of(s"$incoming/a.csv"))) // moved
+  }
+
+  test("writePartitioned + overwrite: hive layout, partition pruning, one file per partition") {
+    import spark.implicits._
+    val dir = tmpDir() + "/curated"
+    val df = Seq((1, 2021, "03", 10.0), (2, 2021, "04", 20.0), (3, 2022, "01", 30.0))
+      .toDF("id", "Year", "Month", "v")
+    RawZone.overwritePartitioned(df, dir, Seq("Year", "Month"))
+    assert(Files.exists(java.nio.file.Path.of(s"$dir/Year=2021/Month=03")))
+    // one data file per partition (the scale-correct coalesce(1) twin)
+    val files = new java.io.File(s"$dir/Year=2021/Month=03")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    // partition filter prunes directories, not just rows
+    val pruned = back.filter(col("Year") === 2021 && col("Month") === "03")
+    assert(pruned.count() == 1)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+
+    RawZone.overwritePartitioned(df.filter(col("Year") === 2022), dir, Seq("Year", "Month"))
+    assert(spark.read.parquet(dir).count() == 1) // S10 wipe semantics
+  }
+
+  test("stagedUpsertSql mirrors the reference postActions statement set") {
+    val sql = RawZone.stagedUpsertSql("MetricsCovid_Fact_tmp", "MetricsCovid_Fact",
+      Seq("Date", "CodeISO"), Some("_TF_LAST_UPDATE"))
+    assert(sql == Seq(
+      "delete from MetricsCovid_Fact where exists (select 1 from MetricsCovid_Fact_tmp where " +
+        "MetricsCovid_Fact_tmp.Date = MetricsCovid_Fact.Date and " +
+        "MetricsCovid_Fact_tmp.CodeISO = MetricsCovid_Fact.CodeISO and " +
+        "MetricsCovid_Fact_tmp._TF_LAST_UPDATE >= MetricsCovid_Fact._TF_LAST_UPDATE);",
+      "delete from MetricsCovid_Fact_tmp where exists (select 1 from MetricsCovid_Fact where " +
+        "MetricsCovid_Fact.Date = MetricsCovid_Fact_tmp.Date and " +
+        "MetricsCovid_Fact.CodeISO = MetricsCovid_Fact_tmp.CodeISO and " +
+        "MetricsCovid_Fact._TF_LAST_UPDATE > MetricsCovid_Fact_tmp._TF_LAST_UPDATE);",
+      "insert into MetricsCovid_Fact select * from MetricsCovid_Fact_tmp;"))
+    // key-only fallback: no delta predicate, staging always wins
+    val keyOnly = RawZone.stagedUpsertSql("stg", "tgt", Seq("k"), None)
+    assert(keyOnly.head == "delete from tgt where exists (select 1 from stg where stg.k = tgt.k);")
+  }
+}

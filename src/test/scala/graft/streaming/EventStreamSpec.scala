@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+
+  private def mkEvents = {
+    import spark.implicits._
+    (0 until 200).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00"),
+        (i % 7).toLong, if (i % 2 == 0) "click" else "view", i * 1.5, s"""{"k": ${i % 10}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("AvailableNow file stream: windowed agg matches the batch twin on closed windows") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    mkEvents.write.parquet(in)
+
+    val q = EventStream.runAvailableNow(spark, in, out, ck)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+    val batch = EventStream.hourlyAgg(spark.read.parquet(in))
+    // Append mode only emits watermark-closed windows; every emitted
+    // row must match the batch plan exactly.
+    val sCols = streamed.select("hour_start", "event_type", "n", "sum_value").collect().toSet
+    val bCols = batch.select("hour_start", "event_type", "n", "sum_value").collect().toSet
+    assert(sCols.nonEmpty)
+    assert(sCols.subsetOf(bCols))
+  }
+
+  test("foreachBatch LWW upsert sink merges micro-batches into the target table") {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val in = s"$dir/in"; val tgt = s"$dir/target"; val ck = s"$dir/ck"
+    import spark.implicits._
+    Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("k", "s", "ver").write.parquet(in)
+    val q1 = EventStream.runUpsertSink(spark, in, tgt, ck, Seq("k"), "ver")
+    q1.awaitTermination(120000)
+    // second batch: newer version for k=1, new key 3
+    Seq((1L, "a2", 200L), (3L, "c", 50L)).toDF("k", "s", "ver")
+      .write.mode("append").parquet(in)
+    val q2 = EventStream.runUpsertSink(spark, in, tgt, ck, Seq("k"), "ver")
+    q2.awaitTermination(120000)
+    val out = spark.read.parquet(tgt).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("s")).toMap
+    assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+}
