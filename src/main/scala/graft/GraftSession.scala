@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions) // native fns (vector_dot)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

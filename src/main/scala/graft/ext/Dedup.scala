@@ -49,10 +49,16 @@ object Dedup {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val rows = k / bands
     val toks = TextOps.tokens(col("text"))
-    val sh = TextOps.shingles(toks, n)
+    // all k signatures in one native pass over the token array
+    // (graft.functions.MinhashSignatures): shingling + md5 + k affine
+    // mins in a tight loop, one eval per document. The declarative
+    // twin (TextOps.minhash per signature) interprets HOF lambdas per
+    // element — orders of magnitude slower once those call sites go
+    // megamorphic (see MinhashSignatures scaladoc).
     val withSig = docs
-      .select(col("doc_id"), sh.as("sh"))
-      .select(col("doc_id") +: (0 until k).map(j => TextOps.minhash(col("sh"), j).as(s"sig_$j")): _*)
+      .select(col("doc_id"), call_function("minhash_sigs", toks, lit(n), lit(k)).as("sigs"))
+      .select(col("doc_id") +:
+        (0 until k).map(j => element_at(col("sigs"), j + 1).as(s"sig_$j")): _*)
     // concat (not concat_ws): NULL signatures (shingle-less docs) must
     // propagate to a NULL band key, matching the oracle's `||`.
     val bandKeys = array((0 until bands).map { b =>
@@ -69,10 +75,30 @@ object Dedup {
     * number of shared bands. The only shuffle is the groupBy on
     * (band, key); the self-join runs per-bucket.
     */
+  /** Exploded (doc_id, sig_0, band, key) rows, shuffled onto the
+    * (band, key) partitioning every downstream consumer (bucket-size
+    * window, candidate self-join) groups on, then MATERIALIZED
+    * (`localCheckpoint`). The barrier matters more than it looks:
+    *  - without it the self-join's two sides each recompute the whole
+    *    signature pipeline from the text, and worse, Catalyst pushes
+    *    downstream predicates on the generated `key` column through
+    *    the explode into the file scan, where they re-evaluate the
+    *    full band-key expression per document inside the (single-task)
+    *    scan stage — measured ~10× the pipeline's real cost;
+    *  - what is materialized is the compact sketch relation
+    *    (long, long, int, 32-char key ≈ 60 bytes/row), never the
+    *    document text — at corpus scale this is exactly the "write the
+    *    sketch table once, then self-join it" shape a production dedup
+    *    runs, with the LSH shuffle on (band, key) already done.
+    */
+  def explodedBands(banded: DataFrame): DataFrame =
+    banded
+      .select(col("doc_id"), col("sig_0"), posexplode(col("band_keys")).as(Seq("band", "key")))
+      .repartition(col("band"), col("key"))
+      .localCheckpoint()
+
   def minhashCandidates(banded: DataFrame): DataFrame = {
-    val exploded = banded
-      .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
-      .filter(col("key").isNotNull)
+    val exploded = explodedBands(banded).drop("sig_0").filter(col("key").isNotNull)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

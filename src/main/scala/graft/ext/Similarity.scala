@@ -27,10 +27,17 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
-  /** In-order fold dot product of two float-array columns, in exact
-    * doubles.
+  /** In-order dot product of two float-array columns, in exact
+    * doubles — the native codegen'd `graft.functions.VectorDot`
+    * (registered by `GraftSession` via `GraftExtensions`), which is
+    * bit-identical to [[dotDeclarative]] but allocation-free per row.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
+
+  /** The pure-builtin twin of [[dot]] (zip_with + in-order aggregate):
+    * used by the parity spec, and by sessions without GraftExtensions.
+    */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)

@@ -40,13 +40,44 @@ object TextOps {
       .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
         concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
 
-  /** MinHash signature element for one seeded hash function:
-    * min over shingles of md5(seed || "|" || shingle), compared
-    * lexicographically (hex strings — identical ordering in both
-    * engines). NULL for shingle-less docs.
+  /** 32-bit shingle hash: the first 8 hex chars of md5(shingle) packed
+    * to a long via shared ascii arithmetic (both engines agree on
+    * `ascii`/`substr` and lowercase md5 hex). ONE md5 per shingle — the
+    * k seeded MinHash functions then derive from this value by integer
+    * mixing, instead of k separate md5 calls (8× fewer digests; the
+    * md5 is the dominant cost of signature computation at corpus
+    * scale).
+    */
+  def shingleHash(s: Column): Column =
+    // conv(hex, 16, 10): one md5 + one parse per shingle. HOF lambda
+    // bodies are evaluated interpreted with NO subexpression
+    // elimination, so a multi-term expression repeating `md5(s)` would
+    // recompute the digest per term — measured 8× slower. The oracle
+    // mirrors the same integer via shared ascii arithmetic.
+    conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)
+
+  /** 2^31-1 (prime) — modulus of the MinHash affine mixes. */
+  val MinhashP = 2147483647L
+  /** Per-function affine constants: ~2^30, so mix·hash < 2^63 (no
+    * 64-bit overflow in either engine).
+    */
+  def minhashA(j: Int): Long = 1103515245L + 12345L * j
+  def minhashB(j: Int): Long = 12345L + 54321L * j
+
+  /** MinHash signature element j over pre-hashed shingles
+    * ([[shingleHash]]): min over shingles of (A_j·h + B_j) mod P —
+    * pure 64-bit integer math, bit-identical in DuckDB. NULL for
+    * shingle-less docs (`array_min` of an empty array).
+    */
+  def minhashFromHashes(hashes: Column, j: Int): Column =
+    array_min(transform(hashes, h => (h * minhashA(j) + minhashB(j)) % MinhashP))
+
+  /** MinHash signature element from raw shingles (one-off convenience;
+    * batch callers pre-compute [[shingleHash]] once for all k
+    * functions — see `Dedup.minhashBands`).
     */
   def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed|"), s))))
+    minhashFromHashes(transform(shingleArr, shingleHash(_)), seed)
 
   /** 16-bit SimHash over tokens. Bit b is set iff the sum over tokens
     * of ±1 (sign taken from hex digit b of the token's md5: >= '8'

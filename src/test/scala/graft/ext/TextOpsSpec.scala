@@ -27,11 +27,11 @@ class TextOpsSpec extends SparkSpec {
     val df = docs("x y z x y z", "z x y z x y", "a b")
     val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
     val rows = df.select(col("doc_id"), TextOps.minhash(array_distinct(sh), 1).as("m"))
-      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     // docs 0/1 are rotations sharing most shingles; identical DISTINCT sets not guaranteed,
     // so assert determinism instead: same doc -> same sig, short doc -> NULL
     assert(rows(0L).isDefined && rows(1L).isDefined && rows(2L).isEmpty)
-    val again = df.select(TextOps.minhash(array_distinct(sh), 1)).collect().map(r => Option(r.getString(0)))
+    val again = df.select(TextOps.minhash(array_distinct(sh), 1)).collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(again.toSeq == Seq(rows(0L), rows(1L), rows(2L)))
   }
 
