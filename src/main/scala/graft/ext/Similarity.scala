@@ -57,6 +57,10 @@ object Similarity {
     * sign of the projection onto hyperplane j.
     */
   def lshBucket(emb: Column, planes: Int): Column =
+    call_function("lsh_bucket", emb, lit(planes)) // native (graft.functions.LshBucket)
+
+  /** Pure-builtin twin of [[lshBucket]] (spec cross-check). */
+  def lshBucketDeclarative(emb: Column, planes: Int): Column =
     (0 until planes).map { j =>
       val proj = aggregate(
         transform(emb, (x, i) => x.cast(DoubleType) * weight(i, j)),

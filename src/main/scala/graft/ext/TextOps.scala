@@ -36,6 +36,12 @@ object TextOps {
     * array explicitly (DuckDB's `range(1, len-1)` is empty naturally).
     */
   def shingles(toks: Column, n: Int): Column =
+    call_function("word_shingles", toks, lit(n)) // native (graft.functions.WordShingles)
+
+  /** Pure-builtin twin of [[shingles]] (spec cross-check; sessions
+    * without GraftExtensions).
+    */
+  def shinglesDeclarative(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast(ArrayType(StringType)))
       .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
         concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
@@ -84,6 +90,10 @@ object TextOps {
     * means +1) is non-negative. Pure integer math → exact oracle.
     */
   def simhash16(toks: Column): Column =
+    call_function("simhash16", toks) // native (graft.functions.SimHash16)
+
+  /** Pure-builtin twin of [[simhash16]] (spec cross-check). */
+  def simhash16Declarative(toks: Column): Column =
     (0 until 16).map { b =>
       val contrib = transform(toks, t =>
         when(substring(md5(t), b + 1, 1) >= "8", lit(1)).otherwise(lit(-1)))
@@ -109,6 +119,10 @@ object TextOps {
     * engines (`aggregate` / `list_reduce(list_prepend(0, ...))`).
     */
   def rollingHash(toks: Column): Column =
+    call_function("rolling_hash", toks) // native (graft.functions.RollingHash)
+
+  /** Pure-builtin twin of [[rollingHash]] (spec cross-check). */
+  def rollingHashDeclarative(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => (acc * 131L + tokenInt(t)) % 1000000007L)
 
   /** Quality-scoring stopword list (drawn from the synthetic corpus
@@ -117,7 +131,7 @@ object TextOps {
   val Stopwords: Seq[String] = Seq("a", "the", "data", "key")
 
   def stopwordCount(toks: Column): Column =
-    size(filter(toks, t => t.isInCollection(Stopwords)))
+    call_function("count_in_set", toks, array(Stopwords.map(lit): _*))
 
   /** Language marker sets for the n-gram-heuristic language ID. Real
     * lang-ID uses char-n-gram profiles per language; the synthetic
@@ -131,7 +145,7 @@ object TextOps {
     "de" -> Seq("stream", "window", "batch"))
 
   def markerCount(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(markers)))
+    call_function("count_in_set", toks, array(markers.map(lit): _*))
 
   /** Deterministic argmax over the language scores: first language in
     * [[LangMarkers]] order wins ties (same CASE shape as the oracle).
@@ -152,7 +166,7 @@ object TextOps {
     * op → identical in both engines), NULL on empty docs.
     */
   def avgTokenLen(toks: Column): Column = {
-    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val totalLen = call_function("token_len_sum", toks) // native fold
     when(size(toks) === 0, lit(null).cast(DoubleType))
       .otherwise(totalLen.cast(DoubleType) / size(toks).cast(DoubleType))
   }

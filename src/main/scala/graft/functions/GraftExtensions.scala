@@ -20,5 +20,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinhashSignatures].getCanonicalName, "minhash_sigs"),
       (children: Seq[Expression]) => MinhashSignatures(children(0), children(1), children(2))))
+    def unary(name: String, cls: Class[_], f: Expression => Expression): Unit =
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getCanonicalName, name),
+        (children: Seq[Expression]) => f(children.head)))
+    def binary(name: String, cls: Class[_], f: (Expression, Expression) => Expression): Unit =
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getCanonicalName, name),
+        (children: Seq[Expression]) => f(children(0), children(1))))
+    binary("word_shingles", classOf[WordShingles], WordShingles.apply)
+    unary("simhash16", classOf[SimHash16], SimHash16.apply)
+    unary("rolling_hash", classOf[RollingHash], RollingHash.apply)
+    binary("min_shingle", classOf[MinShingle], MinShingle.apply)
+    binary("count_in_set", classOf[CountInSet], CountInSet.apply)
+    unary("token_len_sum", classOf[TokenLenSum], TokenLenSum.apply)
+    unary("char_rolling_hash", classOf[CharRollingHash], CharRollingHash.apply)
+    binary("lsh_bucket", classOf[LshBucket], LshBucket.apply)
   }
 }
