@@ -424,9 +424,15 @@ object CoreQueries {
     val base = c.select(
       col("c_custkey"), col("c_name"),
       col("c_acctbal").cast(DecimalType(20, 2)).cast(DoubleType).as("acctbal"))
-    val n = c.count() // sf-proportional split bounds
-    val target  = base.filter(col("c_custkey") <= lit(n * 2 / 3))
-    val updates = base.filter(col("c_custkey") > lit(n / 3))
+    // sf-proportional split bounds, kept IN-PLAN (no driver-side
+    // count()): a 1-row broadcast agg cross-joined into the filters —
+    // double division on both sides, exactly like the oracle's
+    // `cnt * 2 / 3` (DuckDB integer / is double division too)
+    val cnt = broadcast(base.agg(count(lit(1)).as("_n")))
+    val target = base.crossJoin(cnt)
+      .filter(col("c_custkey") <= col("_n") * 2 / 3).drop("_n")
+    val updates = base.crossJoin(cnt)
+      .filter(col("c_custkey") > col("_n") / 3).drop("_n")
       .select(
         col("c_custkey"),
         concat(col("c_name"), lit("_v2")).as("c_name"),

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming surface. The reference has no streaming at all
   * (SURVEY.md §2.10) — its archived/last file pair + EXCEPT + date
@@ -55,6 +55,86 @@ object EventStream {
     val stream = spark.readStream.schema(schema).parquet(inDir)
     hourlyAgg(stream).writeStream
       .outputMode(OutputMode.Append) // only watermark-closed windows emit
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
+  /** A user's open session in the state store (epoch millis). */
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+  /** One closed session (the streaming twin of the batch
+    * `session_window(ts, '6 hours')` aggregation in
+    * `ExtQueries.xEventsSession`).
+    */
+  case class ClosedSession(
+      user_id: Long, session_start: java.sql.Timestamp, n_events: Long,
+      last_ts: java.sql.Timestamp)
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`
+    * (event-time timeout): per user, events within < 6 h of the last
+    * one extend the open session; a ≥ 6 h gap closes it (exactly
+    * `session_window`'s merge rule — a window spans [start,
+    * last + gap)). Sessions also close when the WATERMARK passes
+    * last + gap with no newer event (the timeout path), which is the
+    * part a windowed aggregation cannot express per-group — this is
+    * the "custom state" escape hatch for logic beyond built-in
+    * windows.
+    *
+    * Scale posture: state is one small record per ACTIVE user (not
+    * per event), partitioned by the groupByKey shuffle; the watermark
+    * timeout bounds state lifetime.
+    */
+  def sessionize(events: DataFrame, spark: SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = 6L * 3600 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          def emit(s: OpenSession) = ClosedSession(
+            uid, new java.sql.Timestamp(s.startMs), s.n, new java.sql.Timestamp(s.lastMs))
+          val rows = it.toSeq.sortBy(_.ts.getTime)
+          val out = Seq.newBuilder[ClosedSession]
+          if (rows.isEmpty) {
+            // event-time timeout: watermark passed last + gap
+            state.getOption.foreach(s => out += emit(s))
+            state.remove()
+          } else {
+            var st = state.getOption
+            rows.foreach { r =>
+              val t = r.ts.getTime
+              st match {
+                case Some(s) if t - s.lastMs >= gapMs => out += emit(s); st = Some(OpenSession(t, t, 1))
+                case Some(s) => st = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case None => st = Some(OpenSession(t, t, 1))
+              }
+            }
+            state.update(st.get)
+            state.setTimeoutTimestamp(st.get.lastMs + gapMs)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** File-source sessionization pipeline: one micro-batch per input
+    * file (so the watermark advances between files and event-time
+    * timeouts actually fire), closed sessions appended to `outDir`.
+    */
+  def runSessionize(
+      spark: SparkSession, inDir: String, outDir: String, checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    sessionize(stream, spark).writeStream
+      .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .format("parquet")

@@ -34,6 +34,44 @@ class EventStreamSpec extends SparkSpec {
     assert(sCols.subsetOf(bCols))
   }
 
+  test("flatMapGroupsWithState sessionization: gap-closed and timeout-closed sessions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    def ev(id: Long, ts: String, uid: Long) =
+      (id, Timestamp.valueOf(ts), uid, "click", 1.0, "{}")
+    // file 1: user 1 has a 2-event session then a >=6h gap opens a new
+    // one; user 2 has one session
+    Seq(
+      ev(0, "2024-01-01 00:00:00", 1), ev(1, "2024-01-01 01:00:00", 1),
+      ev(2, "2024-01-01 08:00:00", 1), // >= 6h after 01:00 -> new session
+      ev(3, "2024-01-01 02:00:00", 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(in)
+    // file 2: a much later event pushes the watermark (2h delay) far
+    // past every earlier session's last + 6h -> timeouts fire
+    Seq(ev(4, "2024-01-03 00:00:00", 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+
+    val q = EventStream.runSessionize(spark, in, out, ck)
+    q.awaitTermination(180000)
+
+    val got = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events"),
+        r.getAs[Timestamp]("last_ts").toString)).toSet
+    // user 1 session A closed by the in-batch gap; session B (08:00)
+    // and user 2's closed by the event-time timeout once file 2's
+    // watermark passed; user 3's session stays open (never emitted)
+    assert(got == Set(
+      (1L, "2024-01-01 00:00:00.0", 2L, "2024-01-01 01:00:00.0"),
+      (1L, "2024-01-01 08:00:00.0", 1L, "2024-01-01 08:00:00.0"),
+      (2L, "2024-01-01 02:00:00.0", 1L, "2024-01-01 02:00:00.0")))
+  }
+
   test("foreachBatch LWW upsert sink merges micro-batches into the target table") {
     val dir = Files.createTempDirectory("graft-upsert").toString
     val in = s"$dir/in"; val tgt = s"$dir/target"; val ck = s"$dir/ck"
