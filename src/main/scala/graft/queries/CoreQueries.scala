@@ -350,6 +350,20 @@ object CoreQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Hierarchical totals via ROLLUP (beyond-reference aggregation
+    * surface): per (flag, status), per flag, and grand total in one
+    * pass — Catalyst expands the grouping sets into a single shuffle.
+    * Ordering pins NULLS FIRST explicitly (Spark's ASC default) so the
+    * oracle's row order matches (DuckDB defaults NULLS LAST).
+    */
+  def a3Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumd(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // ===================================================================
   // Windows
   // ===================================================================
@@ -506,6 +520,7 @@ object CoreQueries {
     "set2_union"        -> set2Union _,
     "a1_max"            -> a1Max _,
     "a2_groupby_agg"    -> a2GroupbyAgg _,
+    "a3_rollup"         -> a3Rollup _,
     "w1_surrogate_key"  -> w1SurrogateKey _,
     "w2_running_sum"    -> w2RunningSum _,
     "w3_lag_delta"      -> w3LagDelta _,
@@ -618,6 +633,11 @@ object CoreQueries {
         |  COUNT(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a3_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "w1_surrogate_key" ->
       """SELECT c_custkey, c_name,
         |  1000000 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
