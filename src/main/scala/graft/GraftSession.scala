@@ -27,6 +27,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // bucketed-table (saveAsTable) metadata goes to a temp warehouse,
+      // never the working directory
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   /** Standard session for mains: core count from SPARK_GRAFT_CPUS. */
   def create(): SparkSession = {

@@ -92,6 +92,26 @@ object RawZone {
   def overwritePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     writePartitioned(df, path, partitionCols, SaveMode.Overwrite)
 
+  /** Bucketed table write — the at-rest co-location scale path: both
+    * sides of a recurring fact-fact join written with `bucketBy` on
+    * the join key (+ in-bucket sort) join WITHOUT any exchange — the
+    * shuffle is paid once at write time, amortized over every
+    * subsequent join/aggregation on that key. The complement of
+    * [[writePartitioned]] (partitioning prunes scans; bucketing
+    * pre-distributes joins).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S9 — the staged-upsert postActions SQL generator (reference
     * `load_functions.py:2-44`): given staging + target table names, the
     * pipe-separated lookup key list and an optional last-update column,
