@@ -45,6 +45,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** L2 norm — precompute ONCE PER ROW before a join/self-join and
+    * feed [[cosineWithNorms]]: cosine(q, e) recomputed per pair costs
+    * |Q|·|C| norm evaluations where |Q|+|C| suffice. Bit-identical to
+    * [[cosine]] (sqrt of the same double, just computed earlier).
+    */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
   /** ±1 pseudo-random hyperplane weight for (dimension i, plane j) —
     * pure integer mixing shared with the oracle:
     * ((i*1103515245 + j*12345) mod 65537) mod 2 == 0 → +1 else -1.
@@ -74,12 +84,14 @@ object Similarity {
     */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val cand = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+    val cand = emb.select(col("vec_id"), col("embedding"), col("label"),
+      norm(col("embedding")).as("c_norm"))
     val scored = cand
       .join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_norm"), col("c_norm")).as("cos"))
     val rank = row_number().over(
       Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
     // BIGINT like DuckDB ROW_NUMBER (driver schema compare is strict)
@@ -93,16 +105,18 @@ object Similarity {
   def annLsh(emb: DataFrame, queryPred: Column, planes: Int): DataFrame = {
     val bucketed = emb.select(
       col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("v_norm"),
       lshBucket(col("embedding"), planes).as("bucket"))
     val bucketSize = Window.partitionBy("bucket")
     val q = bucketed.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("v_norm").as("q_norm"), col("bucket"))
     val scored = bucketed
       .withColumn("bucket_size", count(lit(1)).over(bucketSize))
       .join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("bucket"), col("bucket_size"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_norm"), col("v_norm")).as("cos"))
     val rank = row_number().over(
       Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
     scored.withColumn("rank", rank).filter(col("rank") === 1).drop("rank")
@@ -114,6 +128,7 @@ object Similarity {
   def embeddingNearDupPairs(emb: DataFrame, planes: Int, minCos: Double): DataFrame = {
     val bucketed = emb.select(
       col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("v_norm"),
       lshBucket(col("embedding"), planes).as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
@@ -121,7 +136,8 @@ object Similarity {
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.bucket").as("bucket"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        cosineWithNorms(col("a.embedding"), col("b.embedding"),
+          col("a.v_norm"), col("b.v_norm")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }
