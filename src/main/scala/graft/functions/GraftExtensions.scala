@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("token_len_sum", classOf[TokenLenSum], TokenLenSum.apply)
     unary("char_rolling_hash", classOf[CharRollingHash], CharRollingHash.apply)
     binary("lsh_bucket", classOf[LshBucket], LshBucket.apply)
+    // whole-operator extension: logical AsOfJoinPlan -> AsOfJoinExec
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -55,4 +55,30 @@ object AsOfJoin {
     carried.filter(col("_side") === 1)
       .select(lCols.map(col) ++ payload.map(c => col("_p_" + c).as(c)): _*)
   }
+
+  /** The custom-operator form of [[asOfLeft]]: plans straight to
+    * `graft.plans.AsOfJoinExec` (one co-partitioned sort-merge pass —
+    * no union, no carry-forward window state; right rows attach during
+    * the merge). Same semantics and preconditions; requires a session
+    * with `GraftExtensions` (the strategy registration).
+    */
+  def asOfLeftNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(a => left.sparkSession.sessionState.conf.resolver(a.name, n))
+        .getOrElse(throw new IllegalArgumentException(s"column $n not found"))
+    org.apache.spark.sql.GraftSqlShims.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, leftKey), attr(rPlan, rightKey),
+        attr(lPlan, leftTs), attr(rPlan, rightTs),
+        payload.map(attr(rPlan, _))))
+  }
 }

@@ -32,4 +32,46 @@ class AsOfJoinSpec extends SparkSpec {
       100L -> None, 101L -> Some(10.0), 102L -> Some(10.0),
       103L -> Some(11.0), 104L -> Some(20.0), 105L -> None))
   }
+
+  test("asOfLeftNative (custom LogicalPlan/Strategy/Exec) matches the window composition") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 11.0),
+      (2L, ts("2024-01-01 10:00:00"), 20.0))
+      .toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (100L, 1L, ts("2024-01-01 08:59:59")),
+      (101L, 1L, ts("2024-01-01 09:00:00")),
+      (102L, 1L, ts("2024-01-01 11:59:00")),
+      (103L, 1L, ts("2024-01-01 23:00:00")),
+      (104L, 2L, ts("2024-01-01 10:30:00")),
+      (105L, 3L, ts("2024-01-01 10:00:00")))
+      .toDF("trade_id", "key", "ts")
+
+    val native = AsOfJoin.asOfLeftNative(trades, quotes, "key", "q_key", "ts", "q_ts", Seq("price"))
+    // the custom exec is actually in the plan (node name renders
+    // without the Exec suffix), fed by auto-inserted Exchange + Sort
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+    val n = native.collect().map(r => (r.getLong(0), Option(r.get(3)))).toSet
+    val w = AsOfJoin.asOfLeft(trades, quotes, "key", "q_key", "ts", "q_ts", Seq("price"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)))).toSet
+    assert(n == w)
+
+    // randomized agreement: 500 left rows, 200 right rows, 20 keys
+    val rng = new scala.util.Random(13)
+    val rQuotes = Seq.tabulate(200) { i =>
+      (rng.nextInt(20).toLong, new Timestamp(1700000000000L + rng.nextInt(1000000) * 1000L), i * 1.0)
+    }.distinct.toDF("q_key", "q_ts", "price")
+      .groupBy("q_key", "q_ts").agg(org.apache.spark.sql.functions.max("price").as("price"))
+    val rTrades = Seq.tabulate(500) { i =>
+      (i.toLong, rng.nextInt(25).toLong, new Timestamp(1700000000000L + rng.nextInt(1000000) * 1000L))
+    }.toDF("trade_id", "key", "ts")
+    val rn = AsOfJoin.asOfLeftNative(rTrades, rQuotes, "key", "q_key", "ts", "q_ts", Seq("price"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)))).toSet
+    val rw = AsOfJoin.asOfLeft(rTrades, rQuotes, "key", "q_key", "ts", "q_ts", Seq("price"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)))).toSet
+    assert(rn == rw)
+  }
 }
