@@ -142,6 +142,45 @@ object EventStream {
       .start()
   }
 
+  /** Watermarked stream-stream interval join: each click joins the
+    * same user's purchases from the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * the state store can evict rows once the watermark passes —
+    * bounded state, the streaming counterpart of the batch as-of/range
+    * join family.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("purchase_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("purchase_value"))
+  }
+
+  def runStreamStreamJoin(
+      spark: SparkSession, inDir: String, outDir: String, checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    clickPurchaseJoin(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** foreachBatch upsert sink: each micro-batch LWW-merges into the
     * target table — the streaming version of the reference's staged
     * DWH upsert (`load_functions.py:2-60`), with the micro-batch as

@@ -12,7 +12,7 @@ class EventStreamSpec extends SparkSpec {
     import spark.implicits._
     (0 until 200).map { i =>
       (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00"),
-        (i % 7).toLong, if (i % 2 == 0) "click" else "view", i * 1.5, s"""{"k": ${i % 10}}""")
+        (i % 7).toLong, Seq("click", "view", "purchase")(i % 3), i * 1.5, s"""{"k": ${i % 10}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
@@ -70,6 +70,24 @@ class EventStreamSpec extends SparkSpec {
       (1L, "2024-01-01 00:00:00.0", 2L, "2024-01-01 01:00:00.0"),
       (1L, "2024-01-01 08:00:00.0", 1L, "2024-01-01 08:00:00.0"),
       (2L, "2024-01-01 02:00:00.0", 1L, "2024-01-01 02:00:00.0")))
+  }
+
+  test("stream-stream interval join matches the batch twin") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    mkEvents.write.parquet(in)
+
+    val q = EventStream.runStreamStreamJoin(spark, in, out, ck)
+    q.awaitTermination(180000)
+
+    val streamed = spark.read.parquet(out)
+    val batch = EventStream.clickPurchaseJoin(spark.read.parquet(in))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s.nonEmpty)
+    // inner interval join over a single AvailableNow pass emits every
+    // in-window pair; both plans must agree exactly
+    assert(s == b)
   }
 
   test("foreachBatch LWW upsert sink merges micro-batches into the target table") {
