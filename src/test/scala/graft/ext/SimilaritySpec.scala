@@ -33,6 +33,19 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((0L, 1L), (2L, 2L)))
   }
 
+  test("TopK aggregator top-k is row-identical to the window-rank cosineTopK") {
+    import spark.implicits._
+    val rng = new scala.util.Random(21)
+    val bigEmb = Seq.tabulate(300) { i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val win = Similarity.cosineTopK(bigEmb, col("vec_id") % 50 === 0, k = 7)
+      .select("query_id", "vec_id", "label", "cos", "rank").collect().map(_.toSeq).toSet
+    val agg = graft.ext.TopK.cosineTopKAgg(bigEmb, col("vec_id") % 50 === 0, k = 7)
+      .select("query_id", "vec_id", "label", "cos", "rank").collect().map(_.toSeq).toSet
+    assert(agg == win)
+  }
+
   test("lshBucket: parallel vectors always share a bucket; buckets are in range") {
     val b = emb.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
