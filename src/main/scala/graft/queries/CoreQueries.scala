@@ -364,6 +364,50 @@ object CoreQueries {
         sumd(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** regexp_replace surface (the reference imports it at `main.py:19`
+    * but never calls it — SURVEY §2.8 flags it as intended-but-unbuilt
+    * surface we cover). Patterns are shared-dialect ([0-9], literal
+    * classes) so Java regex and DuckDB's RE2 agree; DuckDB needs the
+    * explicit 'g' flag to match Spark's replace-all default.
+    */
+  def p12RegexpClean(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        regexp_replace(col("o_orderpriority"), "[0-9]+-", "").as("priority_clean"),
+        regexp_replace(col("o_orderstatus"), "[OF]", "X").as("status_masked"),
+        length(regexp_replace(col("o_orderpriority"), "[^A-Z]", ""))
+          .cast(LongType).as("n_upper")) // BIGINT like DuckDB length()
+      .orderBy("o_orderkey")
+
+  /** Deterministic second-moment statistics: stddev and correlation
+    * derived from DECIMAL-exact sums (n, Σx, Σx², Σy, Σy², Σxy), then
+    * combined in double with the same expression shape as the oracle —
+    * no accumulation-order nondeterminism, unlike the built-in
+    * `stddev`/`corr` whose double running sums depend on partitioning.
+    */
+  def a5Stats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_extendedprice")
+    val y = col("l_quantity")
+    def s(c: org.apache.spark.sql.Column, scale: Int) =
+      sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        s(x, 2).as("sx"), s(x * x, 4).as("sxx"),
+        s(y, 2).as("sy"), s(y * y, 4).as("syy"),
+        s(x * y, 4).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast(LongType).as("n_rows"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("stddev_pop_price"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_price_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // ===================================================================
   // Windows
   // ===================================================================
@@ -521,6 +565,8 @@ object CoreQueries {
     "a1_max"            -> a1Max _,
     "a2_groupby_agg"    -> a2GroupbyAgg _,
     "a3_rollup"         -> a3Rollup _,
+    "a5_stats"          -> a5Stats _,
+    "p12_regexp_clean"  -> p12RegexpClean _,
     "w1_surrogate_key"  -> w1SurrogateKey _,
     "w2_running_sum"    -> w2RunningSum _,
     "w3_lag_delta"      -> w3LagDelta _,
@@ -638,6 +684,27 @@ object CoreQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "a5_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  sqrt((sxx - sx * sx / n) / n) AS stddev_pop_price,
+        |  (sxy - sx * sy / n) /
+        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_price_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "p12_regexp_clean" ->
+      """SELECT o_orderkey,
+        |  regexp_replace(o_orderpriority, '[0-9]+-', '', 'g') AS priority_clean,
+        |  regexp_replace(o_orderstatus, '[OF]', 'X', 'g') AS status_masked,
+        |  length(regexp_replace(o_orderpriority, '[^A-Z]', '', 'g')) AS n_upper
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "w1_surrogate_key" ->
       """SELECT c_custkey, c_name,
         |  1000000 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
