@@ -267,6 +267,22 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Semi/anti join family (EXISTS / NOT EXISTS): customers with at
+    * least one urgent order vs customers with none — one row per
+    * customer, no fan-out (the defining semi-join property).
+    */
+  def j3SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val withUrgent = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("Y").as("has_urgent"))
+    val without = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("N").as("has_urgent"))
+    withUrgent.unionByName(without).orderBy("c_custkey")
+  }
+
   // ===================================================================
   // Set ops
   // ===================================================================
@@ -438,6 +454,27 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** RANGE-frame window: per customer, the rolling total of orders
+    * within the preceding 90 days of each order — a value-based frame
+    * (every row whose ordering value falls in [cur-90, cur]), vs W2's
+    * row-count frame. Ordering key is integer days-since-epoch so both
+    * engines share the exact frame arithmetic; sums are decimal-exact.
+    */
+  def w4RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate").cast(DateType), to_date(lit("1970-01-01")))
+    val w = Window.partitionBy("o_custkey").orderBy("order_day")
+      .rangeBetween(-90, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        days.cast(LongType).as("order_day"), // BIGINT like DuckDB datediff
+        col("o_totalprice").cast(DecimalType(20, 2)).as("price_dec"))
+      .withColumn("rolling_90d", sum(col("price_dec")).over(w).cast(DoubleType))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select("o_orderkey", "o_custkey", "order_day", "rolling_90d", "n_in_window")
+      .orderBy("o_orderkey")
+  }
+
   /** lag/lead delta per key — sequence window. */
   def w3LagDelta(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -559,6 +596,8 @@ object CoreQueries {
     "f2_date_split"     -> f2DateSplit _,
     "j1_dim_join"       -> j1DimJoin _,
     "j2_multi_left_join" -> j2MultiLeftJoin _,
+    "j3_semi_anti"      -> j3SemiAnti _,
+    "w4_range_frame"    -> w4RangeFrame _,
     "d1_distinct_map"   -> d1DistinctMap _,
     "set1_except"       -> set1Except _,
     "set2_union"        -> set2Union _,
@@ -651,6 +690,22 @@ object CoreQueries {
         |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    "j3_semi_anti" ->
+      """SELECT c_custkey,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |  THEN 'Y' ELSE 'N' END AS has_urgent
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
+    "w4_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) OVER w AS DOUBLE) AS rolling_90d,
+        |  COUNT(*) OVER w AS n_in_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "d1_distinct_map" ->
       "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY c_nationkey, c_mktsegment",
     "set1_except" ->
