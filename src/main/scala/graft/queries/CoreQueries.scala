@@ -380,6 +380,21 @@ object CoreQueries {
         sumd(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Exact interpolated percentiles (order statistics). Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the standard
+    * linear-interpolation-at-(n-1)p formula — verified bit-identical
+    * on this data, so the oracle is exact (for sketch-based quantiles
+    * at 100 TB use `approx_percentile`, cf. x_approx_distinct).
+    */
+  def a4Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .orderBy("l_returnflag")
+
   /** regexp_replace surface (the reference imports it at `main.py:19`
     * but never calls it — SURVEY §2.8 flags it as intended-but-unbuilt
     * surface we cover). Patterns are shared-dialect ([0-9], literal
@@ -604,6 +619,7 @@ object CoreQueries {
     "a1_max"            -> a1Max _,
     "a2_groupby_agg"    -> a2GroupbyAgg _,
     "a3_rollup"         -> a3Rollup _,
+    "a4_percentile"     -> a4Percentile _,
     "a5_stats"          -> a5Stats _,
     "p12_regexp_clean"  -> p12RegexpClean _,
     "w1_surrogate_key"  -> w1SurrogateKey _,
@@ -739,6 +755,12 @@ object CoreQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "a4_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a5_stats" ->
       """WITH s AS (
         |  SELECT l_returnflag,
