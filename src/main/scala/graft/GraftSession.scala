@@ -27,10 +27,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // bucketed-table (saveAsTable) metadata goes to a temp warehouse,
-      // never the working directory
+      // bucketed-table (saveAsTable) metadata goes to a per-process
+      // temp warehouse — never the working directory, and never shared
+      // across concurrent JVMs (same-name tables would race)
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
 
   /** Standard session for mains: core count from SPARK_GRAFT_CPUS. */
   def create(): SparkSession = {

@@ -38,6 +38,11 @@ object AsOfJoin {
       rightTs: String,
       payload: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
+    val reserved = Set("_k", "_t", "_side") ++ payload.map("_p_" + _)
+    require(lCols.intersect(reserved.toSeq).isEmpty,
+      s"asOfLeft: left columns collide with helper names ${lCols.intersect(reserved.toSeq)}")
+    require(payload.intersect(lCols).isEmpty,
+      s"asOfLeft: payload ${payload.intersect(lCols)} would duplicate left column names")
     val lPart = left.select(
       lCols.map(col) ++
         Seq(col(leftKey).as("_k"), col(leftTs).as("_t"), lit(1).as("_side")) ++

@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  private val SupportedJoinTypes = Set("inner", "left", "leftouter", "leftsemi", "cross")
+
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
@@ -28,6 +30,10 @@ object SkewJoin {
       salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, s"salt=$salt must be positive")
+    // right/full outer would surface each unmatched small-side row once
+    // PER REPLICA (salt× duplicates); anti would misfire the same way
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/cross (small side is replicated), got $joinType")
     val b = big.withColumn("_salt",
       pmod(hash(spreadCols.map(big(_)): _*), lit(salt)))
     val s = small.withColumn("_salt",

@@ -149,15 +149,12 @@ object CovidPipeline {
     * the single present value; absent indicators stay NULL for the
     * downstream `na.fill(0)`).
     */
-  def pivotHospitalizations(hosp: DataFrame): DataFrame =
-    hosp.groupBy(col("iso_code_hosp"), col("date_hosp"))
-      .agg(
-        HospIndicators.map { case (ind, out) =>
-          first(when(col("indicator") === ind, col("value")), ignoreNulls = true).as(out)
-        }.head,
-        HospIndicators.map { case (ind, out) =>
-          first(when(col("indicator") === ind, col("value")), ignoreNulls = true).as(out)
-        }.tail: _*)
+  def pivotHospitalizations(hosp: DataFrame): DataFrame = {
+    val aggs = HospIndicators.map { case (ind, out) =>
+      first(when(col("indicator") === ind, col("value")), ignoreNulls = true).as(out)
+    }
+    hosp.groupBy(col("iso_code_hosp"), col("date_hosp")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** §3.1/§3.2 star assembly + typing tail (`main.py:213-229`): base
     * owid frame LEFT JOIN excess, full_data, vaccinations and the
@@ -223,19 +220,25 @@ object CovidPipeline {
   /** One per-source update frame: restated rows (date ≠ yesterday) with
     * the typing tail + audit columns (`main.py:128-135`).
     */
+  /** try_cast like `Transform.castTypes`: a malformed raw date string
+    * becomes NULL (≠/= any literal → row routed out) instead of an
+    * ANSI SparkDateTimeException aborting the whole incremental load.
+    */
+  private def asDate(c: Column) = c.try_cast(org.apache.spark.sql.types.DateType)
+
   private def updateSlice(df: DataFrame, dateCol: String, yesterday: LocalDate, asOf: String) =
     Transform.fillNumericNulls(
         Transform.castTypes(
-          df.filter(to_date(col(dateCol)) =!= lit(java.sql.Date.valueOf(yesterday)))
+          df.filter(asDate(col(dateCol)) =!= lit(java.sql.Date.valueOf(yesterday)))
             .withColumn("_TF_LAST_UPDATE", to_timestamp(lit(asOf))),
           MetricsFactCastSpec))
       .withColumn("Is_updated", lit("Y"))
       // normalized join key types (the reference leans on implicit
       // string→date coercion inside the MERGE condition)
-      .withColumn(dateCol, to_date(col(dateCol)))
+      .withColumn(dateCol, asDate(col(dateCol)))
 
   private def insertSlice(df: DataFrame, dateCol: String, yesterday: LocalDate) =
-    df.filter(to_date(col(dateCol)) === lit(java.sql.Date.valueOf(yesterday)))
+    df.filter(asDate(col(dateCol)) === lit(java.sql.Date.valueOf(yesterday)))
 
   /** Incremental load (§3.2): per-source change detection (SET1),
     * restated-row merges into curated (M1 ×8 — one per source, exactly

@@ -44,18 +44,27 @@ object RawZone {
       date: java.time.LocalDate): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(incomingDir)
-    val fs = src.getFileSystem(conf)
+    val srcFs = src.getFileSystem(conf)
     val archived = new Path(
       f"$rawRoot/archived/${date.getYear}%04d/${date.getMonthValue}%02d/${date.getDayOfMonth}%02d")
+    // raw zone may live on a different filesystem than the incoming dir
+    val rawFs = archived.getFileSystem(conf)
     val last = new Path(s"$rawRoot/last")
-    fs.mkdirs(archived)
-    fs.delete(last, true)
-    fs.mkdirs(last)
-    val files = fs.listStatus(src).filter(_.isFile)
+    rawFs.mkdirs(archived)
+    rawFs.delete(last, true)
+    rawFs.mkdirs(last)
+    val files = srcFs.listStatus(src).filter(_.isFile)
     files.foreach { st =>
       org.apache.hadoop.fs.FileUtil.copy(
-        fs, st.getPath, fs, new Path(archived, st.getPath.getName), false, conf)
-      fs.rename(st.getPath, new Path(last, st.getPath.getName))
+        srcFs, st.getPath, rawFs, new Path(archived, st.getPath.getName), false, conf)
+      val dst = new Path(last, st.getPath.getName)
+      val moved =
+        if (srcFs.getUri == rawFs.getUri) srcFs.rename(st.getPath, dst)
+        else org.apache.hadoop.fs.FileUtil.copy(srcFs, st.getPath, rawFs, dst, true, conf)
+      // rename returns false instead of throwing — fail loudly, a
+      // silently-left file would be re-archived as a duplicate next run
+      if (!moved) throw new java.io.IOException(
+        s"archiveAndRotate: failed to move ${st.getPath} to $dst")
     }
   }
 

@@ -113,7 +113,13 @@ object EventStream {
               val t = r.ts.getTime
               st match {
                 case Some(s) if t - s.lastMs >= gapMs => out += emit(s); st = Some(OpenSession(t, t, 1))
-                case Some(s) => st = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  // merge, extending BOTH ends: a late-but-in-watermark
+                  // event can precede the open session's start (the
+                  // watermark delay < gap guarantees it still overlaps,
+                  // so session_window would merge it too)
+                  st = Some(OpenSession(
+                    math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
                 case None => st = Some(OpenSession(t, t, 1))
               }
             }

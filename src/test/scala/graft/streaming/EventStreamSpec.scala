@@ -48,7 +48,13 @@ class EventStreamSpec extends SparkSpec {
       ev(3, "2024-01-01 02:00:00", 2))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(in)
-    // file 2: a much later event pushes the watermark (2h delay) far
+    // file 2: a LATE event (>= watermark 06:00, before user 1's open
+    // session start 08:00) must merge and extend the session start
+    // BACKWARD, like session_window would
+    Seq(ev(9, "2024-01-01 07:00:00", 1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    // file 3: a much later event pushes the watermark (2h delay) far
     // past every earlier session's last + 6h -> timeouts fire
     Seq(ev(4, "2024-01-03 00:00:00", 3))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -63,12 +69,13 @@ class EventStreamSpec extends SparkSpec {
         r.getAs[Timestamp]("session_start").toString,
         r.getAs[Long]("n_events"),
         r.getAs[Timestamp]("last_ts").toString)).toSet
-    // user 1 session A closed by the in-batch gap; session B (08:00)
-    // and user 2's closed by the event-time timeout once file 2's
-    // watermark passed; user 3's session stays open (never emitted)
+    // user 1 session A closed by the in-batch gap; session B grew
+    // BACKWARD to 07:00 from file 2's late event, then closed (with
+    // user 2's) by the event-time timeout once file 3's watermark
+    // passed; user 3's session stays open (never emitted)
     assert(got == Set(
       (1L, "2024-01-01 00:00:00.0", 2L, "2024-01-01 01:00:00.0"),
-      (1L, "2024-01-01 08:00:00.0", 1L, "2024-01-01 08:00:00.0"),
+      (1L, "2024-01-01 07:00:00.0", 2L, "2024-01-01 08:00:00.0"),
       (2L, "2024-01-01 02:00:00.0", 1L, "2024-01-01 02:00:00.0")))
   }
 
