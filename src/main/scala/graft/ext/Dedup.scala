@@ -107,29 +107,33 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
-  /** Exact word-n-gram Jaccard for candidate pairs sharing a blocking
-    * key (here: the first token — a sorted-neighborhood-style block
-    * that yields a meaningful pair distribution even on a near-dup-
-    * free corpus): |A ∩ B| / |A ∪ B| over DISTINCT shingles, as one
-    * int/int IEEE division.
-    * At 100 TB: blocking bounds the pair count to Σ bucket², never
-    * corpus² — the standard dedup-verification shape; swap the block
-    * column for a MinHash band key to tighten candidate precision.
+  /** Exact word-n-gram Jaccard verification for LSH candidate pairs:
+    * |A ∩ B| / |A ∪ B| over DISTINCT shingles, as one int/int IEEE
+    * division, computed only for pairs sharing ≥ 1 MinHash band bucket
+    * ([[minhashCandidates]]).
+    *
+    * Blocking on band keys (not a text-derived column like the first
+    * token): band keys are md5-uniform, so bucket sizes stay balanced —
+    * a natural-language block key ("the", "a"...) concentrates the
+    * per-block self-join onto a few huge buckets and degenerates
+    * toward bucket² on one hot key. At 100 TB: candidate generation is
+    * one (band, key) shuffle; the verification joins the (small) pair
+    * list back to the compact (doc_id, shingle-set) relation — two
+    * hash joins on doc_id, never an all-pairs product.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val sh = array_distinct(TextOps.shingles(toks, n))
+  def ngramJaccardPairs(docs: DataFrame, n: Int, k: Int = 8, bands: Int = 4): DataFrame = {
+    val cand = minhashCandidates(minhashBands(docs, n, k, bands))
+      .select("doc_a", "doc_b")
     val prepared = docs.select(
       col("doc_id"),
-      sh.as("sh"),
-      element_at(TextOps.tokens(col("text")), 1).as("block"))
-    val a = prepared.as("a")
-    val b = prepared.as("b")
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n)).as("sh"))
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-    a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+    cand
+      .join(prepared.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(prepared.as("b"), col("doc_b") === col("b.doc_id"))
       .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
+        col("doc_a"),
+        col("doc_b"),
         inter.cast("long").as("n_inter"), // BIGINT like DuckDB len()
         (size(col("a.sh")) + size(col("b.sh")) - inter).cast("long").as("n_union"),
         (inter.cast("double") /

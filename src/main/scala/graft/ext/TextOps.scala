@@ -39,12 +39,16 @@ object TextOps {
     call_function("word_shingles", toks, lit(n)) // native (graft.functions.WordShingles)
 
   /** Pure-builtin twin of [[shingles]] (spec cross-check; sessions
-    * without GraftExtensions).
+    * without GraftExtensions). `concat` — not `concat_ws` — so a NULL
+    * token NULLs the shingle, matching the native expression and the
+    * DuckDB `||` oracle.
     */
   def shinglesDeclarative(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast(ArrayType(StringType)))
       .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
+        concat((1 to n).flatMap(k =>
+          if (k == 1) Seq(element_at(toks, i + k))
+          else Seq(lit(" "), element_at(toks, i + k))): _*)))
 
   /** 32-bit shingle hash: the first 8 hex chars of md5(shingle) packed
     * to a long via shared ascii arithmetic (both engines agree on

@@ -19,26 +19,33 @@ object TopK {
 
   case class Scored(query_id: Long, vec_id: Long, label: Int, cos: Double)
 
+  /** Product-encoded aggregation buffer: a case class around the
+    * best-first row list, so the buffer serializes through Tungsten's
+    * struct/array layout (compact, columnar-shuffle-friendly) instead
+    * of an opaque Kryo blob.
+    */
+  case class TopBuf(items: Seq[Scored])
+
   /** Keeps the k smallest under `gt` (i.e. the top-k by the "better
     * than" relation); insertion keeps the buffer sorted best-first.
     */
-  class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+  class TopKAgg(k: Int) extends Aggregator[Scored, TopBuf, TopBuf] {
     private def better(a: Scored, b: Scored): Boolean =
       a.cos > b.cos || (a.cos == b.cos && a.vec_id < b.vec_id)
 
-    override def zero: List[Scored] = Nil
+    override def zero: TopBuf = TopBuf(Nil)
 
-    override def reduce(buf: List[Scored], a: Scored): List[Scored] = {
+    override def reduce(buf: TopBuf, a: Scored): TopBuf = {
       // insert sorted best-first, cap at k
-      val (front, back) = buf.span(better(_, a))
-      val merged = front ::: a :: back
-      if (merged.length > k) merged.take(k) else merged
+      val (front, back) = buf.items.span(better(_, a))
+      val merged = (front :+ a) ++ back
+      TopBuf(if (merged.length > k) merged.take(k) else merged)
     }
 
-    override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] = {
-      // merge two sorted lists, cap at k
-      val out = List.newBuilder[Scored]
-      var (l, r) = (b1, b2)
+    override def merge(b1: TopBuf, b2: TopBuf): TopBuf = {
+      // merge two sorted seqs, cap at k
+      val out = Seq.newBuilder[Scored]
+      var (l, r) = (b1.items, b2.items)
       var n = 0
       while (n < k && (l.nonEmpty || r.nonEmpty)) {
         if (r.isEmpty || (l.nonEmpty && better(l.head, r.head))) {
@@ -48,12 +55,12 @@ object TopK {
         }
         n += 1
       }
-      out.result()
+      TopBuf(out.result())
     }
 
-    override def finish(reduction: List[Scored]): Seq[Scored] = reduction
-    override def bufferEncoder: Encoder[List[Scored]] = Encoders.kryo[List[Scored]]
-    override def outputEncoder: Encoder[Seq[Scored]] = Encoders.kryo[Seq[Scored]]
+    override def finish(reduction: TopBuf): TopBuf = reduction
+    override def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+    override def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
   }
 
   /** Row-identical twin of `Similarity.cosineTopK` built on the
@@ -75,7 +82,7 @@ object TopK {
       .as[Scored]
     scored.groupByKey(_.query_id)
       .agg(new TopKAgg(k).toColumn.name("top"))
-      .flatMap { case (_, top) => top.zipWithIndex }
+      .flatMap { case (_, top) => top.items.zipWithIndex }
       .select(
         col("_1.query_id").as("query_id"),
         col("_1.vec_id").as("vec_id"),

@@ -54,14 +54,17 @@ object TextNative {
 }
 
 /** `word_shingles(tokens, n)` — space-joined word n-grams, the native
-  * twin of `TextOps.shingles`: shingle i = `concat_ws(" ", tokens[i ..
-  * i+n-1])` (concat_ws SKIPS null tokens), empty array when there are
-  * fewer than n tokens.
+  * twin of `TextOps.shingles`: shingle i = `tokens[i] || " " || ... ||
+  * tokens[i+n-1]`, NULL when any token in the window is NULL (matching
+  * [[MinShingle]]/[[MinhashSignatures]] and the DuckDB `||` oracle,
+  * which all NULL-propagate), empty array when there are fewer than n
+  * tokens. `TextOps.tokens` (split) never yields NULL elements, so the
+  * NULL branch only fires for caller-supplied token arrays.
   */
 case class WordShingles(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def prettyName: String = "word_shingles"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (right.dataType == IntegerType && right.foldable) TextNative.checkTokens(left, prettyName)
@@ -80,11 +83,16 @@ case class WordShingles(left: Expression, right: Expression)
     val sep = UTF8String.fromString(" ")
     i = 0
     while (i <= m - n) {
-      // concat_ws semantics: nulls skipped, survivors joined by " "
+      // `||` semantics: any NULL token NULLs the whole shingle
       val parts = new Array[UTF8String](n)
       var t = 0
-      while (t < n) { parts(t) = strs(i + t); t += 1 }
-      out(i) = UTF8String.concatWs(sep, parts: _*)
+      var anyNull = false
+      while (t < n) {
+        parts(t) = strs(i + t)
+        anyNull ||= parts(t) == null
+        t += 1
+      }
+      out(i) = if (anyNull) null else UTF8String.concatWs(sep, parts: _*)
       i += 1
     }
     new GenericArrayData(out)

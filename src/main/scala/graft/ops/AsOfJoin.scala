@@ -64,8 +64,12 @@ object AsOfJoin {
   /** The custom-operator form of [[asOfLeft]]: plans straight to
     * `graft.plans.AsOfJoinExec` (one co-partitioned sort-merge pass —
     * no union, no carry-forward window state; right rows attach during
-    * the merge). Same semantics and preconditions; requires a session
-    * with `GraftExtensions` (the strategy registration).
+    * the merge). Same semantics for the preconditions above, with ONE
+    * divergence when the non-null-payload precondition is violated:
+    * the native operator attaches a NULL payload as NULL (correct
+    * as-of semantics), while this window composition would carry the
+    * previous non-NULL match forward. Requires a session with
+    * `GraftExtensions` (the strategy registration).
     */
   def asOfLeftNative(
       left: DataFrame,

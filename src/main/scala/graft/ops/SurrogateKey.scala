@@ -36,7 +36,7 @@ object SurrogateKey {
     */
   def scalable(df: DataFrame, keyCol: String, startAt: Long): DataFrame = {
     val spark = df.sparkSession
-    val withIdx = df.rdd.zipWithIndex.map { case (r, i) =>
+    val withIdx = df.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L + startAt))
     }
     val schema = StructType(df.schema.fields :+ StructField(keyCol, LongType, nullable = false))

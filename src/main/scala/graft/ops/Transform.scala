@@ -61,14 +61,14 @@ object Transform {
     * (reference `transform_functions.py:8-15`).
     */
   def upperFirstCols(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(c => c.head.toUpper +: c.tail): _*)
+    df.toDF(df.columns.toIndexedSeq.map(c => c.head.toUpper +: c.tail): _*)
 
   /** P5 — lowercase all column names
     * (reference `transform_functions.py:17-24`; defined there but
     * never invoked — kept for API parity).
     */
   def lowerCols(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
 
   /** P8 — derived date parts: integer Year plus zero-padded *string*
     * Month, exactly as the reference's partition columns

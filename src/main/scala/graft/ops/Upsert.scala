@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
 object Upsert {
 
   private def qualify(df: DataFrame, prefix: String): DataFrame =
-    df.toDF(df.columns.map(prefix + _): _*)
+    df.toDF(df.columns.toIndexedSeq.map(prefix + _): _*)
 
   /** M1/M4 — update-only merge (reference `main.py:191-199` loop driven
     * by the mapping tables at `main.py:138-189`; M4 single-column reset

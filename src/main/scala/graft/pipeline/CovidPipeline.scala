@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Transform, Upsert}
+import graft.ops.{SurrogateKey, Transform, Upsert}
 import graft.ops.Transform.{CastSpec, ToDate, ToInt, ToRounded}
 
 /** The reference's complete query lifecycle (SURVEY.md §3) as one
@@ -29,11 +29,14 @@ import graft.ops.Transform.{CastSpec, ToDate, ToInt, ToRounded}
   *    *yesterday* frame from itself (always-empty change set), and
   *    `main.py:203` keeps `date != yesterday` rows of excess_mortality
   *    for the *insert* slice where every other source keeps `==`.
-  *  - surrogate keys come from a deterministic `row_number` over
-  *    (CodeISO, Date) continued from the warehouse max, in-plan; the
-  *    reference round-trips the frame through `rdd.zipWithIndex`
-  *    (`main.py:283-286`) with arrival-order keys and a driver-side
-  *    `first()` for the max.
+  *  - surrogate keys: incremental mode uses a deterministic
+  *    `row_number` over (CodeISO, Date) continued from the warehouse
+  *    max, in-plan (the reference uses arrival-order
+  *    `rdd.zipWithIndex` keys and a driver-side `first()` for the
+  *    max, `main.py:283-286`); full mode uses
+  *    `SurrogateKey.scalable` — the zipWithIndex contract itself —
+  *    because there the insert set is the whole fact table and a
+  *    global row_number would serialize through one sort task.
   */
 object CovidPipeline {
 
@@ -379,17 +382,30 @@ object CovidPipeline {
         .drop("Year", "Month", "Is_updated")
         .withColumn("_TF_LAST_UPDATE", asOfTs)
 
-    // A1 — max existing SK, in-plan (0 in full mode, like main.py:283)
-    val maxSk =
-      if (fullMode) broadcast(warehouse.sparkSession.range(1).select(lit(0L).as("max_sk")))
-      else broadcast(warehouse.agg(coalesce(max("_SK_METRICS_FACT"), lit(0L)).as("max_sk")))
-
-    // W1 — dense deterministic keys continuing from the max
-    val inserts = insertBase
-      .crossJoin(maxSk)
-      .withColumn("_SK_METRICS_FACT",
-        col("max_sk") + row_number().over(Window.orderBy("CodeISO", "Date")).cast("long"))
-      .drop("max_sk")
+    // W1 — dense keys continuing from the warehouse max.
+    //  - FULL mode: the insert set is the ENTIRE fact table, so a
+    //    deterministic global row_number would funnel everything
+    //    through one single-partition sort task — at 100× the data
+    //    that task IS the load. SurrogateKey.scalable assigns
+    //    per-partition zipWithIndex offsets instead (no global sort;
+    //    keys dense from 1, partition-order-dependent — the exact
+    //    contract of the reference's rdd.zipWithIndex at
+    //    main.py:283-286, which also restarts from 0 in full mode).
+    //  - INCREMENTAL mode: the insert slice is one day's increment,
+    //    where the deterministic (CodeISO, Date) order is cheap and
+    //    oracle-reproducible; the in-plan broadcast max (A1) replaces
+    //    the reference's driver-side first().
+    val inserts =
+      if (fullMode) SurrogateKey.scalable(insertBase, "_SK_METRICS_FACT", startAt = 0L)
+      else {
+        val maxSk = broadcast(
+          warehouse.agg(coalesce(max("_SK_METRICS_FACT"), lit(0L)).as("max_sk")))
+        insertBase
+          .crossJoin(maxSk)
+          .withColumn("_SK_METRICS_FACT",
+            col("max_sk") + row_number().over(Window.orderBy("CodeISO", "Date")).cast("long"))
+          .drop("max_sk")
+      }
 
     // SET2 + P11 — canonical 25-column batch
     val batch = inserts.select(FinalColumns.map(col): _*)

@@ -35,6 +35,14 @@ class AsOfJoinStrategy extends SparkStrategy {
   * Semantics (same contract as the composition and DuckDB ASOF):
   * ties (`rightTs == leftTs`) match; NULL keys and NULL timestamps
   * never match (SQL comparison semantics) but left rows still emit.
+  *
+  * NULL payloads: this operator attaches the matched right row's
+  * payload AS IS — a NULL payload value arrives as NULL, which is the
+  * correct as-of semantics ("latest right row", not "latest non-NULL
+  * value"). The window composition (`ops.AsOfJoin.asOfLeft`) instead
+  * requires non-null payloads (its `last(_, ignoreNulls)` carry would
+  * substitute the previous match); that precondition applies to the
+  * composition only, not here.
   */
 case class AsOfJoinExec(
     left: SparkPlan,
@@ -110,7 +118,10 @@ case class AsOfJoinExec(
             val r = rBuf.next()
             if (rk != null && (if (c == 0) rt else rTs.eval(r)) != null) {
               matchPay = payProj(r).copy()
-              matchKey = rk
+              // copy buffer-backed key values (UTF8String/Binary/struct):
+              // the sort iterator reuses its UnsafeRow buffer, so an
+              // uncopied reference would mutate as rBuf advances
+              matchKey = InternalRow.copyValue(rk)
               hasMatch = true
             }
             advance = rBuf.hasNext

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.ops.{SurrogateKey, Transform, Upsert}
+import graft.sources.RawZone
 
 /** Core relational operator queries — one per SURVEY.md §2 id, each
   * paired with ANSI SQL for the DuckDB oracle.
@@ -94,7 +95,7 @@ object CoreQueries {
     val updates = curated
       .filter(col("is_updated") === "Y")
       .join(warehouse, curated("o_orderkey") === col("wh_orderkey"))
-      .select(curated.columns.map(curated(_)) :+ col("wh_sk").as("sk"): _*)
+      .select(curated.columns.toIndexedSeq.map(curated(_)) :+ col("wh_sk").as("sk"): _*)
 
     // inserts: curated rows not yet in the warehouse get fresh dense
     // keys continuing from max_sk (W1). Global row_number is fine for
@@ -144,6 +145,37 @@ object CoreQueries {
     Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name").as("customer_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
+
+  /** S7+S10 oracle-grade round-trip: write orders through the
+    * partitioned sink (`RawZone.overwritePartitioned` — repartition by
+    * partition cols, hive layout, one file per partition), read the
+    * layout back with a partition predicate, and return the pruned
+    * content. The oracle computes the same slice straight from the
+    * source table, so a partition mis-write (lost rows, wrong
+    * directory, type drift in partition values) hash-mismatches.
+    * Partition values are ints on both sides — Spark's partition-value
+    * inference parses the directory names back to int, keeping the
+    * read-back schema engine-independent. `RawZoneSpec` separately
+    * asserts the physical layout and that the predicate prunes
+    * (PartitionFilters) rather than scanning all partitions.
+    */
+  def s7PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
+    // cwd-independent scratch location (same convention as the session
+    // warehouse dir); keyed by sf dir + pid so concurrent JVMs never race
+    val out = System.getProperty("java.io.tmpdir") +
+      s"/graft-s7-roundtrip-${ProcessHandle.current().pid()}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast(DecimalType(20, 2)).cast(DoubleType).as("total_price"),
+      year(col("o_orderdate")).as("year"),
+      month(col("o_orderdate")).as("month"))
+    RawZone.overwritePartitioned(src, out, Seq("year", "month"))
+    spark.read.parquet(out)
+      .filter(col("year") === 1997 && col("month") === 3)
+      .select("o_orderkey", "o_custkey", "total_price", "year", "month")
+      .orderBy("o_orderkey")
+  }
 
   /** P4 — uppercase-first-letter column rename (metadata-only). */
   def p4UpperCols(spark: SparkSession, dir: String): DataFrame =
@@ -452,6 +484,27 @@ object CoreQueries {
       .orderBy("c_custkey")
   }
 
+  /** W1 scale path — `SurrogateKey.scalable` over a fact-sized input:
+    * per-partition zipWithIndex offsets, NO global sort (vs
+    * [[w1SurrogateKey]]'s single-partition `row_number` window, which
+    * is the right tool only for dimension/increment-sized inputs).
+    * Keys are partition-order-dependent, so the oracle verifies the
+    * dense-set CONTRACT — min = start+1, max = start+n, n distinct
+    * keys — exactly the guarantee of the reference's
+    * `rdd.zipWithIndex` assignment (`main.py:283-286`), not a
+    * per-row mapping no engine promises.
+    */
+  def w1SurrogateKeyScalable(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = SurrogateKey.scalable(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_linenumber"),
+      "sk", startAt = 1000000L)
+    keyed.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("sk")).as("n_keys"),
+      min("sk").as("min_sk"),
+      max("sk").as("max_sk"))
+  }
+
   /** Running sum per partition — frame-spec window (beyond-reference
     * window surface; explicit ROWS frame for engine parity).
     */
@@ -603,6 +656,7 @@ object CoreQueries {
     "q_reconcile"       -> reconcile _,
     "q1_agg"            -> q1Agg _,
     "s3_scan_project"   -> s3ScanProject _,
+    "s7_partitioned_write" -> s7PartitionedWrite _,
     "p4_upper_cols"     -> p4UpperCols _,
     "p8_date_parts"     -> p8DateParts _,
     "p9_cast_round"     -> p9CastRound _,
@@ -623,6 +677,7 @@ object CoreQueries {
     "a5_stats"          -> a5Stats _,
     "p12_regexp_clean"  -> p12RegexpClean _,
     "w1_surrogate_key"  -> w1SurrogateKey _,
+    "w1_surrogate_key_scalable" -> w1SurrogateKeyScalable _,
     "w2_running_sum"    -> w2RunningSum _,
     "w3_lag_delta"      -> w3LagDelta _,
     "m1_update_merge"   -> m1UpdateMerge _,
@@ -645,6 +700,14 @@ object CoreQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "s3_scan_project" ->
       "SELECT c_custkey, c_name AS customer_name, c_mktsegment FROM customer ORDER BY c_custkey",
+    "s7_partitioned_write" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS total_price,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS year,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS month
+        |FROM orders
+        |WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(MONTH FROM o_orderdate) = 3
+        |ORDER BY o_orderkey""".stripMargin,
     "p4_upper_cols" ->
       """SELECT n_nationkey AS N_nationkey, n_name AS N_name, n_regionkey AS N_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
@@ -787,6 +850,15 @@ object CoreQueries {
         |  1000000 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk
         |FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+    // set-based contract check: zipWithIndex keys are dense and
+    // gap-free from start+1 but partition-order-dependent, so the
+    // oracle pins the SET (min/max/distinct count), not the mapping
+    "w1_surrogate_key_scalable" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(*) AS n_keys,
+        |  CAST(1000001 AS BIGINT) AS min_sk,
+        |  CAST(1000000 + COUNT(*) AS BIGINT) AS max_sk
+        |FROM lineitem""".stripMargin,
     "w2_running_sum" ->
       """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) OVER (

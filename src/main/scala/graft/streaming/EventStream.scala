@@ -192,11 +192,19 @@ object EventStream {
     * DWH upsert (`load_functions.py:2-60`), with the micro-batch as
     * the staging side.
     */
+  /** @param maxFilesPerTrigger bound files per micro-batch (None = all
+    *        pending in one batch) — lets tests drive multi-batch runs
+    *        and checkpoint-restart behavior deterministically.
+    */
   def runUpsertSink(
       spark: SparkSession, inDir: String, targetDir: String, checkpointDir: String,
-      keys: Seq[String], versionCol: String): StreamingQuery = {
+      keys: Seq[String], versionCol: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val schema = spark.read.parquet(inDir).schema
-    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -206,13 +214,21 @@ object EventStream {
           catch { case _: Exception => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
         graft.ops.Upsert.lwwUpsert(target, batch, keys, Some(versionCol))
           .write.mode("overwrite").parquet(targetDir + ".next")
-        // atomic-ish swap: write next, then replace (a lakehouse table
-        // format would do this transactionally; plain parquet for the
-        // harness)
-        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        // rename-aside swap: target → .old, .next → target, drop .old.
+        // Not transactional (a lakehouse format would be), but a crash
+        // at any point leaves either the old table in place or a
+        // recoverable copy at .old — never a lost table, which the
+        // naive delete-then-rename order risks.
         val tgt = new org.apache.hadoop.fs.Path(targetDir)
-        fs.delete(tgt, true)
-        fs.rename(new org.apache.hadoop.fs.Path(targetDir + ".next"), tgt)
+        val next = new org.apache.hadoop.fs.Path(targetDir + ".next")
+        val old = new org.apache.hadoop.fs.Path(targetDir + ".old")
+        // the TARGET path's filesystem, not the default one (targetDir
+        // may carry a non-default scheme)
+        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(old, true) // leftover from a previous crash
+        if (fs.exists(tgt)) fs.rename(tgt, old)
+        fs.rename(next, tgt)
+        fs.delete(old, true)
         ()
       }
       .start()

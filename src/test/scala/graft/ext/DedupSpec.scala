@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
@@ -9,7 +11,7 @@ class DedupSpec extends SparkSpec {
     Seq(
       (0L, "spark reads parquet files fast and scans columns quickly today"),
       (1L, "spark reads parquet files fast and scans columns quickly today"), // exact dup of 0
-      (2L, "spark reads parquet files fast and scans columns slowly today"),  // near dup of 0
+      (2L, "spark reads parquet files fast and scans columns quickly now"),   // near dup of 0 (last token differs)
       (3L, "completely different content about streams windows and state stores")
     ).toDF("doc_id", "text")
   }
@@ -37,6 +39,25 @@ class DedupSpec extends SparkSpec {
     assert(out((0L, 1L)) == 1.0)
     val near = out((0L, 2L))
     assert(near > 0.0 && near < 1.0)
+  }
+
+  test("band blocking shrinks the max block vs first-token blocking on a skewed corpus") {
+    import spark.implicits._
+    // 24 distinct docs that all START with "the": a first-token block
+    // key concentrates everything onto one hot bucket (the scale
+    // killer band keys avoid — md5-uniform, content-sensitive)
+    val skewed = (0L until 24L)
+      .map(i => (i, s"the document number $i talks about topic$i uniquely and differs"))
+      .toDF("doc_id", "text")
+    val firstTokenMax = skewed
+      .select(element_at(TextOps.tokens(col("text")), 1).as("block"))
+      .groupBy("block").count().agg(max("count")).as[Long].head()
+    assert(firstTokenMax == 24L)
+    val banded = Dedup.minhashBands(skewed, n = 3, k = 8, bands = 4)
+    val bandMax = Dedup.explodedBands(banded).filter(col("key").isNotNull)
+      .groupBy("band", "key").count().agg(max("count")).as[Long].head()
+    assert(bandMax < firstTokenMax,
+      s"band buckets (max $bandMax) should be smaller than the hot first-token block ($firstTokenMax)")
   }
 
   test("simhashBuckets: identical docs share a bucket and are flagged") {

@@ -34,6 +34,23 @@ class TextNativeSpec extends SparkSpec {
   test("word_shingles == declarative shingles")(
     assertSame(TextOps.shingles(toks, 3), TextOps.shinglesDeclarative(toks, 3)))
 
+  test("word_shingles NULLs any shingle containing a NULL token (matches min_shingle/minhash)") {
+    import spark.implicits._
+    // tokens [a, NULL, b, c, d]: shingles 1 and 2 contain the NULL ->
+    // NULL; shingle 3 = "b c d". All three expressions must agree on
+    // this (they share the DuckDB `||` NULL-propagation semantics).
+    val df = Seq(Tuple1(Seq(Some("a"), None, Some("b"), Some("c"), Some("d"))))
+      .toDF("toks")
+    val row = df.select(
+      TextOps.shingles(col("toks"), 3).as("n"),
+      TextOps.shinglesDeclarative(col("toks"), 3).as("d"),
+      call_function("min_shingle", col("toks"), lit(3)).as("ms"),
+      md5(lit("b c d")).as("expect_ms")).collect().head
+    assert(row.getSeq[String](0) == Seq(null, null, "b c d"))
+    assert(row.getSeq[String](0) == row.getSeq[String](1))
+    assert(row.getString(2) == row.getString(3)) // only the non-NULL shingle competes
+  }
+
   test("simhash16 == declarative simhash16")(
     assertSame(TextOps.simhash16(toks), TextOps.simhash16Declarative(toks)))
 

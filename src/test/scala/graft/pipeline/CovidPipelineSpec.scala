@@ -160,6 +160,28 @@ class CovidPipelineSpec extends SparkSpec {
     assert(fra2.getAs[Int]("Total_vaccinations") == 0) // no FRA d2 vacc row
   }
 
+  test("full-mode reconcile plans no global single-partition key sort") {
+    import spark.implicits._
+    val curated = curatedDay1
+    val empty = curated.limit(0)
+      .drop("Year", "Month", "Is_updated")
+      .withColumn("_SK_METRICS_FACT", lit(0L))
+      .select(CovidPipeline.FinalColumns.map(col): _*)
+    val batch = CovidPipeline.reconcile(curated, empty, empty,
+      fullMode = true, LocalDate.parse(D2), AsOf1).upsertBatch
+    // the scale regression guarded here: full-mode insert keys used to
+    // come from row_number() over a GLOBAL Window — one task sorting
+    // the whole fact table. SurrogateKey.scalable must leave neither a
+    // Window nor a single-partition exchange in the batch plan.
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in full-mode batch plan:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"unexpected single-partition exchange in full-mode batch plan:\n$plan")
+    // and the keys still satisfy the dense zipWithIndex contract
+    val sks = batch.select("_SK_METRICS_FACT").as[Long].collect().sorted
+    assert(sks.toSeq == (1L to sks.length).toSeq)
+  }
+
   test("reconcile: SKs dense from warehouse max, LWW + enterprise upserts, Y->N reset") {
     import spark.implicits._
     val curated = curatedDay1

@@ -113,4 +113,38 @@ class EventStreamSpec extends SparkSpec {
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("s")).toMap
     assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
+
+  test("checkpoint restart: sink killed mid-run resumes and converges exactly once") {
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val in = s"$dir/in"; val tgt = s"$dir/target"; val ck = s"$dir/ck"
+    import spark.implicits._
+    // three files -> three micro-batches (maxFilesPerTrigger = 1)
+    Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("k", "s", "ver")
+      .coalesce(1).write.parquet(in)
+    Seq((1L, "a2", 200L), (3L, "c", 50L)).toDF("k", "s", "ver")
+      .coalesce(1).write.mode("append").parquet(in)
+    Seq((2L, "b0", 50L), (4L, "d", 10L)).toDF("k", "s", "ver") // k=2 OLDER -> loses LWW
+      .coalesce(1).write.mode("append").parquet(in)
+
+    // kill as soon as the first micro-batch commits — with batches
+    // still pending, so the restart genuinely resumes mid-stream
+    val q1 = EventStream.runUpsertSink(spark, in, tgt, ck, Seq("k"), "ver",
+      maxFilesPerTrigger = Some(1))
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q1.recentProgress.isEmpty && q1.isActive && System.nanoTime() < deadline)
+      Thread.sleep(25)
+    q1.stop()
+    q1.awaitTermination(120000)
+
+    // resume from the same checkpoint: committed batches must NOT
+    // re-apply (file-source offsets are checkpointed), pending ones run
+    val q2 = EventStream.runUpsertSink(spark, in, tgt, ck, Seq("k"), "ver",
+      maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(180000)
+
+    val out = spark.read.parquet(tgt).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"), r.getAs[Long]("ver")))
+    assert(out.map(_._1).distinct.length == out.length, s"duplicate keys in $out")
+    assert(out.toSet == Set((1L, "a2", 200L), (2L, "b", 100L), (3L, "c", 50L), (4L, "d", 10L)))
+  }
 }
