@@ -119,8 +119,9 @@ case class AsOfJoinExec(
             if (rk != null && (if (c == 0) rt else rTs.eval(r)) != null) {
               matchPay = payProj(r).copy()
               // copy buffer-backed key values (UTF8String/Binary/struct):
-              // the sort iterator reuses its UnsafeRow buffer, so an
-              // uncopied reference would mutate as rBuf advances
+              // the sort-spill reader reuses its byte buffer across
+              // next() calls, so an uncopied reference would mutate as
+              // rBuf advances once the right side spills
               matchKey = InternalRow.copyValue(rk)
               hasMatch = true
             }

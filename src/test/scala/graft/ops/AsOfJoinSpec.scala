@@ -74,4 +74,28 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.get(3)))).toSet
     assert(rn == rw)
   }
+
+  test("asOfLeftNative with STRING keys matches the window composition") {
+    import spark.implicits._
+    // String (buffer-backed) keys through the merge. The remembered
+    // match key is defensively copied (InternalRow.copyValue) because
+    // the sort SPILL reader reuses its byte buffer across next() calls
+    // — a spill can't be forced from a shared-session unit test (the
+    // force-spill threshold is a SparkContext conf), so this asserts
+    // string-key parity on the in-memory path and the copy guards the
+    // spill path at scale.
+    val rng = new scala.util.Random(7)
+    val rQuotes = Seq.tabulate(300) { i =>
+      (s"user_${rng.nextInt(40)}", new Timestamp(1700000000000L + rng.nextInt(500000) * 1000L), i * 1.0)
+    }.toDF("q_key", "q_ts", "price")
+      .groupBy("q_key", "q_ts").agg(org.apache.spark.sql.functions.max("price").as("price"))
+    val rTrades = Seq.tabulate(600) { i =>
+      (i.toLong, s"user_${rng.nextInt(50)}", new Timestamp(1700000000000L + rng.nextInt(500000) * 1000L))
+    }.toDF("trade_id", "key", "ts")
+    val n = AsOfJoin.asOfLeftNative(rTrades, rQuotes, "key", "q_key", "ts", "q_ts", Seq("price"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)))).toSet
+    val w = AsOfJoin.asOfLeft(rTrades, rQuotes, "key", "q_key", "ts", "q_ts", Seq("price"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)))).toSet
+    assert(n == w)
+  }
 }
