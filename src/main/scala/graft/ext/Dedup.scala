@@ -140,6 +140,55 @@ object Dedup {
           (size(col("a.sh")) + size(col("b.sh")) - inter).cast("double")).as("jaccard"))
   }
 
+  /** Connected components over the undirected candidate-pair graph —
+    * the step that turns dedup PAIRS into dedup GROUPS (transitive:
+    * A~B and B~C puts A,B,C in one group even if A,C never paired;
+    * keep the min doc_id, drop the rest). Returns (node, comp) for
+    * every doc that appears in a pair; comp = the component's minimum
+    * doc_id.
+    *
+    * Algorithm: label propagation to fixpoint — each node's label
+    * becomes the min label over its closed neighborhood, iterated
+    * until no label changes. Iterations = component diameter, and
+    * near-dup clusters are shallow (dup groups are cliques or near-
+    * cliques from shared LSH buckets), so convergence is fast; each
+    * iteration is ONE shuffle join on node id over the (tiny relative
+    * to the corpus) pair graph, with labels materialized per iteration
+    * so the plan doesn't deepen. The driver-side loop carries only the
+    * converged? flag, never data. For adversarial long-chain graphs
+    * swap in pointer-doubling (large-star/small-star) — same join
+    * skeleton, O(log d) rounds.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      a: String = "doc_a",
+      b: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(edges("src").as("n2")).agg(min("comp").as("nbr_comp"))
+      val merged = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(
+          labels("node"),
+          least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), labels("comp")) < labels("comp")).as("chg"))
+        .localCheckpoint()
+      converged = merged.filter(col("chg")).isEmpty
+      labels = merged.select("node", "comp")
+      iter += 1
+    }
+    labels
+  }
+
   /** Per-document 16-bit SimHash with bucket size (same-sketch docs
     * are near-dup candidates).
     */

@@ -60,6 +60,18 @@ class DedupSpec extends SparkSpec {
       s"band buckets (max $bandMax) should be smaller than the hot first-token block ($firstTokenMax)")
   }
 
+  test("connectedComponents: transitive chains collapse to the min doc_id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (1~2, 2~3, 3~4: transitivity must group all four,
+    // even though 1 and 4 never paired), separate pair 10-11, and a
+    // doc 99 absent from every pair (must NOT appear in the output)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhashBuckets: identical docs share a bucket and are flagged") {
     val out = Dedup.simhashBuckets(corpus)
       .collect().map(r => r.getAs[Long]("doc_id") ->

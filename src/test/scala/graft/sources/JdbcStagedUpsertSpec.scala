@@ -60,5 +60,18 @@ class JdbcStagedUpsertSpec extends SparkSpec {
     val expected = Upsert.lwwUpsert(target, staging, Seq("ID"), Some("VER"))
       .orderBy("ID").collect().toSeq
     assert(live == expected, s"live Derby result $live != lwwUpsert $expected")
+
+    // S5/S6 live: the pushdown-query option shape (`jdbcQueryOptions`)
+    // ships the whole statement to the database — the reference pushes
+    // `select max(_SK_METRICS_FACT)` to its warehouse the same way
+    // (main.py:252-271). The remote MAX must equal the in-Spark MAX.
+    val remoteMax = spark.read.format("jdbc")
+      .options(RawZone.jdbcQueryOptions(url, "SELECT MAX(VER) AS MAX_VER FROM TARGET"))
+      .option("driver", DerbyDriver)
+      .load()
+    import org.apache.spark.sql.functions.max
+    val sparkMax = Upsert.lwwUpsert(target, staging, Seq("ID"), Some("VER"))
+      .agg(max("VER").as("MAX_VER"))
+    assert(remoteMax.collect().toSeq == sparkMax.collect().toSeq)
   }
 }
