@@ -32,6 +32,16 @@ object RawZone {
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSON-Lines scan with a declared schema — the interchange format
+    * of training-data corpora (one JSON document per line). Declared
+    * schema for the same reason as [[csv]]: inference would cost an
+    * extra full pass over the corpus; malformed lines come back as
+    * all-NULL rows (PERMISSIVE) for a downstream quality filter to
+    * drop, never an aborted 100 TB job.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S2 — archive/rotate: copy the incoming file set to the dated
     * archive (`archived/yyyy/mm/dd/`) and move it to the `last/`
     * snapshot (reference `extract_functions.py:24-28`, `main.py:63-67`).

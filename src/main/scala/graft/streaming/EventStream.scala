@@ -187,6 +187,35 @@ object EventStream {
       .start()
   }
 
+  /** Streaming deduplication with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps each key's state only until
+    * the watermark passes its event time — the streaming twin of the
+    * batch exact-dedup operator, and the state-safety property a plain
+    * `dropDuplicates` lacks on an unbounded stream (its key set grows
+    * forever). Exactly-once per key within the watermark horizon;
+    * replays of a late duplicate beyond the horizon are the documented
+    * trade-off of bounded state.
+    */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  def runDedupStream(
+      spark: SparkSession, inDir: String, outDir: String, checkpointDir: String,
+      keyCols: Seq[String]): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    dedupByKey(stream, keyCols).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** foreachBatch upsert sink: each micro-batch LWW-merges into the
     * target table — the streaming version of the reference's staged
     * DWH upsert (`load_functions.py:2-60`), with the micro-batch as

@@ -33,6 +33,23 @@ class RawZoneSpec extends SparkSpec {
     assert(df.agg(sum("v")).collect().head.getDouble(0) == 6.0)
   }
 
+  test("jsonl with declared schema: typed docs; malformed lines become all-NULL rows") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Path.of(dir, "docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |{"doc_id": 2, "text": "hola", "lang": "es"}
+        |this line is not json
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val df = RawZone.jsonl(spark, s"$dir/docs.jsonl", schema)
+    assert(df.schema == schema)
+    assert(df.count() == 3)
+    assert(df.filter(col("doc_id").isNotNull).count() == 2) // bad line -> NULL row, job survives
+    assert(df.filter(col("doc_id") === 1).select("text").collect().head.getString(0) == "hello world")
+  }
+
   test("archiveAndRotate: dated archive copy + last/ snapshot move") {
     val root = tmpDir()
     val incoming = s"$root/incoming"

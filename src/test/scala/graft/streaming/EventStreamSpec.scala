@@ -114,6 +114,27 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
+  test("dropDuplicatesWithinWatermark: cross-batch duplicates collapse, state stays bounded") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    import spark.implicits._
+    def ev(id: Long, ts: String) = (id, Timestamp.valueOf(ts), 1L, "click", 1.0, "{}")
+    // file 1: e1, e2; file 2 (separate micro-batch): DUPLICATE e1
+    // within the watermark + new e3
+    Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(in)
+    Seq(ev(1, "2024-01-01 10:00:00"), ev(3, "2024-01-01 11:00:00"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+
+    val q = EventStream.runDedupStream(spark, in, out, ck, Seq("event_id"))
+    q.awaitTermination(180000)
+
+    val ids = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // e1 emitted exactly once across batches
+  }
+
   test("checkpoint restart: sink killed mid-run resumes and converges exactly once") {
     val dir = Files.createTempDirectory("graft-restart").toString
     val in = s"$dir/in"; val tgt = s"$dir/target"; val ck = s"$dir/ck"
