@@ -186,6 +186,14 @@ object Dedup {
       labels = merged.select("node", "comp")
       iter += 1
     }
+    // an unconverged exit would silently return intermediate labels —
+    // multiple "representatives" per group, and downstream keep/drop
+    // would keep duplicates. Fail loudly instead; maxIter bounds the
+    // component DIAMETER, so raise it (or switch to pointer doubling)
+    // for adversarially long chains.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter iterations " +
+        "(component diameter exceeds maxIter — raise it or use pointer doubling)")
     labels
   }
 

@@ -396,7 +396,16 @@ object CovidPipeline {
     //    oracle-reproducible; the in-plan broadcast max (A1) replaces
     //    the reference's driver-side first().
     val inserts =
-      if (fullMode) SurrogateKey.scalable(insertBase, "_SK_METRICS_FACT", startAt = 0L)
+      if (fullMode)
+        // MATERIALIZED: zipWithIndex keys are partition-order-
+        // dependent, so recomputing the lineage per downstream action
+        // (warehouse, enterprise, flag reset are separate sinks) could
+        // assign DIFFERENT keys to the same row across sinks. The
+        // barrier pins one assignment for all three — exactly the
+        // reference's eager write of the keyed frame (main.py:287).
+        // (The incremental branch needs no barrier: its row_number
+        // over (CodeISO, Date) is recomputation-stable.)
+        SurrogateKey.scalable(insertBase, "_SK_METRICS_FACT", startAt = 0L).localCheckpoint()
       else {
         val maxSk = broadcast(
           warehouse.agg(coalesce(max("_SK_METRICS_FACT"), lit(0L)).as("max_sk")))

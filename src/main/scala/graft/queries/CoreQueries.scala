@@ -160,10 +160,12 @@ object CoreQueries {
     * (PartitionFilters) rather than scanning all partitions.
     */
   def s7PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
-    // cwd-independent scratch location (same convention as the session
-    // warehouse dir); keyed by sf dir + pid so concurrent JVMs never race
-    val out = System.getProperty("java.io.tmpdir") +
-      s"/graft-s7-roundtrip-${ProcessHandle.current().pid()}/" +
+    // cwd-independent FIXED scratch location (same convention as the
+    // session warehouse dir), one copy per sf dir: overwrite mode makes
+    // re-runs reuse it instead of accumulating per-pid copies. The
+    // harness runs one writer at a time (Verify, then Bench), so no
+    // concurrent-writer race.
+    val out = System.getProperty("java.io.tmpdir") + "/graft-s7-roundtrip/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     // 3-year slice (36 partitions), raw-ts predicates so the scan
     // prunes: at test scale a partitioned write is bound by filesystem

@@ -238,6 +238,22 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tgt = new org.apache.hadoop.fs.Path(targetDir)
+        val next = new org.apache.hadoop.fs.Path(targetDir + ".next")
+        val old = new org.apache.hadoop.fs.Path(targetDir + ".old")
+        // the TARGET path's filesystem, not the default one (targetDir
+        // may carry a non-default scheme)
+        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def renameOrFail(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Unit =
+          // Hadoop rename reports failure by returning false — an
+          // unchecked false here would silently corrupt the target
+          // (rename INTO an existing dir nests instead of replacing)
+          if (!fs.rename(a, b)) throw new java.io.IOException(s"upsert sink: rename $a -> $b failed")
+        // crash recovery FIRST: a previous run that died between the
+        // two renames left the table only at .old — restore it before
+        // reading, else the replayed batch would merge into an empty
+        // target and the .old cleanup below would erase the last copy
+        if (!fs.exists(tgt) && fs.exists(old)) renameOrFail(old, tgt)
         val target =
           try spark.read.parquet(targetDir)
           catch { case _: Exception => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
@@ -246,17 +262,11 @@ object EventStream {
         // rename-aside swap: target → .old, .next → target, drop .old.
         // Not transactional (a lakehouse format would be), but a crash
         // at any point leaves either the old table in place or a
-        // recoverable copy at .old — never a lost table, which the
-        // naive delete-then-rename order risks.
-        val tgt = new org.apache.hadoop.fs.Path(targetDir)
-        val next = new org.apache.hadoop.fs.Path(targetDir + ".next")
-        val old = new org.apache.hadoop.fs.Path(targetDir + ".old")
-        // the TARGET path's filesystem, not the default one (targetDir
-        // may carry a non-default scheme)
-        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(old, true) // leftover from a previous crash
-        if (fs.exists(tgt)) fs.rename(tgt, old)
-        fs.rename(next, tgt)
+        // recoverable copy at .old (restored above on replay) — never
+        // a lost table, which the naive delete-then-rename order risks.
+        fs.delete(old, true) // stale .old from a crash AFTER its swap completed
+        if (fs.exists(tgt)) renameOrFail(tgt, old)
+        renameOrFail(next, tgt)
         fs.delete(old, true)
         ()
       }
