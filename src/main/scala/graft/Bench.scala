@@ -49,9 +49,14 @@ object Bench {
         else big.join(small, "k")
       run(query(salted = false)) // warm both plans once
       run(query(salted = true))
+      // min of 2: a single-JVM bench occasionally hits a GC/JIT pause
+      // that dwarfs the measured effect; the minimum is the standard
+      // noise-robust statistic for an A/B like this
+      def minOf2(salted: Boolean): Double =
+        math.min(run(query(salted)), run(query(salted)))
       Seq(
-        "unsalted" -> run(query(salted = false)),
-        "salted" -> run(query(salted = true)))
+        "unsalted" -> minOf2(salted = false),
+        "salted" -> minOf2(salted = true))
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
       conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
@@ -69,14 +74,22 @@ object Bench {
       val d = "/root/testdata/sf0.001"
       if (new java.io.File(d).exists()) d else sfDir
     }
+    // localCheckpoint()ed RDDs (dedup sketch tables, CC labels, ...)
+    // stay pinned in block storage until unpersisted; 57 queries of
+    // them would crowd the unified memory pool and distort later
+    // timings, so drop them between phases.
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    dropCheckpoints()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    dropCheckpoints()
     val skew = try skewBench(spark, sfDir) catch { case _: Throwable => Nil }
     def json(kvs: Iterable[(String, Double)]) =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
