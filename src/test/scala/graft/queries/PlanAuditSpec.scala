@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-quality regression guards: the PLANS.md audit claims, asserted
+  * against the executed plans so a refactor that silently loses a
+  * pushdown, a broadcast, or the custom operator FAILS here instead of
+  * surfacing as a 100×-scale surprise. Plans are built on the sf0.001
+  * testdata (plan STRUCTURE is sf-invariant).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    // scan metadata (PushedFilters/ReadSchema) renders truncated at
+    // 100 chars by default — long filter lists would vanish from the
+    // assertion surface
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg: shipdate predicate reaches the parquet scan as a raw-timestamp range") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+  }
+
+  test("f2_date_split: both range bounds pushed to the scan") {
+    val p = plan("f2_date_split")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"), p)
+  }
+
+  test("s3_scan_project: ReadSchema prunes to exactly the projected columns") {
+    val p = plan("s3_scan_project")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"), p)
+  }
+
+  test("j1_dim_join: the dimension side broadcasts (no fact-side shuffle)") {
+    val p = plan("j1_dim_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_reconcile: no cartesian product; scalar max-SK stays in-plan as a broadcast") {
+    val p = plan("q_reconcile")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x_asof_join: plans through the custom operator, not a window fallback") {
+    val p = plan("x_asof_join")
+    assert(p.contains("AsOfJoin "), p)
+  }
+
+  test("m1_update_merge: update-side filters pushed; single join on the merge key") {
+    val p = plan("m1_update_merge")
+    assert(p.contains("EqualTo(o_orderstatus,O)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("x_dedup_minhash_pairs: sketch relation materialized once (LogicalRDD barrier)") {
+    // the localCheckpoint barrier appears as a scan of an existing RDD;
+    // without it both self-join sides would recompute the signature
+    // pipeline from raw text (and pushdown-through-Generate bites)
+    val p = plan("x_dedup_minhash_pairs")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
+  }
+}
