@@ -147,17 +147,18 @@ object Dedup {
     * every doc that appears in a pair; comp = the component's minimum
     * doc_id.
     *
-    * Algorithm: label propagation to fixpoint — each node's label
-    * becomes the min label over its closed neighborhood, iterated
-    * until no label changes. Iterations = component diameter, and
-    * near-dup clusters are shallow (dup groups are cliques or near-
-    * cliques from shared LSH buckets), so convergence is fast; each
-    * iteration is ONE shuffle join on node id over the (tiny relative
-    * to the corpus) pair graph, with labels materialized per iteration
-    * so the plan doesn't deepen. The driver-side loop carries only the
-    * converged? flag, never data. For adversarial long-chain graphs
-    * swap in pointer-doubling (large-star/small-star) — same join
-    * skeleton, O(log d) rounds.
+    * Algorithm: min-label propagation WITH pointer jumping — each
+    * round a node takes the min over {its label, its neighbors'
+    * labels, its LABEL'S label}. The neighbor step moves information
+    * one hop; the label-of-label step halves the remaining pointer
+    * depth (labels are node ids, so the label relation is itself a
+    * forest to jump through), giving O(log diameter) rounds — a
+    * million-node chain converges within the default maxIter=20 where
+    * plain one-hop propagation would need a million rounds. Each
+    * round is two shuffle joins over the (tiny relative to the
+    * corpus) pair graph, labels materialized per round so the plan
+    * doesn't deepen; the driver-side loop carries only the converged?
+    * flag, never data.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -176,24 +177,30 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src").as("n2")).agg(min("comp").as("nbr_comp"))
-      val merged = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
         .select(
           labels("node"),
-          least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"),
-          (coalesce(col("nbr_comp"), labels("comp")) < labels("comp")).as("chg"))
+          least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"))
+      // pointer jump: comp values are node ids, so follow comp -> its
+      // comp and take the min — halves the remaining pointer depth
+      val parents = stepped.select(col("node").as("p_node"), col("comp").as("p_comp"))
+      val merged = stepped.join(parents, stepped("comp") === parents("p_node"), "left")
+        .select(
+          stepped("node"),
+          least(stepped("comp"), coalesce(col("p_comp"), stepped("comp"))).as("comp"))
         .localCheckpoint()
-      converged = merged.filter(col("chg")).isEmpty
-      labels = merged.select("node", "comp")
+      converged = merged.join(labels.withColumnRenamed("comp", "old_comp"), "node")
+        .filter(col("comp") < col("old_comp")).isEmpty
+      labels = merged
       iter += 1
     }
     // an unconverged exit would silently return intermediate labels —
     // multiple "representatives" per group, and downstream keep/drop
-    // would keep duplicates. Fail loudly instead; maxIter bounds the
-    // component DIAMETER, so raise it (or switch to pointer doubling)
-    // for adversarially long chains.
+    // would keep duplicates. Fail loudly instead; with pointer
+    // jumping, maxIter=20 covers component diameters up to ~2^20.
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: not converged after $maxIter iterations " +
-        "(component diameter exceeds maxIter — raise it or use pointer doubling)")
+        "(component diameter exceeds 2^maxIter — raise maxIter)")
     labels
   }
 

@@ -72,6 +72,18 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: pointer jumping converges a 60-node chain within maxIter=20") {
+    import spark.implicits._
+    // a pure chain maximizes diameter: one-hop propagation would need
+    // 59 rounds (> maxIter) — the label-of-label jump must get there
+    // in O(log n) rounds instead
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(got.size == 60)
+    assert(got.values.forall(_ == 0L))
+  }
+
   test("simhashBuckets: identical docs share a bucket and are flagged") {
     val out = Dedup.simhashBuckets(corpus)
       .collect().map(r => r.getAs[Long]("doc_id") ->
