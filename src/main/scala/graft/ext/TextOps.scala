@@ -166,6 +166,16 @@ object TextOps {
     pick(scores.toList)
   }
 
+  /** Fixed-width token windows (context packing): chunk i =
+    * `toks[i·w+1 .. i·w+w]`, last chunk ragged; floor((len+w-1)/w)
+    * chunks (exact in IEEE — w is a power of two in all callers).
+    */
+  def chunks(toks: Column, w: Int): Column = {
+    val nChunks = floor((size(toks) + lit(w - 1)) / lit(w.toDouble))
+      .cast(org.apache.spark.sql.types.IntegerType)
+    transform(sequence(lit(0), nChunks - 1), i => slice(toks, i * w + 1, lit(w)))
+  }
+
   /** Exact mean token length as int/int double division (single IEEE
     * op → identical in both engines), NULL on empty docs.
     */

@@ -437,6 +437,31 @@ object CoreQueries {
         percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
       .orderBy("l_returnflag")
 
+  /** Sketch-based percentile next to its exact twin — the
+    * constant-memory quantile path for 100 TB-scale order statistics.
+    * `approx_percentile(_, p, accuracy)` carries a DETERMINISTIC
+    * rank-error guarantee (≤ N/accuracy, not a probabilistic sigma
+    * like HLL), so the driver-verified boolean is airtight: with
+    * accuracy=100 the returned element's rank is within 1% of the
+    * median, hence its VALUE must lie inside the exact [p45, p55]
+    * window (5× margin keeps the check engine-portable while still
+    * meaningful). The sketch value itself stays engine-specific and
+    * unoracled, exactly like `x_approx_distinct`.
+    */
+  def a6ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5D, 100)").as("approx_raw"),
+        percentile(col("l_extendedprice"), lit(0.45)).as("lo"),
+        percentile(col("l_extendedprice"), lit(0.55)).as("hi"))
+      .select(
+        col("l_returnflag"), col("exact_p50"),
+        (col("approx_raw") >= col("lo") && col("approx_raw") <= col("hi"))
+          .as("approx_in_range"))
+      .orderBy("l_returnflag")
+
   /** regexp_replace surface (the reference imports it at `main.py:19`
     * but never calls it — SURVEY §2.8 flags it as intended-but-unbuilt
     * surface we cover). Patterns are shared-dialect ([0-9], literal
@@ -685,6 +710,7 @@ object CoreQueries {
     "a3_rollup"         -> a3Rollup _,
     "a4_percentile"     -> a4Percentile _,
     "a5_stats"          -> a5Stats _,
+    "a6_approx_percentile" -> a6ApproxPercentile _,
     "p12_regexp_clean"  -> p12RegexpClean _,
     "w1_surrogate_key"  -> w1SurrogateKey _,
     "w1_surrogate_key_scalable" -> w1SurrogateKeyScalable _,
@@ -833,6 +859,11 @@ object CoreQueries {
         |  quantile_cont(l_extendedprice, 0.25) AS p25,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a6_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+        |  TRUE AS approx_in_range
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a5_stats" ->
       """WITH s AS (

@@ -187,6 +187,41 @@ object EventStream {
       .start()
   }
 
+  /** Streaming twin of the batch text pipeline: quality-gate then
+    * chunk incoming documents into fixed 64-token training windows.
+    * Everything here is a stateless map-side Column expression
+    * (`ext.TextOps`), so the SAME logical plan the batch queries use
+    * runs incrementally with no state store and no watermark — the
+    * ingestion shape of a continuous training-data feed.
+    */
+  def textPipeline(docs: DataFrame): DataFrame = {
+    import graft.ext.TextOps
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 1000) // quality gate
+      .select(col("doc_id"),
+        posexplode(TextOps.chunks(col("toks"), 64)).as(Seq("pos", "chunk")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  def runTextPipeline(
+      spark: SparkSession, inDir: String, outDir: String, checkpointDir: String): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    textPipeline(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Streaming deduplication with BOUNDED state:
     * `dropDuplicatesWithinWatermark` keeps each key's state only until
     * the watermark passes its event time — the streaming twin of the

@@ -114,6 +114,29 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
+  test("streaming text pipeline == batch twin (stateless map-side ops compose)") {
+    val dir = Files.createTempDirectory("graft-textpipe").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    import spark.implicits._
+    Seq(
+      (1L, ("tok " * 100).trim),      // 100 tokens -> 2 chunks
+      (2L, "too short"),              // quality-gated out (< 5 tokens)
+      (3L, ("word " * 64).trim))      // exactly one full chunk
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(in)
+
+    val q = EventStream.runTextPipeline(spark, in, out, ck)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    val batch = EventStream.textPipeline(spark.read.parquet(in)).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // doc 2 gated out; doc 1 split 64+36; doc 3 one chunk of 64
+    val byDoc = spark.read.parquet(out).collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    assert(byDoc == Map(1L -> 2, 3L -> 1))
+  }
+
   test("dropDuplicatesWithinWatermark: cross-batch duplicates collapse, state stays bounded") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
