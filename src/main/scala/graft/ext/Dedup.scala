@@ -177,21 +177,29 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src").as("n2")).agg(min("comp").as("nbr_comp"))
+      // materialized: the pointer-jump self-join below consumes
+      // `stepped` on BOTH sides — without the barrier the neighbor
+      // join + min-aggregate would execute once per side
       val stepped = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
         .select(
           labels("node"),
-          least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"))
+          least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"),
+          labels("comp").as("old_comp"))
+        .localCheckpoint()
       // pointer jump: comp values are node ids, so follow comp -> its
       // comp and take the min — halves the remaining pointer depth
       val parents = stepped.select(col("node").as("p_node"), col("comp").as("p_comp"))
+      val jumped = least(stepped("comp"), coalesce(col("p_comp"), stepped("comp")))
       val merged = stepped.join(parents, stepped("comp") === parents("p_node"), "left")
         .select(
           stepped("node"),
-          least(stepped("comp"), coalesce(col("p_comp"), stepped("comp"))).as("comp"))
+          jumped.as("comp"),
+          // the change flag rides the same pass — no extra join to
+          // answer "did anything move this round?"
+          (jumped < stepped("old_comp")).as("chg"))
         .localCheckpoint()
-      converged = merged.join(labels.withColumnRenamed("comp", "old_comp"), "node")
-        .filter(col("comp") < col("old_comp")).isEmpty
-      labels = merged
+      converged = merged.filter(col("chg")).isEmpty
+      labels = merged.select("node", "comp")
       iter += 1
     }
     // an unconverged exit would silently return intermediate labels —

@@ -169,11 +169,34 @@ object TextOps {
   /** Fixed-width token windows (context packing): chunk i =
     * `toks[i·w+1 .. i·w+w]`, last chunk ragged; floor((len+w-1)/w)
     * chunks (exact in IEEE — w is a power of two in all callers).
+    * Guarded like [[shinglesDeclarative]]: on an empty (or NULL,
+    * size = -1) token array `sequence(0, -1)` would generate a
+    * DESCENDING [0, -1] and emit two spurious chunks — empty array
+    * instead (DuckDB's `range(0, 0)` is empty naturally).
     */
   def chunks(toks: Column, w: Int): Column = {
     val nChunks = floor((size(toks) + lit(w - 1)) / lit(w.toDouble))
       .cast(org.apache.spark.sql.types.IntegerType)
-    transform(sequence(lit(0), nChunks - 1), i => slice(toks, i * w + 1, lit(w)))
+    when(size(toks) <= 0, array().cast(ArrayType(ArrayType(StringType))))
+      .otherwise(transform(sequence(lit(0), nChunks - 1), i => slice(toks, i * w + 1, lit(w))))
+  }
+
+  // C4-style quality-gate thresholds — shared by the batch
+  // `x_quality_filter` query and the streaming text pipeline so the
+  // two gates can never drift apart
+  val MinTokens = 5
+  val MaxTokens = 1000
+  val MinUniqRatio = 0.3
+  val MaxStopwordRatio = 0.5
+
+  /** The quality-gate KEEP predicate over a token array (all three
+    * rules; `x_quality_filter` additionally reports which rule fired).
+    */
+  def qualityKeep(toks: Column): Column = {
+    val n = size(toks)
+    val uniq = size(array_distinct(toks)).cast(DoubleType) / n.cast(DoubleType)
+    val stop = stopwordCount(toks).cast(DoubleType) / n.cast(DoubleType)
+    n >= MinTokens && n <= MaxTokens && uniq >= MinUniqRatio && stop <= MaxStopwordRatio
   }
 
   /** Exact mean token length as int/int double division (single IEEE

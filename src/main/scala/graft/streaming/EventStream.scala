@@ -198,8 +198,7 @@ object EventStream {
     import graft.ext.TextOps
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .withColumn("n_tokens", size(col("toks")))
-      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 1000) // quality gate
+      .filter(TextOps.qualityKeep(col("toks"))) // the FULL batch gate, shared thresholds
       .select(col("doc_id"),
         posexplode(TextOps.chunks(col("toks"), 64)).as(Seq("pos", "chunk")))
       .select(

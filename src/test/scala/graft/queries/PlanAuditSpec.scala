@@ -14,10 +14,13 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String = {
     // scan metadata (PushedFilters/ReadSchema) renders truncated at
     // 100 chars by default — long filter lists would vanish from the
-    // assertion surface
-    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
-    val df = graft.SparkEntry.queries(name)(spark, dir)
-    df.queryExecution.executedPlan.toString
+    // assertion surface. Save/restore: the session is shared across
+    // suites, a leaked setting would be order-dependent.
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    try graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    finally spark.conf.set(key, saved)
   }
 
   test("q1_agg: shipdate predicate reaches the parquet scan as a raw-timestamp range") {

@@ -119,9 +119,9 @@ class EventStreamSpec extends SparkSpec {
     val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
     import spark.implicits._
     Seq(
-      (1L, ("tok " * 100).trim),      // 100 tokens -> 2 chunks
-      (2L, "too short"),              // quality-gated out (< 5 tokens)
-      (3L, ("word " * 64).trim))      // exactly one full chunk
+      (1L, (0 until 100).map(i => s"tok$i").mkString(" ")), // 100 diverse tokens -> 2 chunks
+      (2L, "too short"),                                    // gated out (< 5 tokens)
+      (3L, (0 until 64).map(i => s"word$i").mkString(" "))) // exactly one full chunk
       .toDF("doc_id", "text")
       .coalesce(1).write.parquet(in)
 
