@@ -437,6 +437,32 @@ object CoreQueries {
         percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
       .orderBy("l_returnflag")
 
+  /** Full-catalog star join — the one query exercising EVERY remaining
+    * dimension table (part, supplier, nation, region): revenue by
+    * region and part brand over size-filtered parts. All four dims
+    * broadcast (the largest, part, is size-pruned first), so the fact
+    * side is never shuffled — one scan of lineitem into a 4-way
+    * broadcast-hash-join chain and one aggregation shuffle on the
+    * (region, brand) grouping key. The TPC-H Q9 shape, Spark-first.
+    */
+  def j5CatalogStar(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_size") <= 20)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("region"), p("p_brand").as("brand"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(20, 4))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("region", "brand")
+  }
+
   /** Sketch-based percentile next to its exact twin — the
     * constant-memory quantile path for 100 TB-scale order statistics.
     * `approx_percentile(_, p, accuracy)` carries a DETERMINISTIC
@@ -701,6 +727,7 @@ object CoreQueries {
     "j1_dim_join"       -> j1DimJoin _,
     "j2_multi_left_join" -> j2MultiLeftJoin _,
     "j3_semi_anti"      -> j3SemiAnti _,
+    "j5_catalog_star"   -> j5CatalogStar _,
     "w4_range_frame"    -> w4RangeFrame _,
     "d1_distinct_map"   -> d1DistinctMap _,
     "set1_except"       -> set1Except _,
@@ -860,6 +887,17 @@ object CoreQueries {
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j5_catalog_star" ->
+      """SELECT r.r_name AS region, p.p_brand AS brand,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 20
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, p.p_brand
+        |ORDER BY region, brand""".stripMargin,
     "a6_approx_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,

@@ -60,6 +60,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("j5_catalog_star: all four dimensions broadcast; one agg shuffle only") {
+    val p = plan("j5_catalog_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4, p)
+    // the only hash exchange is the (region, brand) aggregation; the
+    // fact scan feeds the 4-way broadcast join chain unshuffled
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("x_dedup_minhash_pairs: sketch relation materialized once (LogicalRDD barrier)") {
     // the localCheckpoint barrier appears as a scan of an existing RDD;
     // without it both self-join sides would recompute the signature
