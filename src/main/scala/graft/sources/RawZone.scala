@@ -42,6 +42,38 @@ object RawZone {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** S1 — fetch a URL into the raw zone, skipping if the file already
+    * exists (reference `extract_functions.py:7-20`: wget-to-disk with
+    * the same skip guard). Streamed copy — never buffers the payload
+    * in memory, so a multi-GB source file costs 8 KB of heap. The
+    * zero-egress harness exercises it with `file://` URLs; `http(s)`
+    * flows through the identical `URL.openStream` path.
+    *
+    * @return true if fetched, false if skipped (already present).
+    */
+  def fetchToRaw(
+      spark: SparkSession, url: String, destDir: String, fileName: String): Boolean = {
+    val dest = new Path(destDir, fileName)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dest)) false
+    else {
+      fs.mkdirs(new Path(destDir))
+      val in = new java.net.URI(url).toURL.openStream()
+      try {
+        // overwrite=false: two concurrent fetchers race to create, one
+        // fails loudly instead of both writing interleaved garbage
+        val out = fs.create(dest, false)
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, true) // closes both
+      } catch {
+        case e: Throwable =>
+          try in.close() catch { case _: Exception => () }
+          fs.delete(dest, false) // no half-written file left behind
+          throw e
+      }
+      true
+    }
+  }
+
   /** S2 — archive/rotate: copy the incoming file set to the dated
     * archive (`archived/yyyy/mm/dd/`) and move it to the `last/`
     * snapshot (reference `extract_functions.py:24-28`, `main.py:63-67`).

@@ -33,6 +33,19 @@ class RawZoneSpec extends SparkSpec {
     assert(df.agg(sum("v")).collect().head.getDouble(0) == 6.0)
   }
 
+  test("fetchToRaw: streams a URL into the raw zone, skips when present") {
+    val dir = tmpDir()
+    val src = java.nio.file.Path.of(dir, "remote.csv")
+    Files.writeString(src, "a,b\n1,2\n")
+    val raw = s"$dir/raw"
+    // file:// URL exercises the same URL-stream path http(s) uses
+    val fetched = RawZone.fetchToRaw(spark, src.toUri.toString, raw, "owid.csv")
+    assert(fetched)
+    assert(Files.readString(java.nio.file.Path.of(raw, "owid.csv")) == "a,b\n1,2\n")
+    // second fetch: skip-if-exists (the reference's wget guard)
+    assert(!RawZone.fetchToRaw(spark, src.toUri.toString, raw, "owid.csv"))
+  }
+
   test("jsonl with declared schema: typed docs; malformed lines become all-NULL rows") {
     val dir = tmpDir()
     Files.writeString(java.nio.file.Path.of(dir, "docs.jsonl"),
