@@ -67,4 +67,54 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.map(decodeStub))
   }
+
+  /** Resized record: target dims + the originals for audit. */
+  case class ResizedFeatures(
+      doc_id: Long, modality: String, width: Int, height: Int,
+      orig_width: Int, orig_height: Int)
+
+  /** STUB resize — a real implementation would rescale pixel data; the
+    * dimension arithmetic (the part that matters to the pipeline:
+    * aspect-preserving clamp of the longest side, never upscaling) is
+    * real and spec-verified. Map-side, no shuffle.
+    */
+  def resizeFeatures(
+      spark: SparkSession, feats: Dataset[MediaFeatures], maxSide: Int): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    feats.mapPartitions(_.map { f =>
+      val longest = math.max(f.width, f.height)
+      val scale = if (longest <= maxSide || longest == 0) 1.0 else maxSide.toDouble / longest
+      // ??? real pixel resample goes here; dimension math is the real part
+      ResizedFeatures(f.doc_id, f.modality,
+        math.max(1, math.round(f.width * scale).toInt),
+        math.max(1, math.round(f.height * scale).toInt),
+        f.width, f.height)
+    })
+  }
+
+  /** One sampled frame: fixed-width byte window of the payload. */
+  case class Frame(doc_id: Long, frame_idx: Long, frame_bytes: Long, frame_checksum: Long)
+
+  /** Frame sampling — every `step`-th fixed-`frameSize` window of the
+    * payload byte stream (a real video decoder would seek keyframes;
+    * the windowing, striding, ragged-tail and per-frame checksum
+    * plumbing is real). flatMap shape: one input record fans out to
+    * its sampled frames, map-side, payload never shuffled.
+    */
+  def sampleFrames(
+      spark: SparkSession, media: DataFrame, frameSize: Int, step: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val n = r.payload.length
+      val nFrames = (n + frameSize - 1) / frameSize
+      (0 until nFrames by step).iterator.map { i =>
+        val from = i * frameSize
+        val until = math.min(from + frameSize, n)
+        var acc = 0L
+        var j = from
+        while (j < until) { acc = (acc * 131 + (r.payload(j) & 0xff)) % 1000000007L; j += 1 }
+        Frame(r.doc_id, i.toLong, (until - from).toLong, acc)
+      }
+    }
+  }
 }

@@ -47,4 +47,38 @@ class MultimodalSpec extends SparkSpec {
       }.toMap
     assert(typed == declared)
   }
+
+  test("resizeFeatures: aspect-preserving clamp of the longest side, never upscales") {
+    val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(docs))
+    val resized = Multimodal.resizeFeatures(spark, feats, maxSide = 64).collect()
+    resized.foreach { r =>
+      assert(math.max(r.width, r.height) <= 64 || math.max(r.orig_width, r.orig_height) == 0)
+      // never upscaled
+      assert(r.width <= math.max(r.orig_width, 1) && r.height <= math.max(r.orig_height, 1))
+      // aspect preserved within rounding (skip degenerate 0-dim audio)
+      if (r.orig_width > 0 && r.orig_height > 0 && math.max(r.orig_width, r.orig_height) > 64) {
+        val origRatio = r.orig_width.toDouble / r.orig_height
+        val newRatio = r.width.toDouble / r.height
+        assert(math.abs(origRatio - newRatio) / origRatio < 0.1)
+      }
+    }
+  }
+
+  test("sampleFrames (typed flatMap) agrees with the declarative x_frame_sample twin") {
+    import spark.implicits._
+    val media = Multimodal.withPayload(docs).filter(col("modality") === "video")
+    val typed = Multimodal.sampleFrames(spark, media, frameSize = 16, step = 2)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.frame_bytes, f.frame_checksum)).toSet
+    val t = col("payload").cast("string")
+    val nFrames = floor((octet_length(t) + lit(15)) / lit(16.0)).cast("int")
+    val declared = media
+      .select(col("doc_id"), t.as("t"),
+        explode(sequence(lit(0), nFrames - 1, lit(2))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long"),
+        octet_length(expr("substring(t, frame_idx * 16 + 1, 16)")).cast("long"),
+        expr("aggregate(sequence(1, length(substring(t, frame_idx * 16 + 1, 16))), 0L, " +
+          "(acc, i) -> (acc * 131 + ascii(substring(substring(t, frame_idx * 16 + 1, 16), i, 1))) % 1000000007)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(typed.nonEmpty && typed == declared)
+  }
 }
