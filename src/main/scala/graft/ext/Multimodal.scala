@@ -42,6 +42,18 @@ object Multimodal {
         .otherwise("video").as("modality"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** The ONE payload rolling checksum ((acc·131 + byte) mod 1e9+7) —
+    * shared by [[extractFeatures]] and [[sampleFrames]], and
+    * value-identical to the native `char_rolling_hash` / the oracle
+    * fold on ASCII payloads, so the constants live in one place.
+    */
+  private def byteRollingHash(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var acc = 0L
+    var j = from
+    while (j < until) { acc = (acc * 131 + (bytes(j) & 0xff)) % 1000000007L; j += 1 }
+    acc
+  }
+
   /** STUB decoder — a real implementation would parse the container
     * format (JPEG/WAV/MP4) here; this one derives deterministic fake
     * dimensions from the byte stream so the plumbing is testable.
@@ -51,7 +63,7 @@ object Multimodal {
     // ??? real codec goes here; fake header parse below
     val b0 = if (n > 0) r.payload(0) & 0xff else 0
     val b1 = if (n > 1) r.payload(1) & 0xff else 0
-    val checksum = r.payload.foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % 1000000007L)
+    val checksum = byteRollingHash(r.payload, 0, r.payload.length)
     r.modality match {
       case "image" => MediaFeatures(r.doc_id, r.modality, n, 16 * (b0 % 40 + 1), 16 * (b1 % 30 + 1), 0, checksum)
       case "audio" => MediaFeatures(r.doc_id, r.modality, n, 0, 0, 8000 * (b0 % 6 + 1), checksum)
@@ -110,10 +122,7 @@ object Multimodal {
       (0 until nFrames by step).iterator.map { i =>
         val from = i * frameSize
         val until = math.min(from + frameSize, n)
-        var acc = 0L
-        var j = from
-        while (j < until) { acc = (acc * 131 + (r.payload(j) & 0xff)) % 1000000007L; j += 1 }
-        Frame(r.doc_id, i.toLong, (until - from).toLong, acc)
+        Frame(r.doc_id, i.toLong, (until - from).toLong, byteRollingHash(r.payload, from, until))
       }
     }
   }

@@ -58,19 +58,28 @@ object RawZone {
     if (fs.exists(dest)) false
     else {
       fs.mkdirs(new Path(destDir))
+      // stream to a private temp name, then RENAME into place: the
+      // rename is the atomicity point, so (a) a crash mid-copy leaves
+      // only temp garbage — the skip-if-exists guard can never trust a
+      // half-written dest — and (b) concurrent fetchers race on the
+      // rename, where the loser cleans up its own temp, never the
+      // winner's complete file
+      val tmp = new Path(destDir, s".$fileName.inprogress-${java.util.UUID.randomUUID()}")
       val in = new java.net.URI(url).toURL.openStream()
       try {
-        // overwrite=false: two concurrent fetchers race to create, one
-        // fails loudly instead of both writing interleaved garbage
-        val out = fs.create(dest, false)
+        val out = fs.create(tmp, false)
         org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, true) // closes both
       } catch {
         case e: Throwable =>
           try in.close() catch { case _: Exception => () }
-          fs.delete(dest, false) // no half-written file left behind
+          fs.delete(tmp, false)
           throw e
       }
-      true
+      if (fs.rename(tmp, dest)) true
+      else { // another fetcher completed first — same as the exists-skip
+        fs.delete(tmp, false)
+        false
+      }
     }
   }
 
