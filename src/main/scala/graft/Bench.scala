@@ -8,15 +8,16 @@ object Bench {
   /** Skewed-key join measured salted vs unsalted (`ops.SkewJoin`), so
     * the skew-mitigation claim is a number, not an assertion. The big
     * side is lineitem with half its rows collapsed onto ONE hot key,
-    * and ONLY that hot key amplified ×16 (straggler grows, total work
+    * and ONLY that hot key amplified ×32 (straggler grows, total work
     * stays bounded — the realistic shape: one pathological key in an
-    * otherwise balanced table); the small side is a 10k-row dimension.
+    * otherwise balanced table; ×32 keeps the effect size well above
+    * single-JVM timing noise); the small side is a 10k-row dimension.
     * Broadcast and AQE's skew-join rescue are disabled for BOTH legs —
     * that isolates exactly the case `SkewJoin.saltedJoin` exists for
-    * (plans AQE can't fix): unsalted, the ~4.8M hot rows sort-merge in
+    * (plans AQE can't fix): unsalted, the ~9.6M hot rows sort-merge in
     * ONE task; salted, they spread over 32. Measured at sf0.1:
-    * salted ≈ 1.6× faster, and the gap widens to >2× once the
-    * straggler's sort spills (hot ≥ ~10M rows).
+    * salted ≈ 1.3-1.6× faster, and the gap widens to >2× once the
+    * straggler's sort spills.
     */
   private def skewBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     val conf = spark.conf
@@ -32,9 +33,9 @@ object Bench {
             .otherwise(col("l_orderkey") % 10000).as("k"),
           col("l_extendedprice").as("v"),
           col("l_orderkey"), col("l_linenumber"))
-        // hot key only: ×16; every other key stays at its natural size
+        // hot key only: ×32; every other key stays at its natural size
         .withColumn("_r", explode(sequence(lit(0),
-          when(col("k") === 0, lit(15)).otherwise(lit(0)))))
+          when(col("k") === 0, lit(31)).otherwise(lit(0)))))
       val small = spark.range(10000)
         .select(col("id").as("k"), (col("id") % 97).cast("double").as("w"))
       def run(df: DataFrame): Double = {
