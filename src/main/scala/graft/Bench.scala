@@ -85,12 +85,26 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     dropCheckpoints()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Per-query MEDIAN of 3 passes: single-JVM timings carry real
+    // run-to-run variance (GC pauses, checkpoint-block churn, host
+    // stalls — one observed outlier run was uniformly 2× on every
+    // query), and a median per query is robust to a one-off stall in
+    // any single pass where a single total is not. Checkpointed blocks
+    // are dropped between passes so pass N's pinned sketch tables
+    // can't distort pass N+1.
+    val passes = Seq.fill(3) {
+      val pass = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      dropCheckpoints()
+      pass
     }
-    dropCheckpoints()
+    val results = SparkEntry.queries.keys.map { name =>
+      val ts = passes.map(_(name)).sorted
+      name -> ts(ts.length / 2)
+    }.toMap
     val skew = try skewBench(spark, sfDir) catch { case _: Throwable => Nil }
     def json(kvs: Iterable[(String, Double)]) =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
