@@ -187,6 +187,72 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** S3 failure-mode ingest, oracle-grade: a CSV with malformed rows
+    * (the reference's actual daily hazard — hand-maintained OWID CSVs,
+    * `main.py:75-79`) read through the declared-schema PERMISSIVE scan
+    * (`RawZone.csv`), with unparseable fields arriving as NULLs and
+    * routed into kept/dropped tallies — the quality-gate shape: a bad
+    * row degrades a counter, never aborts a 100 TB job.
+    *
+    * The fixture is written by the query itself (exact bytes, fixed
+    * path) so the DuckDB oracle reads the SAME file. Corruptions are
+    * restricted to clearly-non-numeric tokens: the engines disagree on
+    * edge lexemes (DuckDB CSV-casts '7.5' to BIGINT 8 by rounding,
+    * Spark NULLs it; empty string is NULL-not-error in both but our
+    * kept-rule would then diverge from row-level dropping), so the
+    * fixture stays on the shared subset. The oracle deliberately does
+    * NOT use `read_csv(ignore_errors)`: DuckDB only parses projected
+    * columns, so whether a malformed row is dropped depends on which
+    * columns the optimizer prunes — COUNT(*) over the same CTE can see
+    * 10 rows where SUM(val) sees 9. `all_varchar` + TRY_CAST pins
+    * row-level semantics engine-independently.
+    */
+  def s3MalformedScan(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(MalformedCsvPath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, MalformedCsvContent.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("val", LongType),
+      StructField("name", StringType)))
+    RawZone.csv(spark, MalformedCsvPath, schema)
+      .select(col("id"), col("val"),
+        (col("id").isNotNull && col("val").isNotNull).as("ok"))
+      .groupBy("ok")
+      .agg(count(lit(1)).as("n"), sum("val").as("s"), max("id").as("m"))
+      .select(
+        when(col("ok"), "kept").otherwise("dropped").as("bucket"),
+        col("n").as("n_rows"),
+        when(col("ok"), col("s")).as("sum_val"),
+        when(col("ok"), col("m")).as("max_id"))
+      .orderBy("bucket")
+  }
+
+  private val MalformedCsvPath = "/tmp/graft-fixtures/s3_malformed.csv"
+  private val MalformedCsvContent =
+    """id,val,name
+      |1,10,alpha
+      |2,20,beta
+      |bad,30,gamma
+      |4,notanint,delta
+      |5,50,epsilon
+      |6,60,zeta
+      |7,70,eta
+      |8,80,theta
+      |9,90,iota
+      |x,y,lambda
+      |""".stripMargin
+
+  private val s3MalformedScanSql =
+    s"""WITH raw AS (
+       |  SELECT TRY_CAST(id AS BIGINT) AS id, TRY_CAST(val AS BIGINT) AS val,
+       |    (TRY_CAST(id AS BIGINT) IS NOT NULL AND TRY_CAST(val AS BIGINT) IS NOT NULL) AS ok
+       |  FROM read_csv('$MalformedCsvPath', header=true, all_varchar=true))
+       |SELECT CASE WHEN ok THEN 'kept' ELSE 'dropped' END AS bucket,
+       |  COUNT(*) AS n_rows,
+       |  CAST(CASE WHEN ok THEN SUM(val) END AS BIGINT) AS sum_val,
+       |  CASE WHEN ok THEN MAX(id) END AS max_id
+       |FROM raw GROUP BY ok ORDER BY bucket""".stripMargin
+
   /** P4 — uppercase-first-letter column rename (metadata-only). */
   def p4UpperCols(spark: SparkSession, dir: String): DataFrame =
     Transform.upperFirstCols(Tables.nation(spark, dir)).orderBy("N_nationkey")
@@ -421,6 +487,26 @@ object CoreQueries {
         count(lit(1)).as("n_lines"),
         sumd(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Multi-dimensional totals via CUBE — all four grouping sets
+    * ((flag,status), (flag), (status), ()) in one pass, disambiguated
+    * by `grouping_id()` (bit i set ⇔ grouping column i aggregated
+    * away — the identical bit convention in Spark and DuckDB's
+    * `GROUPING(a, b)`). Completes [[a3Rollup]]'s hierarchy case with
+    * the cross-dimensional slices a ROLLUP never emits ((status)
+    * alone, here gid=2). Same single-shuffle expansion as ROLLUP:
+    * Catalyst duplicates the input per grouping set map-side, one
+    * exchange on the expanded key.
+    */
+  def a7Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_lines"),
+        sumd(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Exact interpolated percentiles (order statistics). Spark's
     * `percentile` and DuckDB's `quantile_cont` share the standard
@@ -717,6 +803,7 @@ object CoreQueries {
     "q_reconcile"       -> reconcile _,
     "q1_agg"            -> q1Agg _,
     "s3_scan_project"   -> s3ScanProject _,
+    "s3_malformed_scan" -> s3MalformedScan _,
     "s7_partitioned_write" -> s7PartitionedWrite _,
     "p4_upper_cols"     -> p4UpperCols _,
     "p8_date_parts"     -> p8DateParts _,
@@ -735,6 +822,7 @@ object CoreQueries {
     "a1_max"            -> a1Max _,
     "a2_groupby_agg"    -> a2GroupbyAgg _,
     "a3_rollup"         -> a3Rollup _,
+    "a7_cube"           -> a7Cube _,
     "a4_percentile"     -> a4Percentile _,
     "a5_stats"          -> a5Stats _,
     "a6_approx_percentile" -> a6ApproxPercentile _,
@@ -763,6 +851,7 @@ object CoreQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "s3_scan_project" ->
       "SELECT c_custkey, c_name AS customer_name, c_mktsegment FROM customer ORDER BY c_custkey",
+    "s3_malformed_scan" -> s3MalformedScanSql,
     "s7_partitioned_write" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS total_price,
@@ -881,6 +970,13 @@ object CoreQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "a7_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "a4_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.25) AS p25,

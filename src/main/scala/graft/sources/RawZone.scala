@@ -218,12 +218,35 @@ object RawZone {
   def jdbcQueryOptions(url: String, query: String): Map[String, String] =
     Map("url" -> url, "query" -> query)
 
+  /** @param maxStrLength optional string-column width cap for MPP
+    *   warehouse staging tables (the reference pins 4000,
+    *   `load_functions.py:58`); omitted from the map when None so the
+    *   builder stays drop-in for plain JDBC targets (Spark forwards
+    *   unknown options as connection properties, which e.g. Derby
+    *   rejects).
+    * @param distributionColumn optional HASH-distribution column for
+    *   the staging table; Some(col) → `DISTRIBUTION = HASH (col)`,
+    *   None with `withTableOptions=true` → `ROUND_ROBIN` — the exact
+    *   two table-option strings of `load_functions.py:53-60`.
+    */
   def jdbcStagedWriteOptions(
       url: String,
       stagingTable: String,
-      postActions: Seq[String]): Map[String, String] =
+      postActions: Seq[String],
+      maxStrLength: Option[Int] = None,
+      distributionColumn: Option[String] = None,
+      withTableOptions: Boolean = false): Map[String, String] = {
+    val tableOptions = distributionColumn match {
+      case Some(c) => Some(s"CLUSTERED COLUMNSTORE INDEX, DISTRIBUTION = HASH ($c)")
+      case None if withTableOptions =>
+        Some("CLUSTERED COLUMNSTORE INDEX, DISTRIBUTION = ROUND_ROBIN")
+      case None => None
+    }
     Map(
       "url" -> url,
       "dbtable" -> stagingTable,
-      "postActions" -> postActions.mkString(""))
+      "postActions" -> postActions.mkString("")) ++
+      maxStrLength.map(n => "maxStrLength" -> n.toString) ++
+      tableOptions.map("tableOptions" -> _)
+  }
 }

@@ -49,6 +49,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_reconcile: the only fact-sized single-partition exchange is the documented SK window") {
+    val p = plan("q_reconcile")
+    // exactly TWO SinglePartition exchanges, both documented: (1) the
+    // increment-sized insert branch's surrogate-key row_number window
+    // (r2-prescribed design — oracle pins the deterministic mapping;
+    // the fact-sized path is SurrogateKey.scalable, guarded in
+    // CovidPipelineSpec), and (2) the 1-row scalar max-SK aggregate
+    // (partial agg map-side, one row per partition shuffled). A third
+    // occurrence means an edit accidentally introduced a global sort.
+    val n = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(n == 2, s"expected 2 documented SinglePartition exchanges, got $n:\n$p")
+    // and the only Window over that exchange is the SK row_number
+    assert("Window \\[row_number".r.findAllIn(p).length == 1, p)
+    assert(p.contains("windowspecdefinition(o_orderkey"), p)
+  }
+
   test("x_asof_join: plans through the custom operator, not a window fallback") {
     val p = plan("x_asof_join")
     assert(p.contains("AsOfJoin "), p)

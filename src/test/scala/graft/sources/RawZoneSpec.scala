@@ -113,4 +113,25 @@ class RawZoneSpec extends SparkSpec {
     val keyOnly = RawZone.stagedUpsertSql("stg", "tgt", Seq("k"), None)
     assert(keyOnly.head == "delete from tgt where exists (select 1 from stg where stg.k = tgt.k);")
   }
+
+  test("jdbcStagedWriteOptions: Synapse-shaped warehouse options (load_functions.py:53-60)") {
+    val post = Seq("delete from t;", "insert into t select * from s;")
+    // plain-JDBC shape: exactly the three options a generic target
+    // accepts — no warehouse extras leaking in as connection properties
+    assert(RawZone.jdbcStagedWriteOptions("jdbc:u", "STG", post) == Map(
+      "url" -> "jdbc:u", "dbtable" -> "STG",
+      "postActions" -> "delete from t;insert into t select * from s;"))
+    // full MPP shape: maxStrLength + HASH distribution, drop-in for a
+    // Synapse-style connector
+    assert(RawZone.jdbcStagedWriteOptions("jdbc:u", "STG", post,
+      maxStrLength = Some(4000), distributionColumn = Some("CodeISO")) == Map(
+      "url" -> "jdbc:u", "dbtable" -> "STG",
+      "postActions" -> "delete from t;insert into t select * from s;",
+      "maxStrLength" -> "4000",
+      "tableOptions" -> "CLUSTERED COLUMNSTORE INDEX, DISTRIBUTION = HASH (CodeISO)"))
+    // no distribution column but table options requested -> ROUND_ROBIN
+    assert(RawZone.jdbcStagedWriteOptions("jdbc:u", "STG", post,
+      withTableOptions = true)("tableOptions")
+      == "CLUSTERED COLUMNSTORE INDEX, DISTRIBUTION = ROUND_ROBIN")
+  }
 }
