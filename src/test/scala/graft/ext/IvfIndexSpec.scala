@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  /** 4 tight cosine clusters of 100 in 64-dim, with vec_ids 0..99 ALL
+    * in cluster 0 — the lowest-id seed rule is maximally pathological
+    * (every seed starts inside one cluster). Cluster-0 jitter points
+    * along the other clusters' axes so seeds attract foreign clusters
+    * differentially — the condition under which Lloyd provably
+    * separates the cells (an isotropic-jitter seed merges two foreign
+    * clusters into one cell and no iteration count recovers; k-means
+    * cannot split a merged cell).
+    */
+  private lazy val clustered: DataFrame = {
+    val rows = (0 until 400).map { i =>
+      val c = i / 100
+      val v = Array.fill(64)(0.0f)
+      v(c) = 1.0f
+      if (c == 0 && i % 4 != 0) v(i % 4) = 0.4f
+      v(32 + (i % 8)) = 0.05f
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("v_norm", Similarity.norm(col("embedding")))
+  }
+
+  private def occupancy(emb: DataFrame, cents: DataFrame, k: Int): Seq[Long] =
+    IvfIndex.withCell(emb, cents, k).groupBy("cell").count()
+      .collect().map(_.getLong(1)).sorted.reverse.toSeq
+
+  test("training balances cell occupancy on clustered data (seed max/mean 1.25 -> 1.0)") {
+    val seedOcc = occupancy(clustered, IvfIndex.seed(clustered, 4), 4)
+    assert(seedOcc == Seq(125L, 125L, 125L, 25L), s"fixture drifted: $seedOcc")
+    val trainedOcc = occupancy(clustered, IvfIndex.train(clustered, 4, 2, 64), 4)
+    assert(trainedOcc == Seq(100L, 100L, 100L, 100L), s"trained: $trainedOcc")
+    // the quantity the 100 TB story cares about: the hottest cell
+    // (= hottest probe bucket) shrinks toward the mean
+    assert(trainedOcc.max < seedOcc.max)
+  }
+
+  test("training is a fixed point once converged (iters 2 == iters 3 occupancy)") {
+    val o2 = occupancy(clustered, IvfIndex.train(clustered, 4, 2, 64), 4)
+    val o3 = occupancy(clustered, IvfIndex.train(clustered, 4, 3, 64), 4)
+    assert(o2 == o3)
+  }
+
+  test("withCell CASE-chain argmax == window-rank argmax (real embeddings, trained centroids)") {
+    val emb = Tables.embeddings(spark, SfDir)
+      .withColumn("v_norm", Similarity.norm(col("embedding")))
+    val cents = IvfIndex.train(emb, 8, 2, 64)
+    val viaCase = IvfIndex.withCell(emb, cents, 8)
+      .select("vec_id", "cell")
+    val rel = IvfIndex.centroidRelation(cents, 8)
+    val viaRank = emb.crossJoin(broadcast(rel))
+      .withColumn("cos_c", Similarity.cosineWithNorms(
+        col("embedding"), col("c_emb"), col("v_norm"), col("c_norm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    assert(viaCase.exceptAll(viaRank).isEmpty && viaRank.exceptAll(viaCase).isEmpty)
+  }
+
+  test("probeCells nprobe=2 == window rank <= 2 (cells per query, both ranks)") {
+    val emb = Tables.embeddings(spark, SfDir)
+      .withColumn("v_norm", Similarity.norm(col("embedding")))
+    val cents = IvfIndex.train(emb, 8, 2, 64)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select("vec_id", "embedding", "v_norm")
+    val viaProbe = IvfIndex.probeCells(q, cents, 8, nprobe = 2)
+      .select("vec_id", "cell")
+    val rel = IvfIndex.centroidRelation(cents, 8)
+    val viaRank = q.crossJoin(broadcast(rel))
+      .withColumn("cos_c", Similarity.cosineWithNorms(
+        col("embedding"), col("c_emb"), col("v_norm"), col("c_norm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    assert(viaProbe.exceptAll(viaRank).isEmpty && viaRank.exceptAll(viaProbe).isEmpty)
+  }
+}
