@@ -10,14 +10,34 @@ object Bench {
     * side is lineitem with half its rows collapsed onto ONE hot key,
     * and ONLY that hot key amplified ×32 (straggler grows, total work
     * stays bounded — the realistic shape: one pathological key in an
-    * otherwise balanced table; ×32 keeps the effect size well above
-    * single-JVM timing noise); the small side is a 10k-row dimension.
-    * Broadcast and AQE's skew-join rescue are disabled for BOTH legs —
-    * that isolates exactly the case `SkewJoin.saltedJoin` exists for
-    * (plans AQE can't fix): unsalted, the ~9.6M hot rows sort-merge in
-    * ONE task; salted, they spread over 32. Measured at sf0.1:
-    * salted ≈ 1.3-1.6× faster, and the gap widens to >2× once the
-    * straggler's sort spills.
+    * otherwise balanced table; ~9.6M hot rows at sf0.1); the small
+    * side is a 10k-row dimension. Broadcast and AQE's skew-join rescue
+    * are disabled for BOTH legs — that isolates exactly the case
+    * `SkewJoin.saltedJoin` exists for (plans AQE can't fix).
+    *
+    * Redesigned in r4 after diagnosing r3's 180s-vs-13.8s as a
+    * MEMORY-PRESSURE ARTIFACT, not a salting effect (PLANS.md "skew
+    * A/B" note has the full measurement trail):
+    *  - the skewed input is MATERIALIZED to a 64-file temp parquet —
+    *    the sf0.1 single-row-group lineitem serialized the whole
+    *    explode+shuffle-write map stage into one task, a cost common
+    *    to both legs that drowned the join-stage difference;
+    *  - the straggler effect is made CPU-BOUND: the post-join
+    *    aggregate does real per-row work (md5), which runs inside the
+    *    join's reduce stage. Sorting/streaming all-equal keys is
+    *    nearly free (radix sort on a constant prefix), so without
+    *    per-row work the unsalted straggler costs almost nothing
+    *    in-memory and the r3-shaped A/B only separated when the
+    *    single 9.6M-row sort happened to spill — i.e. it measured
+    *    JVM heap state, and in clean-state runs it INVERTED.
+    * Unsalted: the hot key's rows stream + hash through ONE task
+    * (everything downstream of the join in that stage serializes on
+    * the straggler); salted: the same work spreads over 32 tasks.
+    * Measured clean-JVM at sf0.1: unsalted ~8.9s vs salted ~5.0s
+    * (~1.8×, direction stable across runs) — the ratio is bounded
+    * here by the common scan+shuffle of the 9.9M rows, and grows
+    * with hot-row count on a real cluster where the straggler is
+    * hours against the fleet's minutes.
     */
   private def skewBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     val conf = spark.conf
@@ -27,20 +47,26 @@ object Bench {
     conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     try {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val big = l
-        .select(
+      val bigPath = java.nio.file.Files.createTempDirectory("graft-skew").toString + "/big"
+      l.select(
           when(col("l_orderkey") % 2 === 0, lit(0L))
             .otherwise(col("l_orderkey") % 10000).as("k"),
           col("l_extendedprice").as("v"),
           col("l_orderkey"), col("l_linenumber"))
+        .repartition(64)
         // hot key only: ×32; every other key stays at its natural size
         .withColumn("_r", explode(sequence(lit(0),
           when(col("k") === 0, lit(31)).otherwise(lit(0)))))
+        .write.mode("overwrite").parquet(bigPath)
+      val big = spark.read.parquet(bigPath)
       val small = spark.range(10000)
         .select(col("id").as("k"), (col("id") % 97).cast("double").as("w"))
       def run(df: DataFrame): Double = {
         val t0 = System.nanoTime()
-        df.agg(sum(col("v") * col("w"))).collect()
+        // per-row post-join work, evaluated in the join's reduce stage
+        // (needs both sides' columns, so it cannot be pushed below the
+        // join): this is what the unsalted straggler serializes
+        df.agg(sum(length(md5(concat_ws(",", col("v"), col("w")))))).collect()
         (System.nanoTime() - t0) / 1e9
       }
       def query(salted: Boolean): DataFrame =
@@ -50,14 +76,15 @@ object Bench {
         else big.join(small, "k")
       run(query(salted = false)) // warm both plans once
       run(query(salted = true))
-      // min of 2: a single-JVM bench occasionally hits a GC/JIT pause
-      // that dwarfs the measured effect; the minimum is the standard
-      // noise-robust statistic for an A/B like this
-      def minOf2(salted: Boolean): Double =
-        math.min(run(query(salted)), run(query(salted)))
+      // min of 3: a single-JVM bench occasionally hits a GC or host
+      // stall that dwarfs the measured effect (observed: a one-off
+      // 15.9s salted run amid 4.7-5.2s neighbors); the minimum is the
+      // standard noise-robust statistic for a CPU-bound A/B
+      def minOf3(salted: Boolean): Double =
+        Seq.fill(3)(run(query(salted))).min
       Seq(
-        "unsalted" -> minOf2(salted = false),
-        "salted" -> minOf2(salted = true))
+        "unsalted" -> minOf3(salted = false),
+        "salted" -> minOf3(salted = true))
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
       conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)

@@ -81,4 +81,32 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(typed.nonEmpty && typed == declared)
   }
+
+  test("binary payloads at rest: metadata-only queries never read payload bytes (ReadSchema pruning)") {
+    // a REAL binary-column parquet table, not query-time synthesis: the
+    // scaladoc claim "columnar at-rest means the multi-KB payload bytes
+    // are not even read" exercised against an actual scan
+    val path = java.nio.file.Files.createTempDirectory("graft-media").toString + "/media"
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    Multimodal.withPayload(docs)
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .write.mode("overwrite").parquet(path)
+
+    val media = spark.read.parquet(path)
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    try {
+      val metaPlan = media.groupBy("modality")
+        .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"))
+        .queryExecution.executedPlan.toString
+      assert(metaPlan.contains("ReadSchema: struct<modality:string,n_bytes:bigint>"), metaPlan)
+      assert(!metaPlan.contains("payload"), metaPlan)
+
+      // contrast: a query that genuinely needs the bytes does scan them
+      val payloadPlan = media.select(col("doc_id"), octet_length(col("payload")))
+        .queryExecution.executedPlan.toString
+      assert(payloadPlan.contains("payload:binary"), payloadPlan)
+    } finally spark.conf.set(key, saved)
+  }
 }

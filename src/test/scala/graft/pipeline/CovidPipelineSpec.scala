@@ -233,4 +233,92 @@ class CovidPipelineSpec extends SparkSpec {
     assert(r2.curated.filter(col("Is_updated") === "Y").count() == 0)
     assert(r2.curated.count() == 5)
   }
+
+  test("two-day replay: day-3 incremental over day-2's reset curated keeps the SK/flag lifecycle") {
+    import spark.implicits._
+    // ---- replay day 2 (the production cadence's state handoff) ------
+    val empty = curatedDay1.limit(0)
+      .drop("Year", "Month", "Is_updated")
+      .withColumn("_SK_METRICS_FACT", lit(0L))
+      .select(CovidPipeline.FinalColumns.map(col): _*)
+    val r1 = CovidPipeline.reconcile(curatedDay1, empty, empty,
+      fullMode = true, LocalDate.parse(D2), AsOf1)
+    val r2 = {
+      val r = CovidPipeline.reconcile(curatedDay2, r1.warehouse, r1.enterprise,
+        fullMode = false, Day2, AsOf2)
+      r.copy(r.upsertBatch, r.warehouse.cache(), r.enterprise.cache(), r.curated.cache())
+    }
+
+    // ---- day-3 files: cumulative snapshot = day 2 content, with
+    // ESP@D2 RESTATED (stringency 72.0 -> 73.3, replacing the day-2
+    // version of the row) and new D3 rows (the "yesterday" of Day3)
+    val D3 = "2021-03-03"
+    val Day3 = LocalDate.parse("2021-03-04")
+    val AsOf3 = "2021-03-04 04:00:00"
+    val day3Raw = Raw.fromCsv(
+      owidRows(extra = Seq(
+        ("Spain", "ESP", D2, "73.3"), ("France", "FRA", D2, "60.0"),
+        ("Spain", "ESP", D3, "68.0"), ("France", "FRA", D3, "59.0"))).union(
+        s(Seq(("Spain", "ESP", D1, "75.5", "47350000", "19.4", "13.9", "10000", "400111")),
+          "location", "iso_code", "date", "stringency_index", "population",
+          "aged_65_older", "aged_70_older", "new_tests", "total_tests")),
+      vaccRows(extra = Seq(("ESP", D2, "1100000"), ("ESP", D3, "1200000"))),
+      hospRows(extra = Seq(
+        ("ESP", D2, "Daily hospital occupancy", "7900.001"),
+        ("ESP", D3, "Daily hospital occupancy", "7800.505"))),
+      excessRows(extra = Seq(("Spain", D2, "1300.001"), ("Spain", D3, "1400.009"))),
+      fullDataRows(extra = Seq(
+        ("Spain", D2, "5100"), ("France", D2, "9100"),
+        ("Spain", D3, "5200"), ("France", D3, "9200"))))
+
+    // day-3 incremental consumes the FLAG-RESET curated from day 2's
+    // reconcile — the real state handoff (main.py:83-93 daily rerun)
+    val cur3 = CovidPipeline.incremental(day3Raw, day2Raw, r2.curated, Day3, AsOf3).cache()
+
+    assert(cur3.count() == 7) // 5 reset rows + ESP@D3 + FRA@D3
+    // ESP@D2 restated -> merged in place, flips back to Y
+    val esp2 = fact(cur3, "ESP", D2).collect().head
+    assert(esp2.getAs[Double]("Stringency_index") == 73.3)
+    assert(esp2.getAs[String]("Is_updated") == "Y")
+    assert(esp2.getAs[Int]("Total_vaccinations") == 1100000) // other sources untouched
+    // ESP@D1: restated on day 2, RESET to N by day 2's reconcile, and
+    // day 3 must not resurrect the flag (no change in day-3 files)
+    val esp1 = fact(cur3, "ESP", D1).collect().head
+    assert(esp1.getAs[String]("Is_updated") == "N")
+    assert(esp1.getAs[Double]("Stringency_index") == 75.5) // day-2 restatement survives
+    // D3 inserts arrive as N through the star assembly
+    val esp3 = fact(cur3, "ESP", D3).collect().head
+    assert(esp3.getAs[String]("Is_updated") == "N")
+    assert(esp3.getAs[Double]("Stringency_index") == 68.0)
+    assert(esp3.getAs[Int]("Total_vaccinations") == 1200000)
+    assert(esp3.getAs[Double]("Daily_hospital_occupancy") == 7800.51)
+
+    // ---- day-3 reconcile: SK continuity across runs ------------------
+    val r3 = {
+      val r = CovidPipeline.reconcile(cur3, r2.warehouse, r2.enterprise,
+        fullMode = false, Day3, AsOf3)
+      r.copy(r.upsertBatch.cache(), r.warehouse.cache(), r.enterprise.cache(), r.curated.cache())
+    }
+    assert(r3.upsertBatch.count() == 3) // 2 D3 inserts + 1 ESP@D2 update
+    // inserts continue from the day-2 warehouse max (5): ESP@D3=6, FRA@D3=7
+    val insSks = r3.upsertBatch.filter(col("Date") === to_date(lit(D3)))
+      .select("_SK_METRICS_FACT").as[Long].collect().sorted
+    assert(insSks.toSeq == Seq(6L, 7L))
+    // the update keeps the SK minted for ESP@D2 on day 2 (4, by the
+    // deterministic (CodeISO, Date) insert order of that run)
+    val updSk = r3.upsertBatch.filter(col("Date") === to_date(lit(D2)) && col("CodeISO") === "ESP")
+      .select("_SK_METRICS_FACT").as[Long].collect()
+    assert(updSk.toSeq == Seq(4L))
+
+    // warehouse: 7 rows, restated value won the LWW upsert
+    assert(r3.warehouse.count() == 7)
+    assert(fact(r3.warehouse, "ESP", D2).collect().head.getAs[Double]("Stringency_index") == 73.3)
+    // enterprise: matched row updated in place, kept its day-2 audit ts
+    val entEsp2 = fact(r3.enterprise, "ESP", D2).collect().head
+    assert(entEsp2.getAs[Double]("Stringency_index") == 73.3)
+    assert(entEsp2.getAs[java.sql.Timestamp]("_TF_LAST_UPDATE").toString.startsWith("2021-03-03"))
+    // lifecycle closes: flags all N again, ready for day 4
+    assert(r3.curated.filter(col("Is_updated") === "Y").count() == 0)
+    assert(r3.curated.count() == 7)
+  }
 }
