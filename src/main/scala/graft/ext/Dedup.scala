@@ -107,6 +107,37 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** Edit-distance (Levenshtein) verification for LSH candidate
+    * pairs — the character-level fuzzy-match twin of
+    * [[ngramJaccardPairs]]'s set-based check: catches small in-place
+    * edits (typo-level rewrites) that shift many shingles at once.
+    * Distance is computed on the `prefixLen`-char prefix, bounding the
+    * per-pair DP cost at prefixLen² cells — Levenshtein on full
+    * documents is quadratic in length and NOT a 100 TB-viable
+    * verifier; the bounded-prefix form is, and still separates
+    * near-dups (small distance) from band-key coincidences (distance
+    * near the prefix length). Same scale shape as the Jaccard pass:
+    * pairs come from one (band, key) shuffle, then two hash joins on
+    * doc_id against the compact (doc_id, prefix) relation.
+    */
+  def editDistancePairs(docs: DataFrame, n: Int, prefixLen: Int,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    val cand = minhashCandidates(minhashBands(docs, n, k, bands))
+      .select("doc_a", "doc_b")
+    val prepared = docs.select(
+      col("doc_id"), substring(col("text"), 1, prefixLen).as("pfx"))
+    val dist = levenshtein(col("a.pfx"), col("b.pfx"))
+    val maxLen = greatest(length(col("a.pfx")), length(col("b.pfx")))
+    cand
+      .join(prepared.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(prepared.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        dist.cast("long").as("edit_dist"),
+        maxLen.cast("long").as("max_len"),
+        (lit(1.0) - dist.cast("double") / maxLen.cast("double")).as("edit_sim"))
+  }
+
   /** Exact word-n-gram Jaccard verification for LSH candidate pairs:
     * |A ∩ B| / |A ∪ B| over DISTINCT shingles, as one int/int IEEE
     * division, computed only for pairs sharing ≥ 1 MinHash band bucket

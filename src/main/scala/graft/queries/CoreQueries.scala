@@ -508,6 +508,27 @@ object CoreQueries {
       .orderBy(col("gid"),
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the general form [[a3Rollup]] and
+    * [[a7Cube]] are sugar for: ONLY the two single-dimension slices
+    * ((flag) and (status)), no grand total and no pair — the shape a
+    * warehouse user writes when a dashboard needs two independent
+    * breakdowns of one scan. Same single-shuffle Expand as
+    * ROLLUP/CUBE, but expanding ×2 instead of ×3/×4 — grouping sets
+    * are strictly cheaper than unioning two separate GROUP BYs (one
+    * scan, one exchange).
+    */
+  def a8GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_lines"),
+        sumd(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Exact interpolated percentiles (order statistics). Spark's
     * `percentile` and DuckDB's `quantile_cont` share the standard
     * linear-interpolation-at-(n-1)p formula — verified bit-identical
@@ -823,6 +844,7 @@ object CoreQueries {
     "a2_groupby_agg"    -> a2GroupbyAgg _,
     "a3_rollup"         -> a3Rollup _,
     "a7_cube"           -> a7Cube _,
+    "a8_grouping_sets"  -> a8GroupingSets _,
     "a4_percentile"     -> a4Percentile _,
     "a5_stats"          -> a5Stats _,
     "a6_approx_percentile" -> a6ApproxPercentile _,
@@ -976,6 +998,13 @@ object CoreQueries {
         |  COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "a8_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "a4_percentile" ->
       """SELECT l_returnflag,

@@ -41,6 +41,18 @@ class DedupSpec extends SparkSpec {
     assert(near > 0.0 && near < 1.0)
   }
 
+  test("editDistancePairs: exact dup = 0 edits / sim 1.0; near-dup's distance = its literal edit") {
+    val out = Dedup.editDistancePairs(corpus, n = 3, prefixLen = 60)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("edit_dist"), r.getAs[Double]("edit_sim")))).toMap
+    assert(out((0L, 1L)) == ((0L, 1.0)))
+    // docs 0/2 differ only past the 60-char prefix boundary: "today"
+    // vs "now" starts at char 58, so the 60-char prefixes differ in
+    // their last 2 chars ("to" vs "no" -> 2 substitutions)
+    val (d02, s02) = out((0L, 2L))
+    assert(d02 == 2L && s02 > 0.9 && s02 < 1.0)
+  }
+
   test("band blocking shrinks the max block vs first-token blocking on a skewed corpus") {
     import spark.implicits._
     // 24 distinct docs that all START with "the": a first-token block
