@@ -54,6 +54,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(o2 == o3)
   }
 
+  test("assignment is map-side: no shuffle, no window over the corpus") {
+    val emb = Tables.embeddings(spark, SfDir)
+      .withColumn("v_norm", Similarity.norm(col("embedding")))
+    val p = IvfIndex.withCell(emb, IvfIndex.seed(emb, 8), 8)
+      .queryExecution.executedPlan.toString
+    // the scale contract: centroids arrive by broadcast only; the
+    // corpus is never shuffled or window-ranked to pick its cell (the
+    // k-row crossJoin + row_number form would shuffle a k-times
+    // fan-out through hashpartitioning(vec_id))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("withCell CASE-chain argmax == window-rank argmax (real embeddings, trained centroids)") {
     val emb = Tables.embeddings(spark, SfDir)
       .withColumn("v_norm", Similarity.norm(col("embedding")))

@@ -70,6 +70,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("AsOfJoin "), p)
   }
 
+  test("x_range_join: interval bucketing yields an equi hash join, never a nested loop") {
+    val p = plan("x_range_join")
+    // the point of the bucket rewrite: a raw ts-between-ws-and-we join
+    // would plan BroadcastNestedLoopJoin (per-partition quadratic);
+    // bucket equality makes it a hash join with the range residual
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_source_cap: one per-source shuffle feeds the capping window") {
+    val p = plan("x_source_cap")
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("m1_update_merge: update-side filters pushed; single join on the merge key") {
     val p = plan("m1_update_merge")
     assert(p.contains("EqualTo(o_orderstatus,O)"), p)
