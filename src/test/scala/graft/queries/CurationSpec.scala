@@ -108,6 +108,49 @@ class CurationSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x_mixture_sample: per-source keep counts track the 1/3 : 2/3 : 1 target rates") {
+    val rows = ExtQueries.xMixtureSample(spark, dir).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    // weight class w = (N % 3) + 1 → rate w/3; sources have 25 docs each.
+    // Hash acceptance is binomial around 25·w/3, so assert ordering +
+    // the exact rate-1 class (threshold 10000 keeps everything).
+    def classAvg(wm1: Int): Double = {
+      val xs = bySrc.collect { case (s, n) if s.drop(3).toInt % 3 == wm1 => n }
+      xs.sum.toDouble / xs.size
+    }
+    assert(classAvg(2) == 25.0, s"rate-1 class must keep all: $bySrc")
+    assert(classAvg(0) < classAvg(1) && classAvg(1) < classAvg(2), bySrc.toString)
+  }
+
+  test("x_mixture_sample: corpus is never shuffled — no exchange on doc-sized data") {
+    val p = ExtQueries.xMixtureSample(spark, dir).queryExecution.executedPlan.toString
+    // the doc side joins the 20-row rate table via broadcast; the only
+    // hash exchanges are the source-cardinality aggregates
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_pack_sequences: packing is gap-free and dense within each source") {
+    val rows = ExtQueries.xPackSequences(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("cum_before") == expect, s"$src gap at $r")
+        assert(r.getAs[Long]("seq_id") == expect / 256, r.toString)
+        assert(r.getAs[Long]("seq_off") == expect % 256, r.toString)
+        expect += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("x_pack_sequences: window is per-source — no single-partition exchange") {
+    val p = ExtQueries.xPackSequences(spark, dir).queryExecution.executedPlan.toString
+    // the final presentation orderBy is a range exchange; the WINDOW
+    // itself must partition by source, never collapse to one partition
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
   test("x_contamination / x_dedup_substring: shuffles carry 8-byte hashes, never gram text") {
     for (name <- Seq("x_contamination", "x_dedup_substring")) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
