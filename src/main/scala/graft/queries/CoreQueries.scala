@@ -817,6 +817,173 @@ object CoreQueries {
   }
 
   // ===================================================================
+  // Warehouse history operators: SCD2, CDC snapshot diff
+  // ===================================================================
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** M5 — Slowly-Changing-Dimension Type 2 history build: collapse an
+    * event stream into effective-dated status rows. Per user, ordered
+    * by (ts, event_id), consecutive repeats of the same status merge
+    * into one row spanning `[effective_from, effective_to)`; the open
+    * row (`effective_to IS NULL`) is `is_current`. This is the
+    * dimension-history shape every warehouse maintains for
+    * point-in-time joins (the as-of join `x_asof_join` is its query
+    * twin). Scale: ONE shuffle on user_id — the change-detect lag and
+    * the close-date lead share the same partitioning and ordering, so
+    * Catalyst plans a single exchange and the second window rides the
+    * first's sort (the filter between them preserves both). Rows per
+    * user = status changes, not events.
+    */
+  def m5Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val chg = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("status"))
+      .withColumn("prev", lag("status", 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .drop("prev")
+    chg
+      .withColumn("eff_to", lead("ts", 1).over(byUser))
+      .select(
+        col("event_id").as("change_id"), col("user_id"), col("status"),
+        date_format(col("ts"), TsFmt).as("effective_from"),
+        date_format(col("eff_to"), TsFmt).as("effective_to"),
+        col("eff_to").isNull.as("is_current"))
+      .orderBy("change_id")
+  }
+
+  private val m5Scd2Sql =
+    """WITH chg AS (
+      |  SELECT user_id, ts, event_id, status FROM (
+      |    SELECT user_id, ts, event_id, event_type AS status,
+      |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM events)
+      |  WHERE prev IS NULL OR prev <> status),
+      |scd AS (
+      |  SELECT user_id, status, event_id, ts,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+      |  FROM chg)
+      |SELECT event_id AS change_id, user_id, status,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+      |  strftime(eff_to, '%Y-%m-%d %H:%M:%S') AS effective_to,
+      |  (eff_to IS NULL) AS is_current
+      |FROM scd ORDER BY change_id""".stripMargin
+
+  /** M6 — CDC snapshot diff: classify every key across two table
+    * versions as insert / update / delete (unchanged rows drop out) —
+    * the change feed a downstream incremental consumer replays. The
+    * two versions are deterministic derivations of `orders`: version A
+    * is the pre-2001 snapshot; version B restates open-status prices
+    * (+10.00 — an exact IEEE add on 2-dp values), admits the 2001
+    * rows (inserts), and loses every 97th key (deletes). Scale: ONE
+    * full-outer sort-merge join on the key — both sides hash-partition
+    * on o_orderkey, no broadcast (snapshots are the same order of
+    * magnitude by construction), and the change classification is
+    * map-side on the joined row. This is the plan a 100 TB
+    * snapshot-diff wants; at petabyte scale the same query runs
+    * per-partition if the snapshots share a layout.
+    */
+  def m6CdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def price = col("o_totalprice").cast(DecimalType(20, 2)).cast(DoubleType)
+    val snapA = o.filter(col("o_orderdate") < ts("2001-01-01"))
+      .select(col("o_orderkey").as("key_a"), price.as("price_a"),
+        col("o_orderstatus").as("status_a"))
+    val snapB = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("key_b"),
+        (price + when(col("o_orderstatus") === "O", lit(10.0)).otherwise(lit(0.0)))
+          .as("price_b"),
+        col("o_orderstatus").as("status_b"))
+    snapA.join(snapB, col("key_a") === col("key_b"), "full_outer")
+      .filter(col("key_a").isNull || col("key_b").isNull ||
+        col("price_a") =!= col("price_b") || col("status_a") =!= col("status_b"))
+      .select(
+        coalesce(col("key_a"), col("key_b")).as("o_orderkey"),
+        when(col("key_a").isNull, "insert")
+          .when(col("key_b").isNull, "delete")
+          .otherwise("update").as("change_type"),
+        col("price_a").as("old_price"),
+        col("price_b").as("new_price"))
+      .orderBy("o_orderkey")
+  }
+
+  private val m6CdcDiffSql =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS price,
+      |    o_orderstatus AS st
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00'),
+      |b AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE)
+      |      + CASE WHEN o_orderstatus = 'O' THEN 10.0 ELSE 0.0 END AS price,
+      |    o_orderstatus AS st
+      |  FROM orders WHERE o_orderkey % 97 <> 0)
+      |SELECT COALESCE(a.k, b.k) AS o_orderkey,
+      |  CASE WHEN a.k IS NULL THEN 'insert' WHEN b.k IS NULL THEN 'delete'
+      |       ELSE 'update' END AS change_type,
+      |  a.price AS old_price, b.price AS new_price
+      |FROM a FULL OUTER JOIN b ON a.k = b.k
+      |WHERE a.k IS NULL OR b.k IS NULL OR a.price <> b.price OR a.st <> b.st
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** A9 — fixed-width histogram: bucket = `floor(price / 20000.0)`
+    * (one IEEE divide + floor, engine-identical), per-bucket count,
+    * exact min/max, and decimal-exact sum. The profiling query every
+    * warehouse runs before choosing partition ranges; one partial-agg
+    * shuffle carrying `n_buckets` rows.
+    */
+  def a9Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / lit(20000.0)).cast(LongType).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        sumd(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  private val a9HistogramSql =
+    """SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_orders, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** S11 — schema-evolution round-trip: two batch versions of the
+    * documents table land in parquet with DIFFERENT schemas (v2 adds
+    * `lang`), and a `mergeSchema` read unions the footers — old files
+    * surface the new column as NULL, which the query routes to a
+    * `<pre-evolution>` bucket. This is how a 100 TB lake absorbs a
+    * producer schema change without rewriting history: merge-read is
+    * footer-metadata work only, and per-file column absence prunes
+    * exactly like any missing column (no data migration, no backfill
+    * scan). The oracle recomputes the same aggregate from the source
+    * table with the batch rule inlined, so a wrong merge (dropped
+    * rows, column misalignment, non-NULL backfill) hash-mismatches.
+    */
+  def s11SchemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val out = System.getProperty("java.io.tmpdir") + "/graft-s11-evolution/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val d = Tables.documents(spark, dir)
+    RawZone.overwrite(
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "source", "n_chars"),
+      s"$out/v1")
+    RawZone.overwrite(
+      d.filter(col("doc_id") % 2 =!= 0).select("doc_id", "source", "n_chars", "lang"),
+      s"$out/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .select(col("n_chars"),
+        coalesce(col("lang"), lit("<pre-evolution>")).as("lang_eff"))
+      .groupBy("lang_eff")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang_eff")
+  }
+
+  private val s11SchemaMergeSql =
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre-evolution>' ELSE lang END AS lang_eff,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY lang_eff""".stripMargin
+
+  // ===================================================================
   // Registry
   // ===================================================================
 
@@ -856,7 +1023,11 @@ object CoreQueries {
     "m1_update_merge"   -> m1UpdateMerge _,
     "m2_full_upsert"    -> m2FullUpsert _,
     "m3_lww_upsert"     -> m3LwwUpsert _,
-    "m4_flag_reset"     -> m4FlagReset _
+    "m4_flag_reset"     -> m4FlagReset _,
+    "m5_scd2"           -> m5Scd2 _,
+    "m6_cdc_diff"       -> m6CdcDiff _,
+    "a9_histogram"      -> a9Histogram _,
+    "s11_schema_merge"  -> s11SchemaMerge _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1142,6 +1313,10 @@ object CoreQueries {
         |SELECT c.o_orderkey,
         |  CASE WHEN s.s_orderkey IS NOT NULL THEN s.new_flag ELSE c.is_updated END AS is_updated
         |FROM curated c LEFT JOIN synced s ON c.o_orderkey = s.s_orderkey
-        |ORDER BY c.o_orderkey""".stripMargin
+        |ORDER BY c.o_orderkey""".stripMargin,
+    "m5_scd2" -> m5Scd2Sql,
+    "m6_cdc_diff" -> m6CdcDiffSql,
+    "a9_histogram" -> a9HistogramSql,
+    "s11_schema_merge" -> s11SchemaMergeSql
   )
 }

@@ -145,6 +145,13 @@ object RawZone {
   def writeAppend(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** Unpartitioned overwrite — the batch-version writer used by the
+    * schema-evolution round-trip (S11): each schema version lands in
+    * its own directory; a merge-schema read unions the footers.
+    */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
   /** S10 — full-mode wipe-and-reload. The reference deletes + vacuums
     * the Delta table then appends (`main.py:231-235`); on parquet the
     * atomic equivalent is a single overwrite.
