@@ -106,4 +106,34 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("x_dedup_minhash_pairs")
     assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
   }
+
+  test("m5_scd2: lag + lead windows share ONE user_id exchange (filter preserves sort)") {
+    val p = plan("m5_scd2")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("m6_cdc_diff: full-outer snapshot diff is a key-partitioned sort-merge join") {
+    val p = plan("m6_cdc_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("x_funnel: stage relations broadcast into the event scans, never shuffling events") {
+    val p = plan("x_funnel")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_retention: cohort map and sizes broadcast; no event-side merge join") {
+    val p = plan("x_retention")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_dedup_canonical: selection windows partition by component, no global sort") {
+    val p = plan("x_dedup_canonical")
+    assert(p.contains("hashpartitioning(component"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
