@@ -983,6 +983,104 @@ object CoreQueries {
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY lang_eff""".stripMargin
 
+  /** A10 — incremental aggregate maintenance: partial aggregation
+    * state (sum/count/max — a commutative monoid, exactly Spark's own
+    * map-side-partial contract) materialized per load window, then
+    * MERGED by re-aggregation instead of rescanning history. The
+    * query splits lineitem at the incremental cutoff into a "history"
+    * state and a "delta" state and merges them; the oracle aggregates
+    * the whole table directly — hash-equality proves state-merge ≡
+    * full recompute. At 100 TB this is THE pattern that turns a daily
+    * dashboard from a full-history scan into a delta-sized one: the
+    * stored state is group-cardinality rows regardless of corpus
+    * size, the daily cost is one scan of the new partition, and the
+    * merge is a shuffle over state rows only. Decimal sums keep the
+    * merge bit-exact under any split (double sums would drift with
+    * grouping); `avg_qty` is recomposed from merged sum/count — avg
+    * itself is NOT mergeable, its sum/count decomposition is.
+    */
+  def a10IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    def state(df: DataFrame): DataFrame =
+      df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(20, 2))).as("s_qty"),
+          count(lit(1)).as("s_cnt"),
+          max(col("l_shipdate").cast(DateType)).as("s_max"))
+    val history = state(l.filter(col("l_shipdate") < ts(PinYesterday)))
+    val delta   = state(l.filter(col("l_shipdate") >= ts(PinYesterday)))
+    history.unionByName(delta)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("s_qty")).cast(DoubleType).as("sum_qty"),
+        sum(col("s_cnt")).as("n_lines"),
+        max(col("s_max")).as("max_ship"))
+      .withColumn("avg_qty", col("sum_qty") / col("n_lines").cast(DoubleType))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val a10IncrementalAggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_lines,
+      |  MAX(CAST(l_shipdate AS DATE)) AS max_ship,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** P13 — one-pass column profile (count / nulls / distincts per
+    * column), the data-quality audit a warehouse runs on every new
+    * feed before trusting it. All three columns' statistics come from
+    * ONE aggregation over ONE scan: multiple exact `countDistinct`s
+    * compile to a single Expand (×3 rows map-side, one shuffle) — the
+    * documented trade for exact multi-column distincts; at extreme
+    * scale swap in `approx_count_distinct` (the `x_approx_distinct`
+    * path) to drop the expansion. The wide 1-row aggregate is then
+    * unpivoted to one row per column with `stack` — plain projection,
+    * no extra pass.
+    */
+  def p13Profile(spark: SparkSession, dir: String): DataFrame = {
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    Tables.orders(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        nulls("o_orderstatus").as("nn_status"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        nulls("o_custkey").as("nn_cust"),
+        countDistinct(col("o_custkey")).as("nd_cust"),
+        nulls("o_totalprice").as("nn_price"),
+        countDistinct(col("o_totalprice")).as("nd_price"))
+      .select(col("n"), expr(
+        """stack(3,
+          |  'o_custkey',     nn_cust,   nd_cust,
+          |  'o_orderstatus', nn_status, nd_status,
+          |  'o_totalprice',  nn_price,  nd_price)
+          |AS (col_name, n_null, n_distinct)""".stripMargin))
+      .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+        (col("n_null").cast(DoubleType) / col("n").cast(DoubleType)).as("null_frac"))
+      .orderBy("col_name")
+  }
+
+  private val p13ProfileSql =
+    """WITH a AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_status,
+      |    COUNT(DISTINCT o_orderstatus) AS nd_status,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_cust,
+      |    COUNT(DISTINCT o_custkey) AS nd_cust,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_price,
+      |    COUNT(DISTINCT o_totalprice) AS nd_price
+      |  FROM orders)
+      |SELECT col_name, n, n_null, n_distinct,
+      |  CAST(n_null AS DOUBLE) / CAST(n AS DOUBLE) AS null_frac
+      |FROM (
+      |  SELECT 'o_custkey' AS col_name, n, nn_cust AS n_null, nd_cust AS n_distinct FROM a
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', n, nn_status, nd_status FROM a
+      |  UNION ALL
+      |  SELECT 'o_totalprice', n, nn_price, nd_price FROM a)
+      |ORDER BY col_name""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1027,6 +1125,8 @@ object CoreQueries {
     "m5_scd2"           -> m5Scd2 _,
     "m6_cdc_diff"       -> m6CdcDiff _,
     "a9_histogram"      -> a9Histogram _,
+    "a10_incremental"   -> a10IncrementalAgg _,
+    "p13_profile"       -> p13Profile _,
     "s11_schema_merge"  -> s11SchemaMerge _
   )
 
@@ -1317,6 +1417,8 @@ object CoreQueries {
     "m5_scd2" -> m5Scd2Sql,
     "m6_cdc_diff" -> m6CdcDiffSql,
     "a9_histogram" -> a9HistogramSql,
+    "a10_incremental" -> a10IncrementalAggSql,
+    "p13_profile" -> p13ProfileSql,
     "s11_schema_merge" -> s11SchemaMergeSql
   )
 }

@@ -161,4 +161,42 @@ class CurationSpec extends SparkSpec {
       assert(!"hashpartitioning\\((gram|win)".r.findFirstIn(plan).isDefined, plan)
     }
   }
+
+  test("x_lm_score: scores are valid frequencies and rare-token docs rank below common-token docs") {
+    val rows = ExtQueries.xLmScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("avg_freq")
+      assert(f > 0.0 && f <= 1.0, s"avg_freq out of range: $r")
+      // every token occurs at least once (itself), so cnt_sum >= n_tokens
+      assert(r.getAs[Long]("cnt_sum") >= r.getAs[Long]("n_tokens"), r.toString)
+    }
+  }
+
+  test("x_lm_score: a doc of corpus-unique gibberish scores strictly below a doc of corpus-common words") {
+    import spark.implicits._
+    val common = Seq.fill(20)("alpha beta gamma delta").mkString(" ")
+    val df = (Seq(
+      (1L, common, "en", "t", 100L),
+      (2L, "zzqx1 zzqx2 zzqx3 zzqx4 zzqx5 zzqx6 zzqx7 zzqx8", "en", "t", 100L)) ++
+      (3L to 10L).map(i => (i, common, "en", "t", 100L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ExtQueries.xLmScore(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_freq")).toMap
+    assert(out(2L) < out(1L), out.toString)
+  }
+
+  test("x_lm_score: vocabulary joins broadcast — the corpus text is never shuffled") {
+    val p = ExtQueries.xLmScore(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_pagerank: no cartesian blowup, no global-sort window in the iteration") {
+    val p = ExtQueries.xPagerank(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p) // rank state is pure join+agg, never a window
+  }
 }

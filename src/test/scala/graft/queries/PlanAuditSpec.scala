@@ -136,4 +136,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(component"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("p13_profile: all column statistics come from ONE scan (Expand-based multi-distinct)") {
+    val p = plan("p13_profile")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Expand"), p) // the documented ×3 multi-countDistinct expansion
+  }
+
+  test("a10_incremental: state merge is key-partitioned throughout — no single-partition collapse") {
+    val p = plan("a10_incremental")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // both load windows' predicates reach their scans
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"), p)
+  }
 }
