@@ -1081,6 +1081,88 @@ object CoreQueries {
       |  SELECT 'o_totalprice', n, nn_price, nd_price FROM a)
       |ORDER BY col_name""".stripMargin
 
+  /** W5 — calendar densification (date-spine gap fill): daily order
+    * totals joined onto a COMPLETE generated day spine, absent days
+    * zero-filled — the step every time-series dashboard needs before
+    * window math, because a groupBy emits no row for a day with no
+    * data (and a `lag`/moving-average over gappy days silently spans
+    * gaps). The spine is generated (`sequence` + explode — no table,
+    * no scan); the fact side aggregates down to day cardinality
+    * BEFORE the join, so the join is spine × day-counts — both
+    * bounded by the calendar, independent of corpus size — and the
+    * aggregate broadcasts. Filters on the raw timestamp push to the
+    * scan.
+    */
+  def w5DateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-03-01"))
+      .groupBy(col("o_orderdate").cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("sum_price"))
+    val spine = spark.range(1).select(explode(expr(
+      "sequence(DATE '1997-01-01', DATE '1997-02-28', interval 1 day)")).as("day"))
+    spine.join(broadcast(agg), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+      .orderBy("day")
+  }
+
+  private val w5DateSpineSql =
+    """WITH agg AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-03-01 00:00:00'
+      |  GROUP BY 1),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-02-28',
+      |    INTERVAL 1 DAY)) AS DATE) AS day)
+      |SELECT spine.day, COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(sum_price, 0.0) AS sum_price
+      |FROM spine LEFT JOIN agg ON spine.day = agg.day
+      |ORDER BY spine.day""".stripMargin
+
+  /** A11 — statistical outlier ranking: the 20 orders most extreme by
+    * population z-score of `o_totalprice`. Moments (n, Σx, Σx²) are
+    * ONE decimal-exact 1-row aggregate broadcast back (the `a5_stats`
+    * machinery), the z expression is mirrored op-for-op in the
+    * oracle, and the result is a rank (top-|z|), not a threshold —
+    * thresholds are distribution-fragile (this data is uniform: max
+    * |z| ≈ 1.73, so a 3σ gate matches nothing ever), while "the k
+    * most extreme" is the triage view an operator actually opens.
+    * The top-k plans as `TakeOrderedAndProject` — O(k) per partition,
+    * never a global sort.
+    */
+  def a11Outliers(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice")
+    val m = Tables.orders(spark, dir).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(x.cast(DecimalType(38, 2))).cast(DoubleType).as("sx"),
+      sum((x * x).cast(DecimalType(38, 4))).cast(DoubleType).as("sxx"))
+    val mean = col("sx") / col("n")
+    Tables.orders(spark, dir)
+      .crossJoin(broadcast(m)) // 1-row scalar, in-plan
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ((col("o_totalprice") - mean) /
+          sqrt(col("sxx") / col("n") - mean * mean)).as("z"))
+      .orderBy(abs(col("z")).desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val a11OutliersSql =
+    """WITH m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+      |  FROM orders)
+      |SELECT o_orderkey, o_totalprice,
+      |  (o_totalprice - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) AS z
+      |FROM orders CROSS JOIN m
+      |ORDER BY ABS((o_totalprice - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) DESC,
+      |  o_orderkey
+      |LIMIT 20""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1126,7 +1208,9 @@ object CoreQueries {
     "m6_cdc_diff"       -> m6CdcDiff _,
     "a9_histogram"      -> a9Histogram _,
     "a10_incremental"   -> a10IncrementalAgg _,
+    "a11_outliers"      -> a11Outliers _,
     "p13_profile"       -> p13Profile _,
+    "w5_date_spine"     -> w5DateSpine _,
     "s11_schema_merge"  -> s11SchemaMerge _
   )
 
@@ -1418,7 +1502,9 @@ object CoreQueries {
     "m6_cdc_diff" -> m6CdcDiffSql,
     "a9_histogram" -> a9HistogramSql,
     "a10_incremental" -> a10IncrementalAggSql,
+    "a11_outliers" -> a11OutliersSql,
     "p13_profile" -> p13ProfileSql,
+    "w5_date_spine" -> w5DateSpineSql,
     "s11_schema_merge" -> s11SchemaMergeSql
   )
 }

@@ -149,4 +149,25 @@ class PlanAuditSpec extends SparkSpec {
     // both load windows' predicates reach their scans
     assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"), p)
   }
+
+  test("w5_date_spine: range predicate pushed; day aggregate broadcasts into the generated spine") {
+    val p = plan("w5_date_spine")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("a11_outliers: top-|z| plans as TakeOrdered, never a global sort exchange") {
+    val p = plan("a11_outliers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("x_sketch_merge: sketch state merges through partial aggregation (one day shuffle)") {
+    val p = plan("x_sketch_merge")
+    // daily sketches: partial_hll_sketch_agg map-side before the day
+    // exchange; the union-of-sketches aggregate likewise partials
+    assert("Exchange hashpartitioning\\(day".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
