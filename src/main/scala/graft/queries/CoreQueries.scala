@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -1163,6 +1163,34 @@ object CoreQueries {
       |  o_orderkey
       |LIMIT 20""".stripMargin
 
+  /** S12 — compaction round-trip: a 50-file small-file storm (the
+    * residue of streaming/incremental appends) is rewritten to 4
+    * files by [[RawZone.compactInPlace]] (shuffle-free coalesce +
+    * crash-safe rename-aside swap), then read back and aggregated.
+    * The oracle recomputes the aggregate from the source table, so a
+    * compaction that drops, duplicates, or corrupts rows
+    * hash-mismatches — the same round-trip discipline as
+    * `s7_partitioned_write`. File-count assertions live in
+    * `RawZoneSpec`.
+    */
+  def s12Compact(spark: SparkSession, dir: String): DataFrame = {
+    val out = System.getProperty("java.io.tmpdir") + "/graft-s12-compact/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars")
+      .repartition(50)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    RawZone.compactInPlace(spark, out, targetFiles = 4)
+    spark.read.parquet(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
+  private val s12CompactSql =
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1211,6 +1239,7 @@ object CoreQueries {
     "a11_outliers"      -> a11Outliers _,
     "p13_profile"       -> p13Profile _,
     "w5_date_spine"     -> w5DateSpine _,
+    "s12_compact"       -> s12Compact _,
     "s11_schema_merge"  -> s11SchemaMerge _
   )
 
@@ -1505,6 +1534,7 @@ object CoreQueries {
     "a11_outliers" -> a11OutliersSql,
     "p13_profile" -> p13ProfileSql,
     "w5_date_spine" -> w5DateSpineSql,
+    "s12_compact" -> s12CompactSql,
     "s11_schema_merge" -> s11SchemaMergeSql
   )
 }

@@ -159,6 +159,46 @@ object RawZone {
   def overwritePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     writePartitioned(df, path, partitionCols, SaveMode.Overwrite)
 
+  /** S12 — small-file compaction: rewrite a parquet directory into
+    * ~`targetFiles` files and swap it in place. Streaming appends and
+    * incremental loads accrete files far smaller than a parquet row
+    * group; at 100 TB the resulting footer/task explosion dominates
+    * scan planning (every query pays it), so compaction is routine
+    * table maintenance. Two scale decisions:
+    *  - `coalesce`, NOT `repartition`: compaction is an IO rebin —
+    *    each output task concatenates a handful of input files; a
+    *    shuffle would move the whole table's bytes through the
+    *    exchange for nothing. On a partitioned lake this runs
+    *    per-partition with the same shape.
+    *  - the swap is rename-aside (write `.next`, rename target →
+    *    `.old`, `.next` → target, drop `.old`), the same crash-safe
+    *    order as the streaming LWW sink: a crash at any step leaves a
+    *    complete copy under one of the names, never a half-table.
+    *    Readers racing the two renames can see a missing directory —
+    *    single-writer maintenance-window semantics, documented (real
+    *    snapshot isolation needs a table format with a metadata
+    *    pointer; out of scope per SURVEY §7.4's parquet-only
+    *    contract).
+    */
+  def compactInPlace(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tgt = new Path(path)
+    val fs = tgt.getFileSystem(conf)
+    val next = new Path(path + ".compact-next")
+    val old = new Path(path + ".compact-old")
+    fs.delete(next, true)
+    spark.read.parquet(path).coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(next.toString)
+    fs.delete(old, true)
+    if (!fs.rename(tgt, old))
+      throw new java.io.IOException(s"compactInPlace: rename $tgt -> $old failed")
+    if (!fs.rename(next, tgt))
+      throw new java.io.IOException(
+        s"compactInPlace: rename $next -> $tgt failed; original preserved at $old")
+    fs.delete(old, true)
+  }
+
   /** Bucketed table write — the at-rest co-location scale path: both
     * sides of a recurring fact-fact join written with `bucketBy` on
     * the join key (+ in-bucket sort) join WITHOUT any exchange — the

@@ -134,4 +134,22 @@ class RawZoneSpec extends SparkSpec {
       withTableOptions = true)("tableOptions")
       == "CLUSTERED COLUMNSTORE INDEX, DISTRIBUTION = ROUND_ROBIN")
   }
+
+  test("compactInPlace: 50-file storm collapses to <= target files, rows and values intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    df.repartition(50).write.mode("overwrite").parquet(dir)
+    def partFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles() == 50, s"expected the small-file storm, got ${partFiles()}")
+    RawZone.compactInPlace(spark, dir, targetFiles = 4)
+    assert(partFiles() <= 4, s"compaction left ${partFiles()} files")
+    // no leftover swap directories
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName).toSet
+    assert(!parent.exists(_.contains("compact-")), parent.toString)
+    // content identical (keys dense, values aligned)
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(back.length == 1000 && back.head == ((1L, "v1")) && back.last == ((1000L, "v1000")))
+  }
 }
