@@ -1191,6 +1191,33 @@ object CoreQueries {
     """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** W6 — quantile binning (`ntile`): orders bucketed into price
+    * quartiles within their status group — the feature-engineering /
+    * stratified-sampling primitive (equal-population bins, unlike
+    * `a9_histogram`'s equal-width ones). NTILE depends only on row
+    * ORDER, so the window orders by (price, key) — the unique key
+    * tie-break is what makes the bucketing deterministic and
+    * engine-identical under duplicate prices. Partition-parallel
+    * window (one status shuffle), date range pushed to the scan.
+    */
+  def w6Ntile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-02-01"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey")))
+          .cast(LongType).as("price_quartile")) // BIGINT like DuckDB NTILE
+      .orderBy("o_orderkey")
+
+  private val w6NtileSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  NTILE(4) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice, o_orderkey) AS price_quartile
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'
+      |ORDER BY o_orderkey""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1240,6 +1267,7 @@ object CoreQueries {
     "p13_profile"       -> p13Profile _,
     "w5_date_spine"     -> w5DateSpine _,
     "s12_compact"       -> s12Compact _,
+    "w6_ntile"          -> w6Ntile _,
     "s11_schema_merge"  -> s11SchemaMerge _
   )
 
@@ -1535,6 +1563,7 @@ object CoreQueries {
     "p13_profile" -> p13ProfileSql,
     "w5_date_spine" -> w5DateSpineSql,
     "s12_compact" -> s12CompactSql,
+    "w6_ntile" -> w6NtileSql,
     "s11_schema_merge" -> s11SchemaMergeSql
   )
 }

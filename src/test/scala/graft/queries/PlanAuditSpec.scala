@@ -163,6 +163,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("w6_ntile: quartile window partitions by status — no single-partition collapse") {
+    val p = plan("w6_ntile")
+    assert(p.contains("hashpartitioning(o_orderstatus"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"), p)
+  }
+
+  test("x_collocations: vocab joins broadcast, top-20 is TakeOrdered — text never shuffles") {
+    val p = plan("x_collocations")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("x_sketch_merge: sketch state merges through partial aggregation (one day shuffle)") {
     val p = plan("x_sketch_merge")
     // daily sketches: partial_hll_sketch_agg map-side before the day
