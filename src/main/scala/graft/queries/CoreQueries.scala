@@ -166,7 +166,7 @@ object CoreQueries {
     // harness runs one writer at a time (Verify, then Bench), so no
     // concurrent-writer race.
     val out = System.getProperty("java.io.tmpdir") + "/graft-s7-roundtrip/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+      dir.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
     // 3-year slice (36 partitions), raw-ts predicates so the scan
     // prunes: at test scale a partitioned write is bound by filesystem
     // metadata (one dir + commit rename per partition), so 36
@@ -962,7 +962,7 @@ object CoreQueries {
     */
   def s11SchemaMerge(spark: SparkSession, dir: String): DataFrame = {
     val out = System.getProperty("java.io.tmpdir") + "/graft-s11-evolution/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+      dir.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
     val d = Tables.documents(spark, dir)
     RawZone.overwrite(
       d.filter(col("doc_id") % 2 === 0).select("doc_id", "source", "n_chars"),
@@ -1175,7 +1175,7 @@ object CoreQueries {
     */
   def s12Compact(spark: SparkSession, dir: String): DataFrame = {
     val out = System.getProperty("java.io.tmpdir") + "/graft-s12-compact/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+      dir.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
     Tables.documents(spark, dir)
       .select("doc_id", "source", "n_chars")
       .repartition(50)

@@ -152,4 +152,16 @@ class RawZoneSpec extends SparkSpec {
     val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
     assert(back.length == 1000 && back.head == ((1L, "v1")) && back.last == ((1000L, "v1000")))
   }
+
+  test("compactInPlace: the rewrite is coalesce-shaped — no exchange in the compaction job") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString + "/t"
+    (1L to 100L).toDF("k").repartition(10).write.mode("overwrite").parquet(dir)
+    // the same read+coalesce pipeline compactInPlace writes from: an
+    // IO rebin, not a shuffle — a repartition here would push the
+    // whole table through an exchange for nothing
+    val p = spark.read.parquet(dir).coalesce(4).queryExecution.executedPlan.toString
+    assert(p.contains("Coalesce"), p)
+    assert(!p.contains("Exchange"), p)
+  }
 }
