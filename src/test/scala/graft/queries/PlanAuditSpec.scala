@@ -170,7 +170,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"), p)
   }
 
-  test("x_collocations: vocab joins broadcast, top-20 is TakeOrdered — text never shuffles") {
+  test("x_collocations: vocab joins broadcast, top-20 is TakeOrdered — no doc-side merge join") {
     val p = plan("x_collocations")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
