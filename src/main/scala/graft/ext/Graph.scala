@@ -60,4 +60,29 @@ object Graph {
     }
     pr
   }
+
+  /** Per-node triangle counts over an ordered pair list (`a < b` on
+    * every input row, the [[Dedup.minhashCandidates]] contract) —
+    * triangle density separates genuine duplicate CLUSTERS (mutually
+    * similar, triangle-rich) from chains of borderline pairs
+    * (triangle-free), the standard community-density signal.
+    *
+    * Shape: wedge join (b-pivot) + closure join — two shuffle joins
+    * over the pair list, which the caller's candidate generation has
+    * already bounded per LSH bucket, so wedge counts are bounded by
+    * bucket sizes rather than node degrees (the ordered-edge
+    * orientation is the same trick production triangle counters use
+    * to bound wedges by the LOWER-degree endpoint). The pair list is
+    * materialized once for its three consumers. Returns (doc_id,
+    * n_triangles) for nodes in ≥ 1 triangle.
+    */
+  def triangleCounts(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b"): DataFrame = {
+    val p = pairs.select(col(a).as("pa"), col(b).as("pb")).localCheckpoint()
+    val wedges = p.select(col("pa").as("ta"), col("pb").as("tb"))
+      .join(p.select(col("pa").as("tb"), col("pb").as("tc")), "tb")
+    val tris = wedges.join(
+      p.select(col("pa").as("ta"), col("pb").as("tc")), Seq("ta", "tc"))
+    tris.select(explode(array(col("ta"), col("tb"), col("tc"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -50,4 +50,23 @@ class GraphSpec extends SparkSpec {
     val pr = ranks((1L, 2L), (2L, 3L))
     assert(pr(2L) > pr(1L) && pr(1L) == pr(3L), pr.toString)
   }
+
+  test("empty pair list: pagerank returns empty, not a failure") {
+    assert(ranks().isEmpty)
+  }
+
+  private def triangles(pairs: (Long, Long)*): Map[Long, Long] =
+    Graph.triangleCounts(pairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
+
+  test("K4: every node sits in 3 of the 4 triangles") {
+    val t = triangles((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(t == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), t.toString)
+  }
+
+  test("a chain has no triangles; closing it makes exactly one") {
+    assert(triangles((1L, 2L), (2L, 3L)).isEmpty)
+    val closed = triangles((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(closed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), closed.toString)
+  }
 }
