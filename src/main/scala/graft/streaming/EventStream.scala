@@ -272,37 +272,96 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val tgt = new org.apache.hadoop.fs.Path(targetDir)
-        val next = new org.apache.hadoop.fs.Path(targetDir + ".next")
-        val old = new org.apache.hadoop.fs.Path(targetDir + ".old")
-        // the TARGET path's filesystem, not the default one (targetDir
-        // may carry a non-default scheme)
-        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def renameOrFail(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Unit =
-          // Hadoop rename reports failure by returning false — an
-          // unchecked false here would silently corrupt the target
-          // (rename INTO an existing dir nests instead of replacing)
-          if (!fs.rename(a, b)) throw new java.io.IOException(s"upsert sink: rename $a -> $b failed")
-        // crash recovery FIRST: a previous run that died between the
-        // two renames left the table only at .old — restore it before
-        // reading, else the replayed batch would merge into an empty
-        // target and the .old cleanup below would erase the last copy
-        if (!fs.exists(tgt) && fs.exists(old)) renameOrFail(old, tgt)
-        val target =
-          try spark.read.parquet(targetDir)
-          catch { case _: Exception => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
-        graft.ops.Upsert.lwwUpsert(target, batch, keys, Some(versionCol))
-          .write.mode("overwrite").parquet(targetDir + ".next")
-        // rename-aside swap: target → .old, .next → target, drop .old.
-        // Not transactional (a lakehouse format would be), but a crash
-        // at any point leaves either the old table in place or a
-        // recoverable copy at .old (restored above on replay) — never
-        // a lost table, which the naive delete-then-rename order risks.
-        fs.delete(old, true) // stale .old from a crash AFTER its swap completed
-        if (fs.exists(tgt)) renameOrFail(tgt, old)
-        renameOrFail(next, tgt)
-        fs.delete(old, true)
-        ()
+        mergeIntoTarget(spark, targetDir, batch, batch.schema)(
+          graft.ops.Upsert.lwwUpsert(_, _, keys, Some(versionCol)))
+      }
+      .start()
+  }
+
+  /** Crash-safe read-merge-swap of a parquet target table: read the
+    * current target (empty relation with `emptySchema` on first
+    * batch), `merge(target, batch)`, write `.next`, swap via
+    * rename-aside (target → `.old`, `.next` → target, drop `.old`).
+    * A crash at any point leaves either the old table in place or a
+    * recoverable copy at `.old` — restored here on replay BEFORE
+    * reading, else the replayed batch would merge into an empty
+    * target and the `.old` cleanup would erase the last copy. Not
+    * transactional (a lakehouse format would be), but never a lost
+    * table, which the naive delete-then-rename order risks. Uses the
+    * TARGET path's filesystem, not the default one (targetDir may
+    * carry a non-default scheme).
+    */
+  private def mergeIntoTarget(
+      spark: SparkSession, targetDir: String, batch: DataFrame,
+      emptySchema: org.apache.spark.sql.types.StructType)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val tgt = new org.apache.hadoop.fs.Path(targetDir)
+    val next = new org.apache.hadoop.fs.Path(targetDir + ".next")
+    val old = new org.apache.hadoop.fs.Path(targetDir + ".old")
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def renameOrFail(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Unit =
+      // Hadoop rename reports failure by returning false — an
+      // unchecked false here would silently corrupt the target
+      // (rename INTO an existing dir nests instead of replacing)
+      if (!fs.rename(a, b)) throw new java.io.IOException(s"merge sink: rename $a -> $b failed")
+    if (!fs.exists(tgt) && fs.exists(old)) renameOrFail(old, tgt)
+    val target =
+      try spark.read.parquet(targetDir)
+      catch {
+        case _: Exception =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+      }
+    merge(target, batch).write.mode("overwrite").parquet(targetDir + ".next")
+    fs.delete(old, true) // stale .old from a crash AFTER its swap completed
+    if (fs.exists(tgt)) renameOrFail(tgt, old)
+    renameOrFail(next, tgt)
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Streaming incremental-aggregation sink — the streaming twin of
+    * the batch `a10_incremental` pattern: each micro-batch reduces to
+    * its own partial aggregate STATE (decimal-exact sum / count /
+    * max per event_type — a commutative monoid), which merges into
+    * the stored state table by re-aggregation. The stored state is
+    * group-cardinality rows regardless of how much history has
+    * flowed; raw events are never rescanned, and the merge cost per
+    * batch is state-sized, not history-sized — a continuously
+    * maintained dashboard table. Exactly-once per micro-batch via the
+    * checkpoint + the same crash-safe swap as the LWW sink; decimal
+    * sums make the final state bit-identical to a batch recompute
+    * over all events regardless of how the stream was chopped into
+    * batches (spec-asserted).
+    */
+  def aggState(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 2))).as("s_sum"),
+        count(lit(1)).as("s_cnt"),
+        max(col("ts")).as("s_max_ts"))
+
+  def mergeAggState(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy("event_type")
+      .agg(
+        sum(col("s_sum")).cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("s_sum"),
+        sum(col("s_cnt")).as("s_cnt"),
+        max(col("s_max_ts")).as("s_max_ts"))
+
+  def runAggStateSink(
+      spark: SparkSession, inDir: String, stateDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = aggState(batch)
+        mergeIntoTarget(spark, stateDir, delta, delta.schema)(mergeAggState)
       }
       .start()
   }

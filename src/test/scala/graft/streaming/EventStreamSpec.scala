@@ -114,6 +114,36 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
+  test("agg-state sink: state merged across micro-batches equals a batch recompute over all events") {
+    val dir = Files.createTempDirectory("graft-aggstate").toString
+    val in = s"$dir/in"; val st = s"$dir/state"; val ck = s"$dir/ck"
+    // many small files + maxFilesPerTrigger=1 forces multi-batch
+    // merging — the decimal monoid must make batch chopping invisible
+    mkEvents.repartition(5).write.parquet(in)
+    val q = EventStream.runAggStateSink(spark, in, st, ck, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val state = spark.read.parquet(st).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[java.math.BigDecimal]("s_sum"), r.getAs[Long]("s_cnt"),
+          r.getAs[Timestamp]("s_max_ts")))).toMap
+    val batch = EventStream.aggState(spark.read.parquet(in)).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[java.math.BigDecimal]("s_sum"), r.getAs[Long]("s_cnt"),
+          r.getAs[Timestamp]("s_max_ts")))).toMap
+    assert(state.keySet == batch.keySet && state.keySet.nonEmpty)
+    state.foreach { case (k, (s, c, m)) =>
+      val (bs, bc, bm) = batch(k)
+      assert(s.compareTo(bs) == 0 && c == bc && m == bm, s"$k: $s/$c/$m vs $bs/$bc/$bm")
+    }
+    // incremental day-2: appending more events only reprocesses the delta
+    mkEvents.withColumn("value", col("value") + 1.0).repartition(3)
+      .write.mode("append").parquet(in)
+    val q2 = EventStream.runAggStateSink(spark, in, st, ck, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(120000)
+    val total = spark.read.parquet(st).agg(sum("s_cnt")).collect()(0).getLong(0)
+    assert(total == 400L, s"expected 400 events in state, got $total")
+  }
+
   test("streaming text pipeline == batch twin (stateless map-side ops compose)") {
     val dir = Files.createTempDirectory("graft-textpipe").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
