@@ -45,9 +45,10 @@ object Bench {
     val savedSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val skewRoot = java.nio.file.Files.createTempDirectory("graft-skew")
     try {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val bigPath = java.nio.file.Files.createTempDirectory("graft-skew").toString + "/big"
+      val bigPath = skewRoot.toString + "/big"
       l.select(
           when(col("l_orderkey") % 2 === 0, lit(0L))
             .otherwise(col("l_orderkey") % 10000).as("k"),
@@ -88,6 +89,9 @@ object Bench {
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
       conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
+      // the amplified big side is ~hundreds of MB per run — delete it
+      // or repeated bench rounds fill the host's tmp
+      org.apache.commons.io.FileUtils.deleteQuietly(skewRoot.toFile)
     }
   }
 

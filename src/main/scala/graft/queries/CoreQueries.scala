@@ -45,6 +45,17 @@ object CoreQueries {
     */
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** cwd-independent scratch location for write-roundtrip queries,
+    * one copy per (sf dir, JVM): the pid suffix means a Verify dump
+    * and a Bench run racing on the same host can never overwrite each
+    * other's fixture mid-read (the same-name-race rationale behind the
+    * session's pid-scoped warehouse dir); within one JVM, overwrite
+    * mode makes the bench's repeated passes reuse the copy.
+    */
+  private def scratchDir(sub: String, dir: String): String =
+    System.getProperty("java.io.tmpdir") + s"/graft-$sub-p${ProcessHandle.current().pid()}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
+
   // pinned cutoffs (orders span 1995-01-01..2001-08-01)
   private val CutWarehouse = "1998-01-01" // "already in the warehouse"
   private val CutToday     = "1996-12-31" // SET1 "today" snapshot
@@ -160,13 +171,7 @@ object CoreQueries {
     * (PartitionFilters) rather than scanning all partitions.
     */
   def s7PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
-    // cwd-independent FIXED scratch location (same convention as the
-    // session warehouse dir), one copy per sf dir: overwrite mode makes
-    // re-runs reuse it instead of accumulating per-pid copies. The
-    // harness runs one writer at a time (Verify, then Bench), so no
-    // concurrent-writer race.
-    val out = System.getProperty("java.io.tmpdir") + "/graft-s7-roundtrip/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
+    val out = scratchDir("s7-roundtrip", dir)
     // 3-year slice (36 partitions), raw-ts predicates so the scan
     // prunes: at test scale a partitioned write is bound by filesystem
     // metadata (one dir + commit rename per partition), so 36
@@ -210,7 +215,14 @@ object CoreQueries {
   def s3MalformedScan(spark: SparkSession, dir: String): DataFrame = {
     val p = java.nio.file.Paths.get(MalformedCsvPath)
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, MalformedCsvContent.getBytes("UTF-8"))
+    // atomic publish (temp + move): the oracle's DuckDB process reads
+    // this exact path later — a plain write could expose a truncated
+    // file to a concurrent reader
+    val tmp = java.nio.file.Files.createTempFile(p.getParent, "s3_malformed", ".tmp")
+    java.nio.file.Files.write(tmp, MalformedCsvContent.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("val", LongType),
       StructField("name", StringType)))
@@ -227,7 +239,10 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
-  private val MalformedCsvPath = "/tmp/graft-fixtures/s3_malformed.csv"
+  // pid-scoped like scratchDir: each JVM publishes its own fixture and
+  // its oracle SQL (built in the same JVM) references that same path
+  private val MalformedCsvPath =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s3_malformed.csv"
   private val MalformedCsvContent =
     """id,val,name
       |1,10,alpha
@@ -961,8 +976,7 @@ object CoreQueries {
     * rows, column misalignment, non-NULL backfill) hash-mismatches.
     */
   def s11SchemaMerge(spark: SparkSession, dir: String): DataFrame = {
-    val out = System.getProperty("java.io.tmpdir") + "/graft-s11-evolution/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
+    val out = scratchDir("s11-evolution", dir)
     val d = Tables.documents(spark, dir)
     RawZone.overwrite(
       d.filter(col("doc_id") % 2 === 0).select("doc_id", "source", "n_chars"),
@@ -1174,8 +1188,7 @@ object CoreQueries {
     * `RawZoneSpec`.
     */
   def s12Compact(spark: SparkSession, dir: String): DataFrame = {
-    val out = System.getProperty("java.io.tmpdir") + "/graft-s12-compact/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
+    val out = scratchDir("s12-compact", dir)
     Tables.documents(spark, dir)
       .select("doc_id", "source", "n_chars")
       .repartition(50)
