@@ -137,6 +137,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("x_dedup_incremental: the stored index is a materialized relation, not a recomputed pipeline") {
+    val p = plan("x_dedup_incremental")
+    // the existing-corpus sketch joins as checkpointed state (the
+    // stored-table stand-in); a refactor that re-derives it from raw
+    // text would re-sketch the whole corpus per day
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("p13_profile: all column statistics come from ONE scan (Expand-based multi-distinct)") {
     val p = plan("p13_profile")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
