@@ -631,6 +631,13 @@ object CoreQueries {
     * combined in double with the same expression shape as the oracle —
     * no accumulation-order nondeterminism, unlike the built-in
     * `stddev`/`corr` whose double running sums depend on partitioning.
+    * The derived values are rounded to 10 dp: the decimal SUMS are
+    * bit-exact, but decimal→double CONVERSION is not guaranteed
+    * identical across engines (DuckDB divides a rounded int128 image
+    * by 10^scale — two roundings — where Java's BigDecimal.doubleValue
+    * rounds once; measured: a 1-ULP corr divergence at sf0.001 only).
+    * 10 dp is ~6 orders finer than the statistics' meaning and far
+    * coarser than 1 ULP, so the rounded oracle is robust at every sf.
     */
   def a5Stats(spark: SparkSession, dir: String): DataFrame = {
     val x = col("l_extendedprice")
@@ -647,10 +654,11 @@ object CoreQueries {
       .select(
         col("l_returnflag"),
         col("n").cast(LongType).as("n_rows"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("stddev_pop_price"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")), 10)
+          .as("stddev_pop_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
           (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-            sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_price_qty"))
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 10).as("corr_price_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -1155,11 +1163,15 @@ object CoreQueries {
       sum(x.cast(DecimalType(38, 2))).cast(DoubleType).as("sx"),
       sum((x * x).cast(DecimalType(38, 4))).cast(DoubleType).as("sxx"))
     val mean = col("sx") / col("n")
+    // z rounded to 10 dp, and ORDERED on the rounded value: the moment
+    // sums are decimal-exact but decimal→double conversion can differ
+    // by 1 ULP across engines (the a5_stats finding) — rounding keeps
+    // both the values and the top-20 cutoff engine-stable
     Tables.orders(spark, dir)
       .crossJoin(broadcast(m)) // 1-row scalar, in-plan
       .select(col("o_orderkey"), col("o_totalprice"),
-        ((col("o_totalprice") - mean) /
-          sqrt(col("sxx") / col("n") - mean * mean)).as("z"))
+        round((col("o_totalprice") - mean) /
+          sqrt(col("sxx") / col("n") - mean * mean), 10).as("z"))
       .orderBy(abs(col("z")).desc, col("o_orderkey"))
       .limit(20)
   }
@@ -1171,9 +1183,9 @@ object CoreQueries {
       |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sxx
       |  FROM orders)
       |SELECT o_orderkey, o_totalprice,
-      |  (o_totalprice - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) AS z
+      |  ROUND((o_totalprice - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 10) AS z
       |FROM orders CROSS JOIN m
-      |ORDER BY ABS((o_totalprice - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) DESC,
+      |ORDER BY ABS(ROUND((o_totalprice - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 10)) DESC,
       |  o_orderkey
       |LIMIT 20""".stripMargin
 
@@ -1464,9 +1476,9 @@ object CoreQueries {
         |    CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-        |  sqrt((sxx - sx * sx / n) / n) AS stddev_pop_price,
-        |  (sxy - sx * sy / n) /
-        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_price_qty
+        |  ROUND(sqrt((sxx - sx * sx / n) / n), 10) AS stddev_pop_price,
+        |  ROUND((sxy - sx * sy / n) /
+        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 10) AS corr_price_qty
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "p12_regexp_clean" ->
       """SELECT o_orderkey,
