@@ -50,10 +50,23 @@ object CoreQueries {
     * and a Bench run racing on the same host can never overwrite each
     * other's fixture mid-read (the same-name-race rationale behind the
     * session's pid-scoped warehouse dir); within one JVM, overwrite
-    * mode makes the bench's repeated passes reuse the copy.
+    * mode makes the bench's repeated passes reuse the copy. The whole
+    * root is deleted at JVM exit — per-pid copies would otherwise
+    * accumulate run over run. (Safe to delete: these queries' ORACLES
+    * read the source tables, never the scratch output. The malformed
+    * CSV fixture lives OUTSIDE this root because its oracle's DuckDB
+    * process reads it after this JVM exits.)
     */
+  private lazy val scratchRoot: String = {
+    val root = System.getProperty("java.io.tmpdir") +
+      s"/graft-scratch-p${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))))
+    root
+  }
+
   private def scratchDir(sub: String, dir: String): String =
-    System.getProperty("java.io.tmpdir") + s"/graft-$sub-p${ProcessHandle.current().pid()}/" +
+    s"$scratchRoot/$sub/" +
       dir.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
 
   // pinned cutoffs (orders span 1995-01-01..2001-08-01)
