@@ -41,11 +41,14 @@ object Bench {
     */
   private def skewBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     val conf = spark.conf
+    // temp dir FIRST: if tmp is full/unwritable this throws before any
+    // conf mutation — created after the conf.sets it would skip the
+    // restoring finally and poison every later query in the JVM
+    val skewRoot = java.nio.file.Files.createTempDirectory("graft-skew")
     val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
     val savedSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    val skewRoot = java.nio.file.Files.createTempDirectory("graft-skew")
     try {
       val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val bigPath = skewRoot.toString + "/big"

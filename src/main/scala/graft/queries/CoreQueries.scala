@@ -226,6 +226,7 @@ object CoreQueries {
     * row-level semantics engine-independently.
     */
   def s3MalformedScan(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
     val p = java.nio.file.Paths.get(MalformedCsvPath)
     java.nio.file.Files.createDirectories(p.getParent)
     // atomic publish (temp + move): the oracle's DuckDB process reads
@@ -253,9 +254,26 @@ object CoreQueries {
   }
 
   // pid-scoped like scratchDir: each JVM publishes its own fixture and
-  // its oracle SQL (built in the same JVM) references that same path
+  // its oracle SQL (built in the same JVM) references that same path.
+  // NOT covered by the scratchRoot exit hook — the oracle's DuckDB
+  // process reads the file after this JVM exits — so stale siblings
+  // are swept at publish time instead (dead pid AND > 6 h old: the
+  // age floor protects the just-exited-Verify → driver-DuckDB window).
   private val MalformedCsvPath =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s3_malformed.csv"
+
+  private def sweepStaleFixtureDirs(): Unit = {
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    val self = ProcessHandle.current().pid()
+    val dirs = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+    dirs.filter(_.getName.startsWith("graft-fixtures-p")).foreach { d =>
+      val pid = d.getName.stripPrefix("graft-fixtures-p").takeWhile(_.isDigit)
+      val dead = pid.nonEmpty && pid.toLong != self &&
+        ProcessHandle.of(pid.toLong).map[Boolean](h => !h.isAlive).orElse(true)
+      if (dead && d.lastModified() < cutoff)
+        org.apache.commons.io.FileUtils.deleteQuietly(d)
+    }
+  }
   private val MalformedCsvContent =
     """id,val,name
       |1,10,alpha

@@ -180,6 +180,13 @@ object RawZone {
     *    pointer; out of scope per SURVEY §7.4's parquet-only
     *    contract).
     */
+  /** The rewrite plan compaction executes — factored out so the spec
+    * guards THIS plan (coalesce, no exchange), not a look-alike.
+    */
+  private[sources] def compactionPlan(
+      spark: SparkSession, path: String, targetFiles: Int): DataFrame =
+    spark.read.parquet(path).coalesce(targetFiles)
+
   def compactInPlace(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -188,7 +195,7 @@ object RawZone {
     val next = new Path(path + ".compact-next")
     val old = new Path(path + ".compact-old")
     fs.delete(next, true)
-    spark.read.parquet(path).coalesce(targetFiles)
+    compactionPlan(spark, path, targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(next.toString)
     fs.delete(old, true)
     if (!fs.rename(tgt, old))

@@ -291,9 +291,16 @@ object EventStream {
     * TARGET path's filesystem, not the default one (targetDir may
     * carry a non-default scheme).
     */
+  /** @param batchMarker when set, `_batchid` (underscore prefix —
+    *        invisible to Spark's file index) is written INSIDE `.next`
+    *        before the swap, so the marker becomes visible atomically
+    *        WITH the merged state; [[mergeAggBatch]] reads it to make
+    *        a non-idempotent merge replay-safe.
+    */
   private def mergeIntoTarget(
       spark: SparkSession, targetDir: String, batch: DataFrame,
-      emptySchema: org.apache.spark.sql.types.StructType)(
+      emptySchema: org.apache.spark.sql.types.StructType,
+      batchMarker: Option[Long] = None)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val tgt = new org.apache.hadoop.fs.Path(targetDir)
     val next = new org.apache.hadoop.fs.Path(targetDir + ".next")
@@ -312,11 +319,27 @@ object EventStream {
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
       }
     merge(target, batch).write.mode("overwrite").parquet(targetDir + ".next")
+    batchMarker.foreach { bid =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(targetDir + ".next/_batchid"), true)
+      try out.write(bid.toString.getBytes("UTF-8")) finally out.close()
+    }
     fs.delete(old, true) // stale .old from a crash AFTER its swap completed
     if (fs.exists(tgt)) renameOrFail(tgt, old)
     renameOrFail(next, tgt)
     fs.delete(old, true)
     ()
+  }
+
+  /** Reads the `_batchid` marker of a state table (None if absent). */
+  private def lastMergedBatch(spark: SparkSession, stateDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir + "/_batchid")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
   }
 
   /** Streaming incremental-aggregation sink — the streaming twin of
@@ -327,11 +350,14 @@ object EventStream {
     * group-cardinality rows regardless of how much history has
     * flowed; raw events are never rescanned, and the merge cost per
     * batch is state-sized, not history-sized — a continuously
-    * maintained dashboard table. Exactly-once per micro-batch via the
-    * checkpoint + the same crash-safe swap as the LWW sink; decimal
-    * sums make the final state bit-identical to a batch recompute
-    * over all events regardless of how the stream was chopped into
-    * batches (spec-asserted).
+    * maintained dashboard table. foreachBatch is AT-LEAST-once and a
+    * sum-merge is not idempotent, so exactly-once is enforced by a
+    * `_batchid` marker swapped in atomically WITH the merged state: a
+    * replayed batch whose id is already recorded is a no-op (the LWW
+    * sink needs no marker — its merge is idempotent). Decimal sums
+    * make the final state bit-identical to a batch recompute over all
+    * events regardless of how the stream was chopped into batches
+    * (spec-asserted, including the double-merge replay guard).
     */
   def aggState(events: DataFrame): DataFrame =
     events.groupBy("event_type")
@@ -348,6 +374,19 @@ object EventStream {
         sum(col("s_cnt")).as("s_cnt"),
         max(col("s_max_ts")).as("s_max_ts"))
 
+  /** One micro-batch's merge, replay-safe: skips if `batchId` is
+    * already recorded in the state table's `_batchid` marker (the
+    * crash window: swap completed, streaming checkpoint commit did
+    * not — Spark then replays the batch). Visible for the spec to
+    * drive the replay path deterministically.
+    */
+  def mergeAggBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
+      batchId: Long): Unit =
+    if (!lastMergedBatch(spark, stateDir).contains(batchId)) {
+      val delta = aggState(batch)
+      mergeIntoTarget(spark, stateDir, delta, delta.schema, Some(batchId))(mergeAggState)
+    }
+
   def runAggStateSink(
       spark: SparkSession, inDir: String, stateDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
@@ -359,9 +398,8 @@ object EventStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = aggState(batch)
-        mergeIntoTarget(spark, stateDir, delta, delta.schema)(mergeAggState)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeAggBatch(spark, stateDir, batch, batchId)
       }
       .start()
   }

@@ -157,10 +157,10 @@ class RawZoneSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString + "/t"
     (1L to 100L).toDF("k").repartition(10).write.mode("overwrite").parquet(dir)
-    // the same read+coalesce pipeline compactInPlace writes from: an
-    // IO rebin, not a shuffle — a repartition here would push the
-    // whole table through an exchange for nothing
-    val p = spark.read.parquet(dir).coalesce(4).queryExecution.executedPlan.toString
+    // the ACTUAL pipeline compactInPlace writes from (factored out for
+    // exactly this guard): an IO rebin, not a shuffle — a repartition
+    // would push the whole table through an exchange for nothing
+    val p = RawZone.compactionPlan(spark, dir, 4).queryExecution.executedPlan.toString
     assert(p.contains("Coalesce"), p)
     assert(!p.contains("Exchange"), p)
   }

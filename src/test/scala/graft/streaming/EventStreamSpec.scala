@@ -144,6 +144,27 @@ class EventStreamSpec extends SparkSpec {
     assert(total == 400L, s"expected 400 events in state, got $total")
   }
 
+  test("agg-state sink: a replayed micro-batch is a no-op (sum-merge is not idempotent)") {
+    val dir = Files.createTempDirectory("graft-aggreplay").toString
+    val st = s"$dir/state"
+    val batch = mkEvents
+    // foreachBatch is at-least-once: the crash window is swap-complete
+    // but checkpoint-uncommitted, after which Spark re-delivers the
+    // SAME batch id — the _batchid marker must make the second merge
+    // a no-op, or every crash doubles the replayed events' sums
+    EventStream.mergeAggBatch(spark, st, batch, batchId = 7L)
+    val once = spark.read.parquet(st).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("s_cnt")).toMap
+    EventStream.mergeAggBatch(spark, st, batch, batchId = 7L) // replay
+    val twice = spark.read.parquet(st).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("s_cnt")).toMap
+    assert(once == twice, s"replay double-merged: $once vs $twice")
+    // and the NEXT batch id still merges
+    EventStream.mergeAggBatch(spark, st, batch, batchId = 8L)
+    val next = spark.read.parquet(st).agg(sum("s_cnt")).collect()(0).getLong(0)
+    assert(next == 2L * batch.count(), s"batch 8 should merge: $next")
+  }
+
   test("streaming text pipeline == batch twin (stateless map-side ops compose)") {
     val dir = Files.createTempDirectory("graft-textpipe").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
