@@ -1247,6 +1247,36 @@ object CoreQueries {
     """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** S13 — ORC interchange round-trip: the curated slice written as
+    * ORC (Spark's second first-class columnar format — the lake
+    * format a Hive-lineage warehouse hands over) and read back
+    * through a predicate that must reach the ORC reader as a pushed
+    * filter, proving scan-level optimization is FORMAT-AGNOSTIC
+    * (PushedFilters on ORC exactly like parquet — `PlanAuditSpec`
+    * asserts it). Oracle recomputes from the source table, so a
+    * type-mangling transcode (decimal/date drift between writers)
+    * hash-mismatches. Same scratch/cleanup discipline as s7/s11/s12.
+    */
+  def s13OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("s13-orc", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(20, 2)).cast(DoubleType).as("total_price"),
+        col("o_orderdate").cast(DateType).as("order_date"))
+      .write.mode(SaveMode.Overwrite).orc(out)
+    spark.read.orc(out)
+      .filter(col("o_orderkey") <= 5000 && col("o_orderstatus") === "F")
+      .orderBy("o_orderkey")
+  }
+
+  private val s13OrcRoundtripSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS total_price,
+      |  CAST(o_orderdate AS DATE) AS order_date
+      |FROM orders
+      |WHERE o_orderkey <= 5000 AND o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** W6 — quantile binning (`ntile`): orders bucketed into price
     * quartiles within their status group — the feature-engineering /
     * stratified-sampling primitive (equal-population bins, unlike
@@ -1323,6 +1353,7 @@ object CoreQueries {
     "p13_profile"       -> p13Profile _,
     "w5_date_spine"     -> w5DateSpine _,
     "s12_compact"       -> s12Compact _,
+    "s13_orc_roundtrip" -> s13OrcRoundtrip _,
     "w6_ntile"          -> w6Ntile _,
     "s11_schema_merge"  -> s11SchemaMerge _
   )
@@ -1619,6 +1650,7 @@ object CoreQueries {
     "p13_profile" -> p13ProfileSql,
     "w5_date_spine" -> w5DateSpineSql,
     "s12_compact" -> s12CompactSql,
+    "s13_orc_roundtrip" -> s13OrcRoundtripSql,
     "w6_ntile" -> w6NtileSql,
     "s11_schema_merge" -> s11SchemaMergeSql
   )

@@ -146,6 +146,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("s13_orc_roundtrip: predicates push into the ORC scan (format-agnostic pushdown)") {
+    val p = plan("s13_orc_roundtrip")
+    assert(p.contains("Scan orc"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), IsNotNull(o_orderstatus), " +
+      "LessThanOrEqual(o_orderkey,5000), EqualTo(o_orderstatus,F)]"), p)
+  }
+
   test("p13_profile: all column statistics come from ONE scan (Expand-based multi-distinct)") {
     val p = plan("p13_profile")
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
