@@ -1277,6 +1277,49 @@ object CoreQueries {
       |WHERE o_orderkey <= 5000 AND o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** S14 — CSV export contract: a curated slice written as headered
+    * CSV (N-way parallel — never the reference's `coalesce(1)`), read
+    * back through the declared-schema scan. The ORACLE PARSES THE
+    * ACTUAL EXPORTED BYTES (DuckDB `read_csv` over the same files the
+    * query wrote), so this verifies the interchange contract itself —
+    * quoting, headers-per-part, formatting — not just a recompute.
+    * Doubles and dates are exported through EXPLICIT string
+    * formatting (decimal-cast, ISO date): raw double→CSV rendering is
+    * engine-discretionary (scientific-notation thresholds), exactly
+    * the trap a real export feed hits. Path is pid-scoped WITHOUT the
+    * sf component (one Verify JVM processes one sf, and the oracle
+    * SQL must be a per-name constant), same lifetime rules as the
+    * malformed-CSV fixture.
+    */
+  def s14CsvExport(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    val out = CsvExportDir
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(20, 2)).cast(StringType).as("price_str"),
+        col("o_orderdate").cast(DateType).cast(StringType).as("date_str"))
+      .repartition(4)
+      .write.option("header", "true").mode(SaveMode.Overwrite).csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("price_str", StringType),
+      StructField("date_str", StringType)))
+    spark.read.option("header", "true").schema(schema).csv(out)
+      .orderBy("o_orderkey")
+  }
+
+  private val CsvExportDir =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s14_export"
+
+  private val s14CsvExportSql =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, price_str, date_str
+       |FROM read_csv('$CsvExportDir/*.csv', header=true, columns={
+       |  'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT',
+       |  'o_orderstatus': 'VARCHAR', 'price_str': 'VARCHAR', 'date_str': 'VARCHAR'})
+       |ORDER BY o_orderkey""".stripMargin
+
   /** W6 — quantile binning (`ntile`): orders bucketed into price
     * quartiles within their status group — the feature-engineering /
     * stratified-sampling primitive (equal-population bins, unlike
@@ -1354,6 +1397,7 @@ object CoreQueries {
     "w5_date_spine"     -> w5DateSpine _,
     "s12_compact"       -> s12Compact _,
     "s13_orc_roundtrip" -> s13OrcRoundtrip _,
+    "s14_csv_export"    -> s14CsvExport _,
     "w6_ntile"          -> w6Ntile _,
     "s11_schema_merge"  -> s11SchemaMerge _
   )
@@ -1651,6 +1695,7 @@ object CoreQueries {
     "w5_date_spine" -> w5DateSpineSql,
     "s12_compact" -> s12CompactSql,
     "s13_orc_roundtrip" -> s13OrcRoundtripSql,
+    "s14_csv_export" -> s14CsvExportSql,
     "w6_ntile" -> w6NtileSql,
     "s11_schema_merge" -> s11SchemaMergeSql
   )
