@@ -1320,6 +1320,65 @@ object CoreQueries {
        |  'o_orderstatus': 'VARCHAR', 'price_str': 'VARCHAR', 'date_str': 'VARCHAR'})
        |ORDER BY o_orderkey""".stripMargin
 
+  /** S15 — manifest-driven incremental file ingest
+    * ([[graft.sources.RawZone.incrementalCsvRead]]): a landing zone of
+    * three stable-named daily CSV drops, a processed-files manifest
+    * recording day1+day2, and a read that must return ONLY day3's
+    * rows, with file provenance. The oracle recomputes the same
+    * contract from the ACTUAL landing bytes and manifest parquet
+    * (read_csv filename=true anti-filtered by the manifest), so both
+    * the file-selection rule and the parsed content are verified.
+    * The operator itself lists + set-subtracts at file-METADATA cost
+    * and opens only unprocessed files — scan cost proportional to the
+    * increment (see the RawZone scaladoc for the 100 TB contrast with
+    * a `_metadata`-column anti-join, which would scan all history).
+    */
+  def s15IncrementalManifest(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    val landing = s"$IncrRoot/landing"
+    val manifest = s"$IncrRoot/manifest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(IncrRoot))
+    new java.io.File(landing).mkdirs()
+    val days = Seq(("day1.csv", 1L, 2000L), ("day2.csv", 2001L, 4000L),
+      ("day3.csv", 4001L, 6000L))
+    days.foreach { case (name, lo, hi) =>
+      val tmp = s"$IncrRoot/tmp_$name"
+      Tables.orders(spark, dir)
+        .filter(col("o_orderkey").between(lo, hi))
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(20, 2)).cast(StringType).as("price_str"),
+          col("o_orderdate").cast(DateType).cast(StringType).as("date_str"))
+        .coalesce(1)
+        .write.option("header", "true").mode(SaveMode.Overwrite).csv(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .getOrElse(throw new IllegalStateException(s"no csv part written under $tmp"))
+      org.apache.commons.io.FileUtils.moveFile(part, new java.io.File(landing, name))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    graft.sources.RawZone.commitProcessed(spark, manifest, Seq("day1.csv", "day2.csv"))
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("price_str", StringType),
+      StructField("date_str", StringType)))
+    graft.sources.RawZone.incrementalCsvRead(spark, landing, manifest, schema)
+      .orderBy("o_orderkey")
+  }
+
+  private val IncrRoot =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s15_incr"
+
+  private val s15IncrementalManifestSql =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, price_str, date_str,
+       |  parse_filename(filename) AS src_file
+       |FROM read_csv('$IncrRoot/landing/*.csv', header=true, filename=true, columns={
+       |  'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT',
+       |  'o_orderstatus': 'VARCHAR', 'price_str': 'VARCHAR', 'date_str': 'VARCHAR'})
+       |WHERE parse_filename(filename) NOT IN
+       |  (SELECT file_name FROM read_parquet('$IncrRoot/manifest/*.parquet'))
+       |ORDER BY o_orderkey""".stripMargin
+
   /** W6 — quantile binning (`ntile`): orders bucketed into price
     * quartiles within their status group — the feature-engineering /
     * stratified-sampling primitive (equal-population bins, unlike
@@ -1346,6 +1405,102 @@ object CoreQueries {
       |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** W7 — linear gap interpolation: the time-series repair primitive
+    * (fill sensor dropout / reporting holes by interpolating between
+    * the nearest observed neighbors). The observed series is the
+    * per-status daily revenue on the w5 date spine; a DETERMINISTIC
+    * dropout mask (day-of-month % 3 = 0 → unobserved) guarantees gaps
+    * exist at every sf. For each gap row: previous/next observed
+    * value+day via `last/first(..., ignoreNulls)` over the two
+    * unbounded row frames, then `prev + (next-prev) · elapsed/span`
+    * in doubles — the op-for-op chain DuckDB evaluates identically
+    * (observed values are decimal-exact sums, so no accumulation-
+    * order noise enters). Leading/trailing gaps clamp to the nearest
+    * observed edge.
+    *
+    * Scale shape: the corpus-sized work is the partial-agg'd
+    * `groupBy(status, day)` (one shuffle); the windows run on the
+    * AGGREGATED spine (days × statuses rows, thousands at most even
+    * for years of data), partitioned by status — never a corpus-sized
+    * single-partition window.
+    */
+  def w7Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-03-01"))
+      .groupBy(col("o_orderstatus").as("status"), col("o_orderdate").cast(DateType).as("day"))
+      .agg(sumd(col("o_totalprice")).as("sum_price"))
+    val spine = spark.range(1)
+      .select(explode(expr(
+        "sequence(DATE '1997-01-01', DATE '1997-02-28', interval 1 day)")).as("day"))
+      .crossJoin(spark.range(1)
+        .select(explode(array(lit("F"), lit("O"), lit("P"))).as("status")))
+    val masked = spine.join(broadcast(agg), Seq("status", "day"), "left")
+      .select(col("status"), col("day"),
+        when(dayofmonth(col("day")) % 3 === 0, lit(null).cast(DoubleType))
+          .otherwise(coalesce(col("sum_price"), lit(0.0))).as("observed"))
+    val back = Window.partitionBy("status").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("status").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("observed").isNotNull, col("day"))
+    val pv = last(col("observed"), ignoreNulls = true).over(back)
+    val pd = last(obsDay, ignoreNulls = true).over(back)
+    val nv = first(col("observed"), ignoreNulls = true).over(fwd)
+    val nd = first(obsDay, ignoreNulls = true).over(fwd)
+    masked
+      .select(col("status"), col("day"), col("observed"),
+        pv.as("pv"), pd.as("pd"), nv.as("nv"), nd.as("nd"))
+      .select(col("status"), col("day"), col("observed"),
+        when(col("observed").isNotNull, col("observed"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast(DoubleType) /
+             datediff(col("nd"), col("pd")).cast(DoubleType)))
+          .as("filled"))
+      .orderBy("status", "day")
+  }
+
+  private val w7InterpolateSql =
+    """WITH agg AS (
+      |  SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-03-01 00:00:00'
+      |  GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT s.status, CAST(unnest(generate_series(DATE '1997-01-01',
+      |      DATE '1997-02-28', INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT unnest(['F','O','P']) AS status) s),
+      |masked AS (
+      |  SELECT spine.status, spine.day,
+      |    CASE WHEN dayofmonth(spine.day) % 3 = 0 THEN NULL
+      |         ELSE COALESCE(sum_price, 0.0) END AS observed
+      |  FROM spine LEFT JOIN agg ON spine.status = agg.status AND spine.day = agg.day),
+      |nbr AS (
+      |  SELECT status, day, observed,
+      |    last_value(observed IGNORE NULLS) OVER (PARTITION BY status ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN observed IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY status ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    first_value(observed IGNORE NULLS) OVER (PARTITION BY status ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN observed IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY status ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM masked)
+      |SELECT status, day, observed,
+      |  CASE WHEN observed IS NOT NULL THEN observed
+      |       WHEN pv IS NULL THEN nv
+      |       WHEN nv IS NULL THEN pv
+      |       ELSE pv + (nv - pv) *
+      |         (CAST(date_diff('day', pd, day) AS DOUBLE) /
+      |          CAST(date_diff('day', pd, nd) AS DOUBLE)) END AS filled
+      |FROM nbr
+      |ORDER BY status, day""".stripMargin
 
   // ===================================================================
   // Registry
@@ -1398,6 +1553,8 @@ object CoreQueries {
     "s12_compact"       -> s12Compact _,
     "s13_orc_roundtrip" -> s13OrcRoundtrip _,
     "s14_csv_export"    -> s14CsvExport _,
+    "s15_incr_manifest" -> s15IncrementalManifest _,
+    "w7_interpolate"    -> w7Interpolate _,
     "w6_ntile"          -> w6Ntile _,
     "s11_schema_merge"  -> s11SchemaMerge _
   )
@@ -1696,6 +1853,8 @@ object CoreQueries {
     "s12_compact" -> s12CompactSql,
     "s13_orc_roundtrip" -> s13OrcRoundtripSql,
     "s14_csv_export" -> s14CsvExportSql,
+    "s15_incr_manifest" -> s15IncrementalManifestSql,
+    "w7_interpolate" -> w7InterpolateSql,
     "w6_ntile" -> w6NtileSql,
     "s11_schema_merge" -> s11SchemaMergeSql
   )

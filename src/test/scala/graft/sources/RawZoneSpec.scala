@@ -164,4 +164,38 @@ class RawZoneSpec extends SparkSpec {
     assert(p.contains("Coalesce"), p)
     assert(!p.contains("Exchange"), p)
   }
+
+  test("incrementalCsvRead: full lifecycle — first run, commit, no-op run, late file") {
+    val root = tmpDir()
+    val landing = s"$root/landing"
+    val manifest = s"$root/manifest"
+    new java.io.File(landing).mkdirs()
+    def drop(name: String, rows: String): Unit =
+      Files.writeString(java.nio.file.Path.of(landing, name), s"k,v\n$rows")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def read() = RawZone.incrementalCsvRead(spark, landing, manifest, schema)
+
+    // first run: no manifest yet -> everything is new, provenance attached
+    drop("d1.csv", "1,a\n2,b\n")
+    drop("d2.csv", "3,c\n")
+    val r1 = read().orderBy("k").collect()
+    assert(r1.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "d1.csv"), (2L, "d1.csv"), (3L, "d2.csv")))
+
+    // commit, then a no-op daily run: empty frame, schema intact
+    RawZone.commitProcessed(spark, manifest, Seq("d1.csv", "d2.csv"))
+    val r2 = read()
+    assert(r2.isEmpty && r2.columns.toSeq == Seq("k", "v", "src_file"))
+
+    // a late third file: only its rows come back
+    drop("d3.csv", "4,d\n")
+    val r3 = read().collect()
+    assert(r3.map(r => (r.getLong(0), r.getString(2))).toSeq == Seq((4L, "d3.csv")))
+
+    // the incremental scan must only OPEN the new file: the plan's
+    // FileScan lists one path, not the whole landing dir
+    val scanned = read().queryExecution.executedPlan.toString
+    assert(scanned.contains("d3.csv") && !scanned.contains("d1.csv"), scanned)
+  }
 }
