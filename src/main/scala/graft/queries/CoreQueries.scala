@@ -1379,6 +1379,47 @@ object CoreQueries {
        |  (SELECT file_name FROM read_parquet('$IncrRoot/manifest/*.parquet'))
        |ORDER BY o_orderkey""".stripMargin
 
+  /** S16 — dynamic partition overwrite
+    * ([[graft.sources.RawZone.overwriteDynamicPartitions]]): a
+    * status-partitioned table gets a day-2 restatement of ONE
+    * partition ('F', prices corrected by a decimal-exact +1.00);
+    * dynamic mode must replace exactly that partition and leave the
+    * others' files physically untouched (spec-asserted on file
+    * names). The read-back oracle recomputes the expected merged
+    * state from the source table, so losing a partition (static-
+    * overwrite semantics) or duplicating one (append semantics)
+    * hash-mismatches. At 100 TB this is the restate-one-day-of-365
+    * sink — rewrite cost proportional to the correction, not the
+    * table.
+    */
+  def s16DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("s16-dynover", dir)
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 6000)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(20, 2)).cast(DoubleType).as("price"),
+        col("o_orderstatus").as("status"))
+    graft.sources.RawZone.overwritePartitioned(base, out, Seq("status"))
+    val correction = base.filter(col("status") === "F")
+      .withColumn("price",
+        (col("price").cast(DecimalType(20, 2)) + lit(BigDecimal("1.00")).cast(DecimalType(20, 2)))
+          .cast(DoubleType))
+    graft.sources.RawZone.overwriteDynamicPartitions(correction, out, Seq("status"))
+    spark.read.parquet(out)
+      .select("o_orderkey", "o_custkey", "price", "status")
+      .orderBy("o_orderkey")
+  }
+
+  private val s16DynamicOverwriteSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(CAST(o_totalprice AS DECIMAL(20,2)) + CAST('1.00' AS DECIMAL(20,2)) AS DOUBLE)
+      |    ELSE CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) END AS price,
+      |  o_orderstatus AS status
+      |FROM orders
+      |WHERE o_orderkey <= 6000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** W6 — quantile binning (`ntile`): orders bucketed into price
     * quartiles within their status group — the feature-engineering /
     * stratified-sampling primitive (equal-population bins, unlike
@@ -1555,6 +1596,7 @@ object CoreQueries {
     "s14_csv_export"    -> s14CsvExport _,
     "s15_incr_manifest" -> s15IncrementalManifest _,
     "w7_interpolate"    -> w7Interpolate _,
+    "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
     "s11_schema_merge"  -> s11SchemaMerge _
   )
@@ -1855,6 +1897,7 @@ object CoreQueries {
     "s14_csv_export" -> s14CsvExportSql,
     "s15_incr_manifest" -> s15IncrementalManifestSql,
     "w7_interpolate" -> w7InterpolateSql,
+    "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,
     "s11_schema_merge" -> s11SchemaMergeSql
   )

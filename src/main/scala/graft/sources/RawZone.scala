@@ -159,6 +159,27 @@ object RawZone {
   def overwritePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     writePartitioned(df, path, partitionCols, SaveMode.Overwrite)
 
+  /** S16 — DYNAMIC partition overwrite: replace only the partitions
+    * present in `df`, leave every other partition's files untouched
+    * (`partitionOverwriteMode=dynamic`, set per-write so the session
+    * default stays STATIC — a plain overwrite elsewhere must still
+    * mean "replace the table"). This is the scale-correct daily
+    * correction: restating one day of a year-partitioned 100 TB table
+    * rewrites 1/365th of it, where static overwrite would drop the
+    * other 364 days and a read-modify-write would scan them. Same
+    * repartition-by-partition-cols shape as [[writePartitioned]]
+    * (each touched partition written by its owning task, one file per
+    * partition, no small-file storm).
+    */
+  def overwriteDynamicPartitions(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** S12 — small-file compaction: rewrite a parquet directory into
     * ~`targetFiles` files and swap it in place. Streaming appends and
     * incremental loads accrete files far smaller than a parquet row

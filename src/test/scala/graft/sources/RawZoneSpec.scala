@@ -165,6 +165,29 @@ class RawZoneSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("overwriteDynamicPartitions: replaces only the touched partition, others' files untouched") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    val base = Seq((1L, "F", 10.0), (2L, "O", 20.0), (3L, "P", 30.0), (4L, "F", 40.0))
+      .toDF("k", "status", "v")
+    RawZone.overwritePartitioned(base, dir, Seq("status"))
+    def files(status: String) = new java.io.File(s"$dir/status=$status").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => (f.getName, f.lastModified)).toSet
+    val oBefore = files("O")
+    val pBefore = files("P")
+    // restate F only
+    RawZone.overwriteDynamicPartitions(
+      Seq((1L, "F", 11.0), (4L, "F", 44.0)).toDF("k", "status", "v"), dir, Seq("status"))
+    // untouched partitions keep the SAME physical files (names + mtimes)
+    assert(files("O") == oBefore && files("P") == pBefore)
+    val back = spark.read.parquet(dir)
+      .select("k", "v").as[(Long, Double)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0), (4L, 44.0)))
+    // and the session default stays static: a later plain overwrite still replaces the table
+    RawZone.overwritePartitioned(Seq((9L, "O", 90.0)).toDF("k", "status", "v"), dir, Seq("status"))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("incrementalCsvRead: full lifecycle — first run, commit, no-op run, late file") {
     val root = tmpDir()
     val landing = s"$root/landing"
