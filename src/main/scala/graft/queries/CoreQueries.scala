@@ -479,6 +479,39 @@ object CoreQueries {
     updates.union(inserts).orderBy("o_orderkey")
   }
 
+  /** SET3 — by-NAME union with missing-column tolerance
+    * (`unionByName(allowMissingColumns = true)`): the schema-drift-safe
+    * twin of SET2. The two branches project the same logical columns
+    * in DIFFERENT physical order and the second branch is missing
+    * `price` entirely (an upstream feed that dropped a field mid-
+    * history); by-name resolution realigns the columns and null-fills
+    * the gap, where SET2's positional union would silently pour
+    * status strings into the key column — the failure mode schema
+    * evolution actually produces. Pure map-side on each branch, one
+    * union, no shuffle before the output sort. Oracle aligns
+    * explicitly (ANSI UNION ALL with NULL AS price).
+    */
+  def set3UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderdate") < ts(CutYesterday))
+      .select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(DecimalType(20, 2)).cast(DoubleType).as("price"))
+    // reordered columns, `price` absent: by-name union must realign
+    val b = o.filter(col("o_orderdate") >= ts("2001-01-01"))
+      .select(col("o_orderstatus").as("status"), col("o_orderkey"))
+    a.unionByName(b, allowMissingColumns = true).orderBy("o_orderkey")
+  }
+
+  private val set3UnionByNameSql =
+    s"""SELECT o_orderkey, o_orderstatus AS status,
+       |  CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS price
+       |FROM orders WHERE o_orderdate < TIMESTAMP '$CutYesterday 00:00:00'
+       |UNION ALL
+       |SELECT o_orderkey, o_orderstatus AS status, NULL AS price
+       |FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+       |ORDER BY o_orderkey""".stripMargin
+
   // ===================================================================
   // Aggregates
   // ===================================================================
@@ -1567,6 +1600,7 @@ object CoreQueries {
     "d1_distinct_map"   -> d1DistinctMap _,
     "set1_except"       -> set1Except _,
     "set2_union"        -> set2Union _,
+    "set3_union_by_name" -> set3UnionByName _,
     "a1_max"            -> a1Max _,
     "a2_groupby_agg"    -> a2GroupbyAgg _,
     "a3_rollup"         -> a3Rollup _,
@@ -1718,6 +1752,7 @@ object CoreQueries {
         |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, 'I' AS src
         |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01')
         |ORDER BY o_orderkey""".stripMargin,
+    "set3_union_by_name" -> set3UnionByNameSql,
     "a1_max" ->
       """SELECT MAX(o_orderkey) AS value, COUNT(*) AS cnt,
         |  CAST(MIN(o_orderdate) AS DATE) AS min_date

@@ -193,6 +193,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x_shuffle_shard: position window partitions by shard — no single-partition collapse") {
+    val p = plan("x_shuffle_shard")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("x_sketch_merge: sketch state merges through partial aggregation (one day shuffle)") {
     val p = plan("x_sketch_merge")
     // daily sketches: partial_hll_sketch_agg map-side before the day

@@ -37,7 +37,8 @@ class SqlParitySpec extends SparkSpec {
     "p4_upper_cols", "p9_cast_round", "q1_agg", "q_reconcile",
     "s11_schema_merge", "s12_compact", "s13_orc_roundtrip",
     "s3_scan_project", "s7_partitioned_write", "set1_except",
-    "set2_union", "w1_surrogate_key", "w1_surrogate_key_scalable",
+    "set2_union", "set3_union_by_name",
+    "w1_surrogate_key", "w1_surrogate_key_scalable",
     "w2_running_sum", "w3_lag_delta", "w6_ntile", "x_approx_distinct",
     "x_dedup_exact", "x_funnel", "x_sketch_merge")
 
