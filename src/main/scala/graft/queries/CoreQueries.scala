@@ -1327,21 +1327,29 @@ object CoreQueries {
   def s14CsvExport(spark: SparkSession, dir: String): DataFrame = {
     sweepStaleFixtureDirs()
     val out = CsvExportDir
-    Tables.orders(spark, dir)
-      .filter(col("o_orderkey") <= 2000)
-      .select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice").cast(DecimalType(20, 2)).cast(StringType).as("price_str"),
-        col("o_orderdate").cast(DateType).cast(StringType).as("date_str"))
+    csvExportProjection(Tables.orders(spark, dir).filter(col("o_orderkey") <= 2000))
       .repartition(4)
       .write.option("header", "true").mode(SaveMode.Overwrite).csv(out)
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
-      StructField("o_orderstatus", StringType), StructField("price_str", StringType),
-      StructField("date_str", StringType)))
-    spark.read.option("header", "true").schema(schema).csv(out)
+    spark.read.option("header", "true").schema(CsvExportSchema).csv(out)
       .orderBy("o_orderkey")
   }
+
+  /** The CSV interchange contract shared by s14 (export) and s15
+    * (landing drops): ONE definition of the formatting rules
+    * (decimal-cast price, ISO date) and the declared read schema, so
+    * a later format fix can't silently fork the two queries that
+    * exist to verify the same contract.
+    */
+  private def csvExportProjection(o: DataFrame): DataFrame =
+    o.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(20, 2)).cast(StringType).as("price_str"),
+      col("o_orderdate").cast(DateType).cast(StringType).as("date_str"))
+
+  private val CsvExportSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("price_str", StringType),
+    StructField("date_str", StringType)))
 
   private val CsvExportDir =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s14_export"
@@ -1370,37 +1378,37 @@ object CoreQueries {
     sweepStaleFixtureDirs()
     val landing = s"$IncrRoot/landing"
     val manifest = s"$IncrRoot/manifest"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(IncrRoot))
-    new java.io.File(landing).mkdirs()
-    val days = Seq(("day1.csv", 1L, 2000L), ("day2.csv", 2001L, 4000L),
-      ("day3.csv", 4001L, 6000L))
-    days.foreach { case (name, lo, hi) =>
-      val tmp = s"$IncrRoot/tmp_$name"
-      Tables.orders(spark, dir)
-        .filter(col("o_orderkey").between(lo, hi))
-        .select(
-          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice").cast(DecimalType(20, 2)).cast(StringType).as("price_str"),
-          col("o_orderdate").cast(DateType).cast(StringType).as("date_str"))
-        .coalesce(1)
-        .write.option("header", "true").mode(SaveMode.Overwrite).csv(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
-        .getOrElse(throw new IllegalStateException(s"no csv part written under $tmp"))
-      org.apache.commons.io.FileUtils.moveFile(part, new java.io.File(landing, name))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    // build the fixture once per (JVM, sf dir) — the scratch-reuse
+    // discipline of the other s-queries: a bench loop must measure
+    // the incremental READ, not three fixture-construction write jobs
+    if (s15BuiltFor.get() != dir) { // set only AFTER a successful build
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(IncrRoot))
+      new java.io.File(landing).mkdirs()
+      val days = Seq(("day1.csv", 1L, 2000L), ("day2.csv", 2001L, 4000L),
+        ("day3.csv", 4001L, 6000L))
+      days.foreach { case (name, lo, hi) =>
+        val tmp = s"$IncrRoot/tmp_$name"
+        csvExportProjection(
+          Tables.orders(spark, dir).filter(col("o_orderkey").between(lo, hi)))
+          .coalesce(1)
+          .write.option("header", "true").mode(SaveMode.Overwrite).csv(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+          .getOrElse(throw new IllegalStateException(s"no csv part written under $tmp"))
+        org.apache.commons.io.FileUtils.moveFile(part, new java.io.File(landing, name))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+      graft.sources.RawZone.commitProcessed(spark, manifest, Seq("day1.csv", "day2.csv"))
+      s15BuiltFor.set(dir)
     }
-    graft.sources.RawZone.commitProcessed(spark, manifest, Seq("day1.csv", "day2.csv"))
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
-      StructField("o_orderstatus", StringType), StructField("price_str", StringType),
-      StructField("date_str", StringType)))
-    graft.sources.RawZone.incrementalCsvRead(spark, landing, manifest, schema)
+    graft.sources.RawZone.incrementalCsvRead(spark, landing, manifest, CsvExportSchema)
       .orderBy("o_orderkey")
   }
 
   private val IncrRoot =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s15_incr"
+  private val s15BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   private val s15IncrementalManifestSql =
     s"""SELECT o_orderkey, o_custkey, o_orderstatus, price_str, date_str,

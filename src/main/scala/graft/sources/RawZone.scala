@@ -132,9 +132,11 @@ object RawZone {
       df: DataFrame,
       path: String,
       partitionCols: Seq[String],
-      mode: SaveMode = SaveMode.Append): Unit =
+      mode: SaveMode = SaveMode.Append,
+      options: Map[String, String] = Map.empty): Unit =
     df.repartition(partitionCols.map(df.col): _*)
       .write
+      .options(options)
       .partitionBy(partitionCols: _*)
       .mode(mode)
       .parquet(path)
@@ -173,12 +175,8 @@ object RawZone {
     */
   def overwriteDynamicPartitions(
       df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.repartition(partitionCols.map(df.col): _*)
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCols: _*)
-      .mode(SaveMode.Overwrite)
-      .parquet(path)
+    writePartitioned(df, path, partitionCols, SaveMode.Overwrite,
+      Map("partitionOverwriteMode" -> "dynamic"))
 
   /** S12 — small-file compaction: rewrite a parquet directory into
     * ~`targetFiles` files and swap it in place. Streaming appends and
@@ -346,12 +344,18 @@ object RawZone {
   // =================================================================
 
   /** File names currently recorded as processed. Empty if the
-    * manifest doesn't exist yet (first run).
+    * manifest doesn't exist yet (first run) — or exists but holds no
+    * parquet part files: a commit job that crashed after creating the
+    * directory (leaving only `_temporary`) must read as "nothing
+    * committed", not brick every later run with a schema-inference
+    * error.
     */
   def processedFiles(spark: SparkSession, manifestDir: String): Set[String] = {
     val p = new Path(manifestDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
+    val hasParts = fs.exists(p) &&
+      fs.listStatus(p).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (!hasParts) Set.empty
     else spark.read.parquet(manifestDir)
       .select("file_name").collect().map(_.getString(0)).toSet
   }
@@ -369,7 +373,12 @@ object RawZone {
     val landing = new Path(landingDir)
     val fs = landing.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seen = processedFiles(spark, manifestDir)
-    val fresh = fs.listStatus(landing).filter(_.isFile)
+    // a not-yet-provisioned landing zone is the same no-op daily run
+    // as an empty one, not a crash
+    val listed =
+      if (fs.exists(landing)) fs.listStatus(landing)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val fresh = listed.filter(_.isFile)
       .map(_.getPath).filterNot(p => seen(p.getName))
       .sortBy(_.getName)
     val outSchema = schema.add("src_file", org.apache.spark.sql.types.StringType)

@@ -36,6 +36,7 @@ class SqlParitySpec extends SparkSpec {
     "m4_flag_reset", "m6_cdc_diff", "p10_fillna", "p13_profile",
     "p4_upper_cols", "p9_cast_round", "q1_agg", "q_reconcile",
     "s11_schema_merge", "s12_compact", "s13_orc_roundtrip",
+    "s16_dyn_overwrite",
     "s3_scan_project", "s7_partitioned_write", "set1_except",
     "set2_union", "set3_union_by_name",
     "w1_surrogate_key", "w1_surrogate_key_scalable",
