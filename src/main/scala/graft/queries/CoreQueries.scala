@@ -674,6 +674,44 @@ object CoreQueries {
           .as("approx_in_range"))
       .orderBy("l_returnflag")
 
+  /** A12 — winsorization: clip each order's price to its status
+    * group's exact [p05, p95] window — the outlier-capping twin of
+    * `a11_outliers`' rank view (capping repairs the feature, ranking
+    * only reports it). Per-group bounds are ONE grouped percentile
+    * aggregate (group-count rows) broadcast back onto the fact side —
+    * the fact table is never shuffled, the same scalar-broadcast
+    * pattern as `q_reconcile`'s max-key. `percentile`/`quantile_cont`
+    * share the (n-1)p interpolation formula (a4's verified parity),
+    * so the clipped values oracle exactly; `least(greatest(...))`
+    * evaluates identically in both engines. Exact percentiles buffer
+    * group values (the a4 memory note) — at 100 TB swap in
+    * `approx_percentile` bounds (a6) without changing the clip shape.
+    */
+  def a12Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"))
+    val bounds = o.groupBy("status").agg(
+      percentile(col("price"), lit(0.05)).as("lo"),
+      percentile(col("price"), lit(0.95)).as("hi"))
+    o.join(broadcast(bounds), "status")
+      .select(col("o_orderkey"), col("status"), col("price"),
+        least(greatest(col("price"), col("lo")), col("hi")).as("clipped"),
+        (col("price") < col("lo") || col("price") > col("hi")).as("was_clipped"))
+      .orderBy("o_orderkey")
+  }
+
+  private val a12WinsorizeSql =
+    """WITH b AS (SELECT o_orderstatus AS status,
+      |    quantile_cont(o_totalprice, 0.05) AS lo,
+      |    quantile_cont(o_totalprice, 0.95) AS hi
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price,
+      |  LEAST(GREATEST(o_totalprice, lo), hi) AS clipped,
+      |  (o_totalprice < lo OR o_totalprice > hi) AS was_clipped
+      |FROM orders JOIN b ON o_orderstatus = b.status
+      |ORDER BY o_orderkey""".stripMargin
+
   /** regexp_replace surface (the reference imports it at `main.py:19`
     * but never calls it — SURVEY §2.8 flags it as intended-but-unbuilt
     * surface we cover). Patterns are shared-dialect ([0-9], literal
@@ -1631,6 +1669,7 @@ object CoreQueries {
     "a9_histogram"      -> a9Histogram _,
     "a10_incremental"   -> a10IncrementalAgg _,
     "a11_outliers"      -> a11Outliers _,
+    "a12_winsorize"     -> a12Winsorize _,
     "p13_profile"       -> p13Profile _,
     "w5_date_spine"     -> w5DateSpine _,
     "s12_compact"       -> s12Compact _,
@@ -1933,6 +1972,7 @@ object CoreQueries {
     "a9_histogram" -> a9HistogramSql,
     "a10_incremental" -> a10IncrementalAggSql,
     "a11_outliers" -> a11OutliersSql,
+    "a12_winsorize" -> a12WinsorizeSql,
     "p13_profile" -> p13ProfileSql,
     "w5_date_spine" -> w5DateSpineSql,
     "s12_compact" -> s12CompactSql,

@@ -193,6 +193,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("a12_winsorize: percentile bounds broadcast back — fact side never sort-merge-joined") {
+    val p = plan("a12_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x_shuffle_shard: position window partitions by shard — no single-partition collapse") {
     val p = plan("x_shuffle_shard")
     assert(p.contains("hashpartitioning(shard"), p)
