@@ -1399,6 +1399,41 @@ object CoreQueries {
        |  'o_orderstatus': 'VARCHAR', 'price_str': 'VARCHAR', 'date_str': 'VARCHAR'})
        |ORDER BY o_orderkey""".stripMargin
 
+  /** S17 — JSONL export contract: the documents slice shipped as
+    * newline-delimited JSON (THE interchange format LLM training
+    * corpora actually move in), N-way parallel like s14, and the
+    * oracle PARSES THE ACTUAL EXPORTED BYTES (DuckDB `read_json` over
+    * the same part files), so field encoding, escaping and
+    * line-framing are verified as a contract — not recomputed.
+    * Exported fields are strings and BIGINTs only: JSON number
+    * rendering of doubles is engine-discretionary (the same trap s14
+    * documents for CSV), so a real feed ships decimals as strings or
+    * scaled integers. Same pid-scoped fixture lifetime as s14.
+    */
+  def s17JsonlExport(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    val out = JsonlExportDir
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite).json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    spark.read.schema(schema).json(out)
+      .orderBy("doc_id")
+  }
+
+  private val JsonlExportDir =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s17_export"
+
+  private val s17JsonlExportSql =
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM read_json('$JsonlExportDir/*.json', format='newline_delimited',
+       |  columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+       |           'source': 'VARCHAR', 'n_chars': 'BIGINT'})
+       |ORDER BY doc_id""".stripMargin
+
   /** S15 — manifest-driven incremental file ingest
     * ([[graft.sources.RawZone.incrementalCsvRead]]): a landing zone of
     * three stable-named daily CSV drops, a processed-files manifest
@@ -1676,6 +1711,7 @@ object CoreQueries {
     "s13_orc_roundtrip" -> s13OrcRoundtrip _,
     "s14_csv_export"    -> s14CsvExport _,
     "s15_incr_manifest" -> s15IncrementalManifest _,
+    "s17_jsonl_export"  -> s17JsonlExport _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -1979,6 +2015,7 @@ object CoreQueries {
     "s13_orc_roundtrip" -> s13OrcRoundtripSql,
     "s14_csv_export" -> s14CsvExportSql,
     "s15_incr_manifest" -> s15IncrementalManifestSql,
+    "s17_jsonl_export" -> s17JsonlExportSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,
