@@ -221,4 +221,30 @@ class RawZoneSpec extends SparkSpec {
     val scanned = read().queryExecution.executedPlan.toString
     assert(scanned.contains("d3.csv") && !scanned.contains("d1.csv"), scanned)
   }
+
+  test("incrementalCsvRead: crash/provisioning edges — partless manifest and missing landing") {
+    val root = tmpDir()
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+
+    // landing zone not provisioned yet: the documented no-op daily
+    // run, not a FileNotFoundException
+    val r0 = RawZone.incrementalCsvRead(spark, s"$root/landing", s"$root/manifest", schema)
+    assert(r0.isEmpty && r0.columns.toSeq == Seq("k", "v", "src_file"))
+
+    // a commit job that crashed after mkdir leaves a manifest dir with
+    // no parquet parts (only _temporary debris): must read as "nothing
+    // committed", not brick later runs with schema inference
+    new java.io.File(s"$root/manifest/_temporary").mkdirs()
+    new java.io.File(s"$root/landing").mkdirs()
+    Files.writeString(java.nio.file.Path.of(s"$root/landing", "d1.csv"), "k,v\n1,a\n")
+    assert(RawZone.processedFiles(spark, s"$root/manifest") == Set.empty[String])
+    val r1 = RawZone.incrementalCsvRead(spark, s"$root/landing", s"$root/manifest", schema)
+    assert(r1.count() == 1)
+
+    // and a real commit into that same directory recovers the lifecycle
+    RawZone.commitProcessed(spark, s"$root/manifest", Seq("d1.csv"))
+    val r2 = RawZone.incrementalCsvRead(spark, s"$root/landing", s"$root/manifest", schema)
+    assert(r2.isEmpty)
+  }
 }
