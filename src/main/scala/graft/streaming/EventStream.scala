@@ -187,6 +187,37 @@ object EventStream {
       .start()
   }
 
+  /** Stream-STATIC dimension enrichment — the "decorate events with a
+    * reference table" production pattern (the streaming twin of J1's
+    * broadcast dimension join). The static side is a plain DataFrame:
+    * Spark re-plans the join every micro-batch and BROADCASTS the dim,
+    * so the enrichment is STATELESS — no state store, no watermark, no
+    * stream-side shuffle (unlike the stream-stream interval join,
+    * whose both sides buffer in state). Left join: an event with no
+    * dim row passes through null-extended rather than silently
+    * dropping from the feed. At 100 TB-of-events scale the stream side
+    * never moves; every task hashes into its executor's broadcast
+    * copy, and a dim update is picked up by the next micro-batch's
+    * re-plan (the slowly-changing-reference behavior a daily-refreshed
+    * mapping wants).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  def runEnrichStream(
+      spark: SparkSession, inDir: String, dim: DataFrame, outDir: String,
+      checkpointDir: String, key: String): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    enrich(stream, dim, key).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Streaming twin of the batch text pipeline: quality-gate then
     * chunk incoming documents into fixed 64-token training windows.
     * Everything here is a stateless map-side Column expression

@@ -97,6 +97,30 @@ class EventStreamSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("stream-static enrich: broadcast dim join matches the batch twin, unmatched passes through") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    mkEvents.write.parquet(in)
+    // dim deliberately misses 'view': left-join must null-extend, not drop
+    val dim = Seq(("click", "engagement", 1.0), ("purchase", "revenue", 5.0))
+      .toDF("event_type", "category", "weight")
+
+    val q = EventStream.runEnrichStream(spark, in, dim, out, ck, "event_type")
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+    val batch = EventStream.enrich(spark.read.parquet(in), dim, "event_type")
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b)
+    // the stateless join: every input event present exactly once,
+    // including the unmatched 'view' rows (null category)
+    assert(streamed.count() == mkEvents.count())
+    assert(streamed.filter(col("category").isNull).select("event_type")
+      .distinct().collect().map(_.getString(0)).toSeq == Seq("view"))
+  }
+
   test("foreachBatch LWW upsert sink merges micro-batches into the target table") {
     val dir = Files.createTempDirectory("graft-upsert").toString
     val in = s"$dir/in"; val tgt = s"$dir/target"; val ck = s"$dir/ck"
