@@ -41,7 +41,7 @@ class SqlParitySpec extends SparkSpec {
     "set2_union", "set3_union_by_name",
     "w1_surrogate_key", "w1_surrogate_key_scalable",
     "w2_running_sum", "w3_lag_delta", "w6_ntile", "x_approx_distinct",
-    "x_dedup_exact", "x_funnel", "x_sketch_merge")
+    "x_dedup_exact", "x_funnel", "x_ks_drift", "x_sketch_merge")
 
   test("38+ oracle strings run unchanged on Spark SQL and match the DataFrame API") {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
