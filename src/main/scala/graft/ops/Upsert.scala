@@ -108,6 +108,38 @@ object Upsert {
     joined.select(projected.toIndexedSeq: _*)
   }
 
+  /** M7 — schema-EVOLVING upsert: the updates may carry columns the
+    * target lacks (the feed grew a field) and may omit target columns
+    * (the feed never had them) — Delta's MERGE-with-autoMerge
+    * behavior, re-expressed with the same join plan as [[fullUpsert]]:
+    *  - new update-side columns are appended to the target schema,
+    *    null for rows the updates never touch;
+    *  - matched rows take update values ONLY for columns the updates
+    *    actually carry — target-only columns survive a match (the
+    *    critical difference from calling fullUpsert on null-padded
+    *    updates, which would null them);
+    *  - inserts take the full update row, null for target-only
+    *    columns.
+    * Same single-shuffle full-outer shape; the widening is pure
+    * projection.
+    */
+  def evolveUpsert(
+      target: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String]
+  ): DataFrame = {
+    val tCols = target.columns
+    val newCols = updates.columns.filterNot(tCols.contains)
+    val widenedTarget = newCols.foldLeft(target)((d, c) =>
+      d.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
+    val widenedUpdates = updates.select(widenedTarget.columns.toIndexedSeq.map { c =>
+      if (updates.columns.contains(c)) col(c)
+      else lit(null).cast(target.schema(c).dataType).as(c)
+    }: _*)
+    fullUpsert(widenedTarget, widenedUpdates, keys,
+      updateCols = Some(updates.columns.toIndexedSeq.filterNot(keys.contains)))
+  }
+
   /** M3 — last-writer-wins staged upsert (reference
     * `load_functions.py:2-60`): the Synapse postActions SQL deletes
     * whichever side is older by `versionCol` (`_TF_LAST_UPDATE >=`

@@ -1051,6 +1051,47 @@ object CoreQueries {
       |WHERE a.k IS NULL OR b.k IS NULL OR a.price <> b.price OR a.st <> b.st
       |ORDER BY o_orderkey""".stripMargin
 
+  /** M7 — schema-EVOLVING upsert ([[graft.ops.Upsert.evolveUpsert]]):
+    * the update feed GREW a column (`channel`) and DROPPED one the
+    * target has (`status`) — Delta's MERGE-with-autoMerge behavior.
+    * The contract under test: matched rows update only source-present
+    * columns (their `status` SURVIVES the match), target-only rows
+    * null-backfill the new column, inserts null the dropped one.
+    * Same single full-outer shuffle as m2; widening is projection.
+    * Oracle expresses the same rules directly on the join.
+    */
+  def m7EvolveUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def price = col("o_totalprice").cast(DecimalType(20, 2))
+    val target = o.filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        price.cast(DoubleType).as("price"))
+    val updates = o.filter(col("o_orderkey").between(2001, 8000))
+      .select(col("o_orderkey"),
+        (price + lit(BigDecimal("10.00")).cast(DecimalType(20, 2)))
+          .cast(DoubleType).as("price"),
+        lit("web").as("channel")) // new column; `status` absent
+    Upsert.evolveUpsert(target, updates, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  private val m7EvolveUpsertSql =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderstatus AS status,
+      |    CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey <= 4000),
+      |u AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(20,2)) + CAST('10.00' AS DECIMAL(20,2)) AS DOUBLE) AS price,
+      |    'web' AS channel
+      |  FROM orders WHERE o_orderkey BETWEEN 2001 AND 8000)
+      |SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+      |  t.status AS status,
+      |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.price ELSE t.price END AS price,
+      |  u.channel AS channel
+      |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   /** A9 — fixed-width histogram: bucket = `floor(price / 20000.0)`
     * (one IEEE divide + floor, engine-identical), per-bucket count,
     * exact min/max, and decimal-exact sum. The profiling query every
@@ -1701,6 +1742,7 @@ object CoreQueries {
     "m4_flag_reset"     -> m4FlagReset _,
     "m5_scd2"           -> m5Scd2 _,
     "m6_cdc_diff"       -> m6CdcDiff _,
+    "m7_evolve_upsert"  -> m7EvolveUpsert _,
     "a9_histogram"      -> a9Histogram _,
     "a10_incremental"   -> a10IncrementalAgg _,
     "a11_outliers"      -> a11Outliers _,
@@ -2005,6 +2047,7 @@ object CoreQueries {
         |ORDER BY c.o_orderkey""".stripMargin,
     "m5_scd2" -> m5Scd2Sql,
     "m6_cdc_diff" -> m6CdcDiffSql,
+    "m7_evolve_upsert" -> m7EvolveUpsertSql,
     "a9_histogram" -> a9HistogramSql,
     "a10_incremental" -> a10IncrementalAggSql,
     "a11_outliers" -> a11OutliersSql,

@@ -56,6 +56,22 @@ class UpsertSpec extends SparkSpec {
     assert(merged.except(unioned).isEmpty && unioned.except(merged).isEmpty)
   }
 
+  test("evolveUpsert: new columns backfill null, target-only columns survive a match") {
+    import spark.implicits._
+    // updates grew `c` (target lacks it) and dropped `s` (target-only)
+    val updates = Seq((2L, 21.0, "web"), (4L, 40.0, "app")).toDF("k", "v", "c")
+    val out = Upsert.evolveUpsert(target, updates, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "s", "v", "c"))
+    val got = out.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2), Option(r.getString(3))))
+      .toSet
+    assert(got == Set(
+      (1L, Some("a"), 10.0, None),          // untouched: new col null
+      (2L, Some("b"), 21.0, Some("web")),   // matched: `s` SURVIVES, v+c updated
+      (3L, Some("c"), 30.0, None),          // untouched
+      (4L, None, 40.0, Some("app"))))       // insert: target-only col null
+  }
+
   test("lwwUpsert: newest version wins, staging wins ties, key-only fallback prefers staging") {
     import spark.implicits._
     val t = Seq((1L, "t", 100L), (2L, "t", 100L), (3L, "t", 100L)).toDF("k", "src", "ver")

@@ -33,7 +33,8 @@ class SqlParitySpec extends SparkSpec {
     "f1_pivot_filter", "f2_date_split", "j1_dim_join",
     "j2_multi_left_join", "j3_semi_anti", "j5_catalog_star",
     "m1_update_merge", "m2_full_upsert", "m3_lww_upsert",
-    "m4_flag_reset", "m6_cdc_diff", "p10_fillna", "p13_profile",
+    "m4_flag_reset", "m6_cdc_diff", "m7_evolve_upsert",
+    "p10_fillna", "p13_profile",
     "p4_upper_cols", "p9_cast_round", "q1_agg", "q_reconcile",
     "s11_schema_merge", "s12_compact", "s13_orc_roundtrip",
     "s16_dyn_overwrite",
