@@ -49,4 +49,19 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Register every table as a temp view under its own name — the
+    * one-call entry point for driving the library through `spark.sql`
+    * alone (the parity suite proves the ANSI oracle corpus runs
+    * unchanged that way). Views are lazy: registration costs one
+    * footer read per table, and each SQL query still prunes and
+    * pushes down through the same parquet scans as the DataFrame API.
+    * `events` registers with the normalized µs `ts`.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => read(spark, dir, t).createOrReplaceTempView(t))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
 }

@@ -45,10 +45,7 @@ class SqlParitySpec extends SparkSpec {
     "x_dedup_exact", "x_funnel", "x_ks_drift", "x_sketch_merge")
 
   test("38+ oracle strings run unchanged on Spark SQL and match the DataFrame API") {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings")
-      .foreach(t => Tables.read(spark, dir, t).createOrReplaceTempView(t))
-    Tables.events(spark, dir).createOrReplaceTempView("events")
+    Tables.registerAll(spark, dir)
     val failures = AnsiPortable.flatMap { name =>
       try {
         val api = SparkEntry.queries(name)(spark, dir)
