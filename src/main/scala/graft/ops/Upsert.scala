@@ -128,16 +128,25 @@ object Upsert {
       updates: DataFrame,
       keys: Seq[String]
   ): DataFrame = {
-    val tCols = target.columns
-    val newCols = updates.columns.filterNot(tCols.contains)
+    // column identity follows Spark's DEFAULT case-INSENSITIVE
+    // resolution (like Delta's autoMerge): a case-variant update
+    // column ('Price' vs target 'price') is the SAME column — exact
+    // String comparison would classify it "new" and the widening
+    // withColumn would case-insensitively replace the target column
+    // with nulls on every untouched row
+    def same(a: String, b: String) = a.equalsIgnoreCase(b)
+    def inTarget(c: String) = target.columns.exists(same(_, c))
+    def inUpdates(c: String) = updates.columns.exists(same(_, c))
+    val newCols = updates.columns.filterNot(inTarget)
     val widenedTarget = newCols.foldLeft(target)((d, c) =>
       d.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
     val widenedUpdates = updates.select(widenedTarget.columns.toIndexedSeq.map { c =>
-      if (updates.columns.contains(c)) col(c)
+      if (inUpdates(c)) col(c).as(c) // resolves case-insensitively; alias to target casing
       else lit(null).cast(target.schema(c).dataType).as(c)
     }: _*)
     fullUpsert(widenedTarget, widenedUpdates, keys,
-      updateCols = Some(updates.columns.toIndexedSeq.filterNot(keys.contains)))
+      updateCols = Some(widenedTarget.columns.toIndexedSeq
+        .filter(c => inUpdates(c) && !keys.exists(same(_, c)))))
   }
 
   /** M3 — last-writer-wins staged upsert (reference

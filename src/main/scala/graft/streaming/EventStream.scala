@@ -197,9 +197,13 @@ object EventStream {
     * dim row passes through null-extended rather than silently
     * dropping from the feed. At 100 TB-of-events scale the stream side
     * never moves; every task hashes into its executor's broadcast
-    * copy, and a dim update is picked up by the next micro-batch's
-    * re-plan (the slowly-changing-reference behavior a daily-refreshed
-    * mapping wants).
+    * copy. NOTE on dim refresh: the per-batch re-plan re-broadcasts
+    * the dim DATAFRAME, but a file-backed static frame pins its file
+    * LISTING at creation — overwriting the dim directory under a
+    * long-running stream serves stale rows or fails on the deleted
+    * files. A daily-refreshed mapping needs the dim re-created per run
+    * (the AvailableNow batch cadence used here) or a refreshable table
+    * format.
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")

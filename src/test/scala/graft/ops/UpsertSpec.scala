@@ -72,6 +72,21 @@ class UpsertSpec extends SparkSpec {
       (4L, None, 40.0, Some("app"))))       // insert: target-only col null
   }
 
+  test("evolveUpsert: case-variant update column is the SAME column, not a null-overwriting new one") {
+    import spark.implicits._
+    // 'V' is target 'v' under Spark's default case-insensitive
+    // resolution; misclassifying it as new would null v on rows 1 and 3
+    val updates = Seq((2L, 21.0, "web")).toDF("k", "V", "c")
+    val got = Upsert.evolveUpsert(target, updates, Seq("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), Option(r.getString(3))))
+      .toSet
+    assert(got == Set(
+      (1L, "a", 10.0, None),
+      (2L, "b", 21.0, Some("web")),
+      (3L, "c", 30.0, None)))
+  }
+
   test("lwwUpsert: newest version wins, staging wins ties, key-only fallback prefers staging") {
     import spark.implicits._
     val t = Seq((1L, "t", 100L), (2L, "t", 100L), (3L, "t", 100L)).toDF("k", "src", "ver")
