@@ -72,6 +72,19 @@ class UpsertPropertySpec extends SparkSpec {
     }
   }
 
+  test("evolveUpsert: same-schema updates degrade to fullUpsert exactly (10 seeded trials)") {
+    for (seed <- 31 to 40) {
+      val target = randomTable(seed, nKeys = 40, rows = 25)
+      val updates = randomTable(seed + 123, nKeys = 40, rows = 20)
+      // no evolution -> every column is source-present, so the evolving
+      // merge must coincide with the plain full upsert rewriting all
+      // non-key columns
+      assert(sameRows(
+        Upsert.evolveUpsert(target, updates, Seq("k")),
+        Upsert.fullUpsert(target, updates, Seq("k"))), s"seed=$seed")
+    }
+  }
+
   test("updateMerge: target cardinality preserved; unmatched rows untouched (10 seeded trials)") {
     for (seed <- 21 to 30) {
       val target = randomTable(seed, nKeys = 40, rows = 30)
