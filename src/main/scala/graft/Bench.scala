@@ -146,7 +146,16 @@ object Bench {
     // `skew` is reported OUTSIDE queries/total: it is a controlled
     // A/B measurement (broadcast + AQE rescue disabled), not a
     // round-over-round query timing.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"skew":${json(skew)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"skew":${json(skew)},"sf":"$sfDir"}"""
+    println(line)
+    // the same JSON also lands in a file: a stdout tail-capture can
+    // truncate the (long) line and lose the round's official total —
+    // the file copy keeps every bench run auditable
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // file copy is best-effort; stdout is the contract
     spark.stop()
   }
 }

@@ -128,13 +128,18 @@ object Upsert {
       updates: DataFrame,
       keys: Seq[String]
   ): DataFrame = {
-    // column identity follows Spark's DEFAULT case-INSENSITIVE
-    // resolution (like Delta's autoMerge): a case-variant update
+    // column identity follows the SESSION's resolution rules (like
+    // Delta's autoMerge, which consults spark.sql.caseSensitive): under
+    // the default case-insensitive analysis a case-variant update
     // column ('Price' vs target 'price') is the SAME column — exact
     // String comparison would classify it "new" and the widening
     // withColumn would case-insensitively replace the target column
-    // with nulls on every untouched row
-    def same(a: String, b: String) = a.equalsIgnoreCase(b)
+    // with nulls on every untouched row. In a case-sensitive session
+    // the same pair really IS two distinct columns, so the comparator
+    // must follow the conf or evolveUpsert would silently merge them.
+    val caseSensitive = target.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def same(a: String, b: String) =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
     def inTarget(c: String) = target.columns.exists(same(_, c))
     def inUpdates(c: String) = updates.columns.exists(same(_, c))
     val newCols = updates.columns.filterNot(inTarget)

@@ -608,20 +608,63 @@ object CoreQueries {
       .orderBy(col("gid"),
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Memory guard for EXACT percentile aggregations: Spark's
+    * `percentile` buffers EVERY group value in aggregation state (an
+    * open hash map of (value, count) pairs), so one hot group in a
+    * 100 TB fact table OOMs an executor silently mid-stage — the
+    * worst failure mode, surfacing as a lost executor long after the
+    * cause. This fails FAST instead: one partial-aggregated
+    * group-count pass (shuffle carries group-cardinality rows) runs
+    * BEFORE the buffering aggregate, and any group over
+    * `maxGroupRows` raises with the group named and the fix
+    * prescribed — the constant-memory sketch path
+    * ([[a6ApproxPercentile]]'s `approx_percentile`, deterministic
+    * ≤N/accuracy rank error). The guard's `limit(1).collect()` is a
+    * guard ACTION over at most one group-cardinality-sized row — the
+    * same metadata-sized-by-design rationale as
+    * `RawZone.processedFiles` — never a driver loop over data.
+    *
+    * Default threshold 10M rows/group ≈ hundreds of MB of agg state
+    * for distinct-heavy doubles: the order of magnitude where a
+    * single group's exact buffer stops fitting comfortably in an
+    * executor's aggregation memory.
+    */
+  def requireGroupsFitExactPercentile(
+      df: DataFrame, groupCols: Seq[String],
+      maxGroupRows: Long = ExactPercentileMaxGroupRows): Unit = {
+    val hot = df.groupBy(groupCols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxGroupRows)
+      .limit(1).collect()
+    if (hot.nonEmpty)
+      throw new IllegalStateException(
+        s"exact percentile would buffer ${hot.head.getLong(hot.head.length - 1)} values for group " +
+          groupCols.zipWithIndex.map { case (c, i) => s"$c=${hot.head.get(i)}" }.mkString("(", ", ", ")") +
+          s" (limit $maxGroupRows): use approx_percentile (a6_approx_percentile) — " +
+          "constant-memory with a deterministic rank-error bound — for groups this size")
+  }
+
+  val ExactPercentileMaxGroupRows: Long = 10L * 1000 * 1000
+
   /** Exact interpolated percentiles (order statistics). Spark's
     * `percentile` and DuckDB's `quantile_cont` share the standard
     * linear-interpolation-at-(n-1)p formula — verified bit-identical
     * on this data, so the oracle is exact (for sketch-based quantiles
     * at 100 TB use `approx_percentile`, cf. x_approx_distinct).
+    * Guarded by [[requireGroupsFitExactPercentile]]: the exact form
+    * is only safe while every group's value buffer fits in executor
+    * memory, and the guard converts the silent-OOM failure mode into
+    * a fast, named error.
     */
-  def a4Percentile(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
+  def a4Percentile(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    requireGroupsFitExactPercentile(l, Seq("l_returnflag"))
+    l.groupBy("l_returnflag")
       .agg(
         percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
         percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
         percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
       .orderBy("l_returnflag")
+  }
 
   /** Full-catalog star join — the one query exercising EVERY remaining
     * dimension table (part, supplier, nation, region): revenue by
@@ -1494,7 +1537,12 @@ object CoreQueries {
     val manifest = s"$IncrRoot/manifest"
     // build the fixture once per (JVM, sf dir) — the scratch-reuse
     // discipline of the other s-queries: a bench loop must measure
-    // the incremental READ, not three fixture-construction write jobs
+    // the incremental READ, not three fixture-construction write jobs.
+    // The whole check-then-build block is synchronized: two concurrent
+    // callers (a parallel test/bench harness) must not both enter —
+    // one deleteQuietly-ing IncrRoot mid-write of the other yields a
+    // corrupt fixture that is then cached as built.
+    s15BuiltFor.synchronized {
     if (s15BuiltFor.get() != dir) { // set only AFTER a successful build
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(IncrRoot))
       new java.io.File(landing).mkdirs()
@@ -1514,6 +1562,7 @@ object CoreQueries {
       }
       graft.sources.RawZone.commitProcessed(spark, manifest, Seq("day1.csv", "day2.csv"))
       s15BuiltFor.set(dir)
+    }
     }
     graft.sources.RawZone.incrementalCsvRead(spark, landing, manifest, CsvExportSchema)
       .orderBy("o_orderkey")

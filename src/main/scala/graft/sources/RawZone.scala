@@ -344,20 +344,38 @@ object RawZone {
   // =================================================================
 
   /** File names currently recorded as processed. Empty if the
-    * manifest doesn't exist yet (first run) — or exists but holds no
-    * parquet part files: a commit job that crashed after creating the
-    * directory (leaving only `_temporary`) must read as "nothing
-    * committed", not brick every later run with a schema-inference
-    * error.
+    * manifest doesn't exist yet (first run) — or exists but holds
+    * ONLY commit-protocol debris (`_temporary`/`_SUCCESS`/hidden
+    * entries): a commit job that crashed after creating the directory
+    * must read as "nothing committed", not brick every later run with
+    * a schema-inference error. The empty-read fallback is DELIBERATELY
+    * narrowed to that crash signature: a manifest directory with any
+    * OTHER layout (a future partitioned rewrite, a committer with
+    * different part naming) raises loudly instead of silently reading
+    * as empty — which would make incrementalCsvRead re-ingest every
+    * landing file as duplicates.
     */
   def processedFiles(spark: SparkSession, manifestDir: String): Set[String] = {
     val p = new Path(manifestDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasParts = fs.exists(p) &&
-      fs.listStatus(p).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (!hasParts) Set.empty
-    else spark.read.parquet(manifestDir)
-      .select("file_name").collect().map(_.getString(0)).toSet
+    if (!fs.exists(p)) Set.empty
+    else {
+      // visible = everything a FileSource reader would consider data
+      val visible = fs.listStatus(p).filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      if (visible.isEmpty) Set.empty // crashed-commit signature
+      else if (visible.exists(s => !s.isFile || !s.getPath.getName.endsWith(".parquet")))
+        throw new IllegalStateException(
+          s"unexpected manifest layout under $manifestDir: " +
+            visible.map(_.getPath.getName).sorted.mkString(", ") +
+            " — expected only top-level *.parquet part files; refusing to" +
+            " treat it as an empty manifest (that would re-ingest every" +
+            " landing file)")
+      else spark.read.parquet(manifestDir)
+        .select("file_name").collect().map(_.getString(0)).toSet
+    }
   }
 
   /** Read only the landing-zone CSV files NOT yet in the manifest,

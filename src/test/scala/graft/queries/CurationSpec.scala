@@ -14,6 +14,22 @@ class CurationSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("a4 exact-percentile guard: trips fast on an oversized group, names it, prescribes a6") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (if (i <= 80) "hot" else "cold", i.toDouble))
+      .toDF("grp", "v")
+    // under the threshold: no-op
+    CoreQueries.requireGroupsFitExactPercentile(df, Seq("grp"), maxGroupRows = 80)
+    // over it: fails FAST (before any value buffering), naming the hot
+    // group and pointing at the constant-memory sketch path
+    val e = intercept[IllegalStateException] {
+      CoreQueries.requireGroupsFitExactPercentile(df, Seq("grp"), maxGroupRows = 50)
+    }
+    assert(e.getMessage.contains("grp=hot"), e.getMessage)
+    assert(e.getMessage.contains("80 values"), e.getMessage)
+    assert(e.getMessage.contains("approx_percentile"), e.getMessage)
+  }
+
   test("x_repetition: signals are in range and the gate is non-degenerate") {
     val rows = ExtQueries.xRepetition(spark, dir).collect()
     assert(rows.nonEmpty)

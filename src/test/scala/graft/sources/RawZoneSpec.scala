@@ -247,4 +247,23 @@ class RawZoneSpec extends SparkSpec {
     val r2 = RawZone.incrementalCsvRead(spark, s"$root/landing", s"$root/manifest", schema)
     assert(r2.isEmpty)
   }
+
+  test("processedFiles: unexpected manifest layout raises instead of reading as empty") {
+    val root = tmpDir()
+    // a manifest dir holding VISIBLE non-parquet content is NOT the
+    // crashed-commit signature — silently treating it as empty would
+    // re-ingest every landing file; it must raise loudly
+    new java.io.File(s"$root/manifest").mkdirs()
+    Files.writeString(java.nio.file.Path.of(s"$root/manifest", "data.json"), "{}\n")
+    val e = intercept[IllegalStateException] {
+      RawZone.processedFiles(spark, s"$root/manifest")
+    }
+    assert(e.getMessage.contains("unexpected manifest layout"))
+    // same for a visible SUBDIRECTORY (e.g. a future partitioned rewrite)
+    val root2 = tmpDir()
+    new java.io.File(s"$root2/manifest/day=1").mkdirs()
+    intercept[IllegalStateException] {
+      RawZone.processedFiles(spark, s"$root2/manifest")
+    }
+  }
 }

@@ -22,7 +22,7 @@ class EventStreamSpec extends SparkSpec {
     mkEvents.write.parquet(in)
 
     val q = EventStream.runAvailableNow(spark, in, out, ck)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within the timeout")
 
     val streamed = spark.read.parquet(out)
     val batch = EventStream.hourlyAgg(spark.read.parquet(in))
@@ -61,7 +61,7 @@ class EventStreamSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(in)
 
     val q = EventStream.runSessionize(spark, in, out, ck)
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream did not terminate within the timeout")
 
     val got = spark.read.parquet(out)
       .collect()
@@ -85,7 +85,7 @@ class EventStreamSpec extends SparkSpec {
     mkEvents.write.parquet(in)
 
     val q = EventStream.runStreamStreamJoin(spark, in, out, ck)
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream did not terminate within the timeout")
 
     val streamed = spark.read.parquet(out)
     val batch = EventStream.clickPurchaseJoin(spark.read.parquet(in))
@@ -107,7 +107,7 @@ class EventStreamSpec extends SparkSpec {
       .toDF("event_type", "category", "weight")
 
     val q = EventStream.runEnrichStream(spark, in, dim, out, ck, "event_type")
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within the timeout")
 
     val streamed = spark.read.parquet(out)
     val batch = EventStream.enrich(spark.read.parquet(in), dim, "event_type")
@@ -127,12 +127,12 @@ class EventStreamSpec extends SparkSpec {
     import spark.implicits._
     Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("k", "s", "ver").write.parquet(in)
     val q1 = EventStream.runUpsertSink(spark, in, tgt, ck, Seq("k"), "ver")
-    q1.awaitTermination(120000)
+    assert(q1.awaitTermination(120000), "stream did not terminate within the timeout")
     // second batch: newer version for k=1, new key 3
     Seq((1L, "a2", 200L), (3L, "c", 50L)).toDF("k", "s", "ver")
       .write.mode("append").parquet(in)
     val q2 = EventStream.runUpsertSink(spark, in, tgt, ck, Seq("k"), "ver")
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "stream did not terminate within the timeout")
     val out = spark.read.parquet(tgt).collect()
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("s")).toMap
     assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
@@ -145,7 +145,7 @@ class EventStreamSpec extends SparkSpec {
     // merging — the decimal monoid must make batch chopping invisible
     mkEvents.repartition(5).write.parquet(in)
     val q = EventStream.runAggStateSink(spark, in, st, ck, maxFilesPerTrigger = Some(1))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within the timeout")
     val state = spark.read.parquet(st).collect()
       .map(r => (r.getAs[String]("event_type"),
         (r.getAs[java.math.BigDecimal]("s_sum"), r.getAs[Long]("s_cnt"),
@@ -163,7 +163,7 @@ class EventStreamSpec extends SparkSpec {
     mkEvents.withColumn("value", col("value") + 1.0).repartition(3)
       .write.mode("append").parquet(in)
     val q2 = EventStream.runAggStateSink(spark, in, st, ck, maxFilesPerTrigger = Some(1))
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "stream did not terminate within the timeout")
     val total = spark.read.parquet(st).agg(sum("s_cnt")).collect()(0).getLong(0)
     assert(total == 400L, s"expected 400 events in state, got $total")
   }
@@ -201,7 +201,7 @@ class EventStreamSpec extends SparkSpec {
       .coalesce(1).write.parquet(in)
 
     val q = EventStream.runTextPipeline(spark, in, out, ck)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within the timeout")
 
     val streamed = spark.read.parquet(out).collect().map(_.toSeq).toSet
     val batch = EventStream.textPipeline(spark.read.parquet(in)).collect().map(_.toSeq).toSet
@@ -227,7 +227,7 @@ class EventStreamSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(in)
 
     val q = EventStream.runDedupStream(spark, in, out, ck, Seq("event_id"))
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream did not terminate within the timeout")
 
     val ids = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // e1 emitted exactly once across batches
@@ -253,13 +253,13 @@ class EventStreamSpec extends SparkSpec {
     while (q1.recentProgress.isEmpty && q1.isActive && System.nanoTime() < deadline)
       Thread.sleep(25)
     q1.stop()
-    q1.awaitTermination(120000)
+    assert(q1.awaitTermination(120000), "stream did not terminate within the timeout")
 
     // resume from the same checkpoint: committed batches must NOT
     // re-apply (file-source offsets are checkpointed), pending ones run
     val q2 = EventStream.runUpsertSink(spark, in, tgt, ck, Seq("k"), "ver",
       maxFilesPerTrigger = Some(1))
-    q2.awaitTermination(180000)
+    assert(q2.awaitTermination(180000), "stream did not terminate within the timeout")
 
     val out = spark.read.parquet(tgt).collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"), r.getAs[Long]("ver")))
