@@ -55,9 +55,11 @@ object IvfIndex {
     * `ivf_ce{i}` embedding columns and `ivf_cn{i}` norms. Eagerly
     * materialized (`localCheckpoint`, k·dim floats) so each Lloyd
     * step's corpus pass runs exactly once however often downstream
-    * consumes the centroids.
+    * consumes the centroids. Public as the load path for STORED
+    * centroids ([[IvfStore]]): a persisted (c_id, c_emb) parquet
+    * re-pivots into the broadcastable row without retraining.
     */
-  private def pivotRow(cents: DataFrame, k: Int): DataFrame = {
+  def pivotRow(cents: DataFrame, k: Int): DataFrame = {
     val firsts = (0 until k).map(i =>
       first(when(col("c_id") === i, col("c_emb")), ignoreNulls = true).as(ce(i)))
     cents.groupBy()
@@ -129,11 +131,20 @@ object IvfIndex {
     cents
   }
 
-  /** Probe-cell fan-out for queries: rank-1 cell always, rank-2 cell
-    * (the best among the OTHER centroids, ties again to lowest id —
-    * `ROW_NUMBER() = 2`) when `nprobe = 2`; `explode` then emits one
-    * row per probed cell. Query sets are tiny, so the fan-out is
-    * nprobe·|Q| rows, never corpus-sized.
+  /** Top-`nprobe` cell fan-out: rank-1 cell always, rank-2 cell (the
+    * best among the OTHER centroids, ties again to lowest id —
+    * `ROW_NUMBER() = 2`) when `nprobe = 2`; `posexplode` then emits
+    * one row per cell with its 1-based `cell_rank`. Two distinct
+    * consumers, same computation:
+    *  - QUERY probing — query sets are tiny, so the fan-out is
+    *    nprobe·|Q| rows, never corpus-sized;
+    *  - CORPUS multi-assignment (boundary replication, the SPANN-style
+    *    recall lever [[IvfStore]] persists): each corpus vector is
+    *    indexed under its top-2 cells, so a query whose true neighbor
+    *    sits just across a Voronoi border still finds it — at 2×
+    *    index storage and ZERO extra probe cost. Still map-side
+    *    codegen: the fan-out is nassign·corpus rows of (id, cell),
+    *    no shuffle, no window.
     */
   def probeCells(qdf: DataFrame, cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     require(nprobe == 1 || nprobe == 2, s"nprobe in {1, 2}, got $nprobe")
@@ -156,9 +167,10 @@ object IvfIndex {
         array(col("ivf_cell1"), cell2)
       }
     staged
-      .withColumn("cell", explode(probes))
+      .select(col("*"), posexplode(probes).as(Seq("ivf_pos", "cell")))
+      .withColumn("cell_rank", col("ivf_pos").cast("int") + lit(1))
       .drop((0 until k).flatMap(i => Seq(ce(i), cn(i), s"ivf_cos$i")): _* )
-      .drop("ivf_cell1")
+      .drop("ivf_cell1", "ivf_pos")
   }
 
   /** The pivoted row back as a (c_id, c_emb, c_norm) k-row relation —

@@ -92,7 +92,7 @@ class IvfIndexSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select("vec_id", "embedding", "v_norm")
     val viaProbe = IvfIndex.probeCells(q, cents, 8, nprobe = 2)
-      .select("vec_id", "cell")
+      .select("vec_id", "cell", "cell_rank")
     val rel = IvfIndex.centroidRelation(cents, 8)
     val viaRank = q.crossJoin(broadcast(rel))
       .withColumn("cos_c", Similarity.cosineWithNorms(
@@ -100,7 +100,37 @@ class IvfIndexSpec extends SparkSpec {
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id"))))
       .filter(col("rn") <= 2)
-      .select(col("vec_id"), col("c_id").as("cell"))
+      .select(col("vec_id"), col("c_id").as("cell"), col("rn").as("cell_rank"))
     assert(viaProbe.exceptAll(viaRank).isEmpty && viaRank.exceptAll(viaProbe).isEmpty)
+  }
+
+  test("IvfStore: persisted index is complete, replicated, memoized, and staged atomically") {
+    val emb = Tables.embeddings(spark, SfDir)
+      .withColumn("v_norm", Similarity.norm(col("embedding")))
+    IvfStore.reset()
+    val st = IvfStore.ensure(emb, key = s"$SfDir-ivfstore-spec",
+      k = 4, iters = 2, nassign = 2, dim = 64)
+    // memoized: the second call returns the SAME stored paths without
+    // a rebuild (same JVM, same corpus key)
+    assert(IvfStore.ensure(emb, s"$SfDir-ivfstore-spec", 4, 2, 2, 64) eq st)
+    // no staging debris: a completed build leaves only the final dir
+    val parent = new java.io.File(st.assignedPath).getParentFile
+    assert(parent.getName.nonEmpty && !parent.getName.endsWith(".build"))
+    assert(!new java.io.File(parent.getPath + ".build").exists())
+    // replicated assignment: every corpus vector appears exactly
+    // nassign times, once per rank, in two DISTINCT cells
+    val a = spark.read.parquet(st.assignedPath)
+    val n = emb.count()
+    assert(a.count() == 2 * n)
+    assert(a.groupBy("vec_id").agg(
+        countDistinct(col("cell_rank")).as("ranks"),
+        countDistinct(col("cell")).as("cells"))
+      .filter(col("ranks") =!= 2 || col("cells") =!= 2).isEmpty)
+    // rank-1 rows reproduce the primary (withCell) assignment exactly
+    val trained = IvfIndex.pivotRow(
+      spark.read.parquet(st.centroidsPath).select("c_id", "c_emb"), 4)
+    val primary = IvfIndex.withCell(emb, trained, 4).select("vec_id", "cell")
+    val stored1 = a.filter(col("cell_rank") === 1).select("vec_id", "cell")
+    assert(stored1.exceptAll(primary).isEmpty && primary.exceptAll(stored1).isEmpty)
   }
 }

@@ -146,6 +146,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("x_ann_ivf: probes consume the STORED index — no embeddings scan, no training aggregates") {
+    val p = plan("x_ann_ivf")
+    // the trained index is materialized state: both join sides scan
+    // the persisted replicated-assignment parquet; a refactor that
+    // quietly re-derives cells from the raw corpus would re-train the
+    // quantizer on every probe query
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    // probe cost shape: join + one per-query ranking window — none of
+    // the Lloyd chain's k-row aggregates appear at probe time
+    assert(!p.contains("partial_first"), p)
+    val probe2 = plan("x_ann_ivf_probe2")
+    assert(probe2.contains("graft-ivf-p") && !probe2.contains("embeddings.parquet"), probe2)
+  }
+
   test("s13_orc_roundtrip: predicates push into the ORC scan (format-agnostic pushdown)") {
     val p = plan("s13_orc_roundtrip")
     assert(p.contains("Scan orc"), p)
