@@ -1,0 +1,61 @@
+package graft.ext
+
+import java.io.File
+
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.DataFrame
+
+/** Generic build-once MATERIALIZED STATE for derived relations: the
+  * first caller for a key computes the relation and persists it to
+  * parquet; every later consumer (and every later query in the same
+  * JVM) reads it back as a plain scan. This is the offline-state
+  * pattern [[IvfStore]] applies to the ANN index, factored for any
+  * single-relation state — e.g. dedup component labels, which
+  * `x_dedup_components` and `x_dedup_canonical` both need: computing
+  * the iterative label propagation twice per corpus would double the
+  * most expensive stage of the dedup surface for no new information.
+  *
+  * Parquet (not `localCheckpoint`) deliberately: checkpoint blocks
+  * are pinned executor memory that bench/test harnesses drop between
+  * passes — and a dropped checkpoint cannot recompute (truncated
+  * lineage), so memoizing one would poison later passes. Stored
+  * parquet survives block eviction, reads back with partition
+  * parallelism, and is exactly how a production pipeline shares a
+  * derived relation across jobs.
+  *
+  * Same safety contract as IvfStore: per-(JVM, key) memo under a
+  * lock; staged write + rename so a crashed build is never read as
+  * complete; pid-scoped root reaped by a shutdown hook.
+  */
+object RelationStore {
+
+  private val built = scala.collection.mutable.HashMap[String, String]()
+
+  private lazy val root: String = {
+    val r = System.getProperty("java.io.tmpdir") +
+      s"/graft-state-p${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      FileUtils.deleteQuietly(new File(r))))
+    r
+  }
+
+  /** Path of the stored relation for `key`, building it via `build`
+    * if this JVM hasn't yet.
+    */
+  def ensure(key: String)(build: => DataFrame): String = synchronized {
+    built.getOrElseUpdate(key, {
+      val sub = s"$root/" + key.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
+      val stage = new File(sub + ".build")
+      FileUtils.deleteQuietly(new File(sub))
+      FileUtils.deleteQuietly(stage)
+      build.write.parquet(stage.getPath)
+      FileUtils.moveDirectory(stage, new File(sub))
+      sub
+    })
+  }
+
+  /** Test seam: forget the in-memory memo so a spec can exercise a
+    * fresh build (stored files are left to the shutdown hook).
+    */
+  def reset(): Unit = synchronized { built.clear() }
+}

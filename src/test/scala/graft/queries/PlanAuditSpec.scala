@@ -135,6 +135,12 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("x_dedup_canonical")
     assert(p.contains("hashpartitioning(component"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
+    // labels arrive as shared materialized state (RelationStore), not
+    // a re-run of the band→pairs→label-propagation pipeline — the
+    // selection query's plan has no LSH machinery at all
+    assert(p.contains("graft-state-p"), p)
+    val comp = plan("x_dedup_components")
+    assert(comp.contains("graft-state-p"), comp)
   }
 
   test("x_dedup_incremental: the stored index is a materialized relation, not a recomputed pipeline") {
