@@ -433,4 +433,19 @@ object CovidPipeline {
 
     Reconciled(batch, newWarehouse, newEnterprise, resetCurated)
   }
+
+  /** Publish a reconcile's THREE sinks atomically
+    * ([[graft.sources.SnapshotPublish]]): warehouse, enterprise and
+    * the flag-reset curated table become visible to readers as one
+    * version, or not at all. The reference writes them sequentially
+    * (`main.py:235-304`) so a crash mid-tail leaves the stores
+    * mixed-version — the very state its `Is_updated` flag then has to
+    * reconcile away; here the marker-commit makes that window
+    * unobservable. Returns the published version.
+    */
+  def publishReconciled(root: String, r: Reconciled): Long =
+    graft.sources.SnapshotPublish.publish(r.warehouse.sparkSession, root, Seq(
+      "warehouse" -> r.warehouse,
+      "enterprise" -> r.enterprise,
+      "curated" -> r.curated))
 }

@@ -1624,6 +1624,53 @@ object CoreQueries {
       |WHERE o_orderkey <= 6000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** S18 — atomic multi-table snapshot publish
+    * ([[graft.sources.SnapshotPublish]]): three "stores" (warehouse /
+    * enterprise / curated — the flagship reconcile's sink set) are
+    * published twice as single atomic versions, and a CRASHED third
+    * attempt (version dir renamed into place but never marked) is left
+    * in the log. The query reads the warehouse at the CURRENT
+    * version; the oracle reads the ACTUAL BYTES of the v2 parquet
+    * directory — so the version-resolution rule itself is what's
+    * verified: resolving the crashed v3, the stale v1, or any mix
+    * hash-mismatches. Same pid-scoped build-once fixture lifetime as
+    * s15/s17.
+    */
+  def s18SnapshotPublish(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s18BuiltFor.synchronized {
+      if (s18BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S18Root))
+        def slice(hi: Long, tag: String) = Tables.orders(spark, dir)
+          .filter(col("o_orderkey") <= hi)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), lit(tag).as("publish_tag"))
+          .coalesce(2)
+        graft.sources.SnapshotPublish.publish(spark, S18Root, Seq(
+          "warehouse" -> slice(3000, "v1"), "enterprise" -> slice(3000, "v1"),
+          "curated" -> slice(3000, "v1")))
+        graft.sources.SnapshotPublish.publish(spark, S18Root, Seq(
+          "warehouse" -> slice(3500, "v2"), "enterprise" -> slice(3500, "v2"),
+          "curated" -> slice(3500, "v2")))
+        // crashed attempt: version dir present, marker never written
+        new java.io.File(s"$S18Root/v=00000003").mkdirs()
+        s18BuiltFor.set(dir)
+      }
+    }
+    graft.sources.SnapshotPublish.readCurrent(spark, S18Root, "warehouse")
+      .orderBy("o_orderkey")
+  }
+
+  private val S18Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
+  private val s18BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private val s18SnapshotPublishSql =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, publish_tag
+       |FROM read_parquet('$S18Root/v=00000002/warehouse/*.parquet')
+       |ORDER BY o_orderkey""".stripMargin
+
   /** W6 — quantile binning (`ntile`): orders bucketed into price
     * quartiles within their status group — the feature-engineering /
     * stratified-sampling primitive (equal-population bins, unlike
@@ -1803,6 +1850,7 @@ object CoreQueries {
     "s14_csv_export"    -> s14CsvExport _,
     "s15_incr_manifest" -> s15IncrementalManifest _,
     "s17_jsonl_export"  -> s17JsonlExport _,
+    "s18_snapshot_publish" -> s18SnapshotPublish _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2108,6 +2156,7 @@ object CoreQueries {
     "s14_csv_export" -> s14CsvExportSql,
     "s15_incr_manifest" -> s15IncrementalManifestSql,
     "s17_jsonl_export" -> s17JsonlExportSql,
+    "s18_snapshot_publish" -> s18SnapshotPublishSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -321,4 +321,70 @@ class CovidPipelineSpec extends SparkSpec {
     assert(r3.curated.filter(col("Is_updated") === "Y").count() == 0)
     assert(r3.curated.count() == 7)
   }
+
+  test("atomic publish: a crash between sink writes leaves readers on the old version for ALL sinks") {
+    import spark.implicits._
+    import graft.sources.SnapshotPublish
+    val root = java.nio.file.Files.createTempDirectory("graft-pub").toString
+    def frames(tag: String) = Seq(
+      "warehouse" -> Seq((1L, tag)).toDF("k", "v"),
+      "enterprise" -> Seq((2L, tag)).toDF("k", "v"),
+      "curated" -> Seq((3L, tag)).toDF("k", "v"))
+    assert(SnapshotPublish.publish(spark, root, frames("old")) == 1L)
+
+    // the v2 attempt dies while writing the SECOND sink — warehouse
+    // has already written — the exact mixed-version window the
+    // reference's sequential three-store tail (main.py:235-304) leaves
+    val boom = spark.range(1)
+      .select(col("id").as("k"), raise_error(lit("injected crash")).cast("string").as("v"))
+    intercept[Exception] {
+      SnapshotPublish.publish(spark, root, Seq(
+        "warehouse" -> Seq((1L, "new")).toDF("k", "v"),
+        "enterprise" -> boom,
+        "curated" -> Seq((3L, "new")).toDF("k", "v")))
+    }
+    // every reader still resolves v1 for EVERY sink: all-old, never mixed
+    assert(SnapshotPublish.currentVersion(spark, root).contains(1L))
+    for (t <- Seq("warehouse", "enterprise", "curated"))
+      assert(SnapshotPublish.readCurrent(spark, root, t)
+        .select("v").as[String].collect().toSeq == Seq("old"), t)
+
+    // the retry commits all three together
+    val v2 = SnapshotPublish.publish(spark, root, frames("new"))
+    assert(v2 == 2L)
+    for (t <- Seq("warehouse", "enterprise", "curated"))
+      assert(SnapshotPublish.readCurrent(spark, root, t)
+        .select("v").as[String].collect().toSeq == Seq("new"), t)
+
+    // a crash AFTER the version rename but BEFORE the marker: readers
+    // skip the unmarked dir entirely
+    new java.io.File(s"$root/v=00000099/warehouse").mkdirs()
+    assert(SnapshotPublish.currentVersion(spark, root).contains(v2))
+
+    // vacuum keeps the current version, drops the old one + debris
+    SnapshotPublish.vacuum(spark, root, keep = 1)
+    assert(SnapshotPublish.currentVersion(spark, root).contains(v2))
+    assert(!new java.io.File(s"$root/v=00000001").exists())
+    assert(!new java.io.File(s"$root/v=00000099").exists())
+    for (t <- Seq("warehouse", "enterprise", "curated"))
+      assert(SnapshotPublish.readCurrent(spark, root, t).count() == 1)
+  }
+
+  test("publishReconciled: the flagship's three sinks land as one version") {
+    import spark.implicits._
+    import graft.sources.SnapshotPublish
+    val root = java.nio.file.Files.createTempDirectory("graft-pub-rec").toString
+    val wh = Seq((1L, "w")).toDF("sk", "t")
+    val ent = Seq((2L, "e")).toDF("sk", "t")
+    val cur = Seq((3L, "c")).toDF("sk", "t")
+    val v = CovidPipeline.publishReconciled(root,
+      CovidPipeline.Reconciled(wh.limit(0), wh, ent, cur))
+    assert(v == 1L)
+    assert(SnapshotPublish.readCurrent(spark, root, "warehouse")
+      .select("t").as[String].collect().toSeq == Seq("w"))
+    assert(SnapshotPublish.readCurrent(spark, root, "enterprise")
+      .select("t").as[String].collect().toSeq == Seq("e"))
+    assert(SnapshotPublish.readCurrent(spark, root, "curated")
+      .select("t").as[String].collect().toSeq == Seq("c"))
+  }
 }
