@@ -92,10 +92,24 @@ object SnapshotPublish {
   /** Read `table` at the current published version — readers NEVER
     * see a half-published version (no marker, no resolution).
     */
-  def readCurrent(spark: SparkSession, root: String, table: String): DataFrame = {
-    val v = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no published snapshot under $root"))
-    spark.read.parquet(s"$root/${versionDir(v)}/$table")
+  def readCurrent(spark: SparkSession, root: String, table: String): DataFrame =
+    readAt(spark, root, table,
+      currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no published snapshot under $root")))
+
+  /** Time travel: read `table` at a specific PUBLISHED version (every
+    * version a vacuum hasn't pruned remains readable — the reference's
+    * `vacuum(0)` at `main.py:231-234` destroys exactly this ability).
+    * Unmarked (crashed) versions are not readable: they were never
+    * a consistent state.
+    */
+  def readAt(spark: SparkSession, root: String, table: String, version: Long): DataFrame = {
+    val (fs, r) = fsOf(spark, root)
+    val dir = new Path(r, versionDir(version))
+    if (!fs.exists(new Path(dir, Marker)))
+      throw new IllegalStateException(
+        s"version $version under $root is not a published snapshot")
+    spark.read.parquet(new Path(dir, table).toString)
   }
 
   /** Drop all but the newest `keep` published versions, plus ALL

@@ -133,4 +133,35 @@ class IvfIndexSpec extends SparkSpec {
     val stored1 = a.filter(col("cell_rank") === 1).select("vec_id", "cell")
     assert(stored1.exceptAll(primary).isEmpty && primary.exceptAll(stored1).isEmpty)
   }
+
+  test("IvfStore: an OUT-OF-CORPUS query probes via the stored centroids, no retrain") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, SfDir)
+      .withColumn("v_norm", Similarity.norm(col("embedding")))
+    val st = IvfStore.ensure(emb, key = s"$SfDir-ivfstore-oov",
+      k = 4, iters = 2, nassign = 2, dim = 64)
+    // a vector the corpus has never seen: a corpus vector, perturbed
+    val base = emb.filter(col("vec_id") === 7L)
+      .select("embedding").as[Seq[Float]].head()
+    val novel = Seq((-1L, base.updated(0, base.head + 0.25f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("v_norm", Similarity.norm(col("embedding")))
+    // serve path: reload the k stored centroid rows -> pivot ->
+    // map-side probe-cell assignment -> join the stored index
+    val cents = IvfIndex.pivotRow(
+      spark.read.parquet(st.centroidsPath).select("c_id", "c_emb"), 4)
+    val probes = IvfIndex.probeCells(novel, cents, 4, nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("v_norm").as("q_norm"), col("cell"))
+    val hits = spark.read.parquet(st.assignedPath)
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosineWithNorms(col("q_emb"), col("embedding"),
+          col("q_norm"), col("v_norm")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(1).collect()
+    // the perturbed twin's nearest neighbor must be its source vector
+    assert(hits.nonEmpty && hits.head.getLong(1) == 7L, hits.mkString)
+  }
 }

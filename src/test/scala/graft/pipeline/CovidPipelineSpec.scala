@@ -356,6 +356,13 @@ class CovidPipelineSpec extends SparkSpec {
       assert(SnapshotPublish.readCurrent(spark, root, t)
         .select("v").as[String].collect().toSeq == Seq("new"), t)
 
+    // time travel: v1 stays readable until vacuumed; crashed versions never resolve
+    assert(SnapshotPublish.readAt(spark, root, "warehouse", 1L)
+      .select("v").as[String].collect().toSeq == Seq("old"))
+    intercept[IllegalStateException] {
+      SnapshotPublish.readAt(spark, root, "warehouse", 77L)
+    }
+
     // a crash AFTER the version rename but BEFORE the marker: readers
     // skip the unmarked dir entirely
     new java.io.File(s"$root/v=00000099/warehouse").mkdirs()
