@@ -145,10 +145,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("x_dedup_incremental: the stored index is a materialized relation, not a recomputed pipeline") {
     val p = plan("x_dedup_incremental")
-    // the existing-corpus sketch joins as checkpointed state (the
-    // stored-table stand-in); a refactor that re-derives it from raw
-    // text would re-sketch the whole corpus per day
-    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
+    // the existing-corpus sketch joins as STORED state (RelationStore
+    // parquet); a refactor that re-derives it from raw text would
+    // re-sketch the whole corpus per day
+    assert(p.contains("graft-state-p"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
