@@ -37,7 +37,10 @@ object SnapshotPublish {
 
   private val Marker = "_PUBLISHED"
   private def versionDir(n: Long) = f"v=$n%08d"
-  private val VersionRe = "v=(\\d{8})".r
+  // 8+ digits: %08d pads small versions but NEVER truncates — a log
+  // past 10^8 publishes still lists (and sorts numerically, since we
+  // parse the number rather than compare names)
+  private val VersionRe = "v=(\\d{8,})".r
 
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
