@@ -30,6 +30,25 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("approx_percentile"), e.getMessage)
   }
 
+  test("x_bpe_merges: greedy-by-frequency with deterministic ties on a hand-checked corpus") {
+    import spark.implicits._
+    // banana+bandana: adjacent pairs tally 'a n':4, 'n a':3, 'b a':2,
+    // 'n d':1, 'd a':1 -> the first learned merge MUST be ('a n', 4)
+    val df = Seq((1L, "banana bandana", "en", "t", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ExtQueries.xBpeMerges(spark, tmp).collect()
+    assert(rows.length == 5)
+    assert(rows.head.getAs[String]("pair") == "a n", rows.head.toString)
+    assert(rows.head.getAs[String]("merged") == "an")
+    assert(rows.head.getAs[Long]("cnt") == 4L)
+    // every merge is the pair with the space removed, and no merge repeats
+    rows.foreach(r => assert(
+      r.getAs[String]("merged") == r.getAs[String]("pair").replace(" ", "")))
+    assert(rows.map(_.getAs[String]("pair")).distinct.length == 5)
+  }
+
   test("x_repetition: signals are in range and the gate is non-degenerate") {
     val rows = ExtQueries.xRepetition(spark, dir).collect()
     assert(rows.nonEmpty)
