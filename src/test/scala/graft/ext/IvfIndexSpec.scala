@@ -134,6 +134,17 @@ class IvfIndexSpec extends SparkSpec {
     assert(stored1.exceptAll(primary).isEmpty && primary.exceptAll(stored1).isEmpty)
   }
 
+  test("stored index keeps measured recall@1 at nprobe=2 >= 0.6 (the r4-verdict serving bar)") {
+    // the quality contract boundary replication + k=12/iters=10 was
+    // chosen to clear (sweep in PLANS.md): sf0.001 measures 0.72 at
+    // nprobe=2 — a regression in training, replication, or probe
+    // resolution that costs more than ~3 of 25 queries fails here
+    val rows = graft.queries.ExtQueries.xAnnRecall(spark, SfDir).collect()
+      .map(r => r.getAs[Int]("nprobe") -> r.getAs[Double]("recall")).toMap
+    assert(rows(2) >= 0.6, s"recall@1 at nprobe=2 fell to ${rows(2)}")
+    assert(rows(1) <= rows(2), s"probing MORE cells cannot lower recall: $rows")
+  }
+
   test("IvfStore: an OUT-OF-CORPUS query probes via the stored centroids, no retrain") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, SfDir)
