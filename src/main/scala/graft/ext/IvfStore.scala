@@ -62,7 +62,9 @@ object IvfStore {
     * costs `iters` corpus passes (each: map-side codegen'd assignment
     * + one k-row shuffle of exact integer sums) plus one assignment
     * pass for the replicated corpus — amortized over every probe
-    * query against the snapshot.
+    * query against the snapshot. `key` must identify the corpus
+    * SNAPSHOT (immutable test corpora key by dir; production keys by
+    * content version) — see [[RelationStore]]'s staleness note.
     */
   def ensure(emb: DataFrame, key: String, k: Int, iters: Int,
       nassign: Int, dim: Int): StoredIndex = synchronized {

@@ -41,6 +41,13 @@ object RelationStore {
 
   /** Path of the stored relation for `key`, building it via `build`
     * if this JVM hasn't yet.
+    *
+    * The key must identify the corpus SNAPSHOT, not merely a path: a
+    * corpus mutated in place under the same key would read stale
+    * state. The bench/test corpora are immutable by contract
+    * (TESTDATA.md), so their dir IS their snapshot id; a production
+    * caller keys by content version — e.g. `SnapshotPublish`'s
+    * published version number.
     */
   def ensure(key: String)(build: => DataFrame): String = synchronized {
     built.getOrElseUpdate(key, {
