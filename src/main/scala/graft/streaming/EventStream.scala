@@ -222,6 +222,42 @@ object EventStream {
       .start()
   }
 
+  /** Streaming twin of the stored-ANN-index INGESTION side
+    * ([[graft.ext.IvfStore]]): new embedding rows arriving as a file
+    * stream are cell-assigned against the PERSISTED centroids —
+    * boundary-replicated exactly like the offline build (each vector
+    * under its top-2 cells) — and appended in the index's assignment
+    * layout, so the probe self-join sees old and new vectors
+    * uniformly. No retraining and no state store: the centroid row is
+    * a broadcast static relation and assignment is the same map-side
+    * codegen'd expression chain the batch build uses, so continuous
+    * ingestion costs O(new rows) — the ANN twin of
+    * `x_dedup_incremental`'s delta-only contract. Production cadence:
+    * stream-assign arrivals continuously; retrain offline
+    * (`IvfStore.ensure` under a fresh snapshot key) when drift
+    * accumulates.
+    */
+  def runIvfAssignStream(
+      spark: SparkSession, inDir: String, centroidsPath: String, k: Int,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val cents = graft.ext.IvfIndex.pivotRow(
+      spark.read.parquet(centroidsPath).select("c_id", "c_emb"), k)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    graft.ext.IvfIndex.probeCells(
+        stream.withColumn("v_norm", graft.ext.Similarity.norm(col("embedding"))),
+        cents, k, nprobe = 2)
+      .select(col("vec_id"), col("embedding"), col("v_norm"),
+        col("cell"), col("cell_rank"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Streaming twin of the batch text pipeline: quality-gate then
     * chunk incoming documents into fixed 64-token training windows.
     * Everything here is a stateless map-side Column expression

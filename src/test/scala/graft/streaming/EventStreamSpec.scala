@@ -16,6 +16,45 @@ class EventStreamSpec extends SparkSpec {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  test("IVF assign stream: arrivals index against the STORED centroids, bit-equal to the batch build") {
+    import graft.ext.{IvfIndex, IvfStore, Similarity}
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-ivf-stream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    // offline build on the existing corpus
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+      .withColumn("v_norm", Similarity.norm(col("embedding")))
+    val st = IvfStore.ensure(corpus, key = s"$sfDir-ivf-stream-spec",
+      k = 4, iters = 2, nassign = 2, dim = 64)
+    // "day 2": new vectors the index has never seen (shifted ids,
+    // perturbed embeddings), landing as a stream batch
+    val novel = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.01f)).as("embedding"),
+        col("label"))
+    novel.write.parquet(in)
+
+    val q = EventStream.runIvfAssignStream(spark, in, st.centroidsPath, 4, out, ck)
+    assert(q.awaitTermination(120000), "stream did not terminate within the timeout")
+
+    // streamed assignment == the batch assignment chain on the same rows
+    val streamed = spark.read.parquet(out)
+      .select("vec_id", "cell", "cell_rank")
+    val cents = IvfIndex.pivotRow(
+      spark.read.parquet(st.centroidsPath).select("c_id", "c_emb"), 4)
+    val batch = IvfIndex.probeCells(
+        spark.read.parquet(in).withColumn("v_norm", Similarity.norm(col("embedding"))),
+        cents, 4, nprobe = 2)
+      .select("vec_id", "cell", "cell_rank")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // and the output unions cleanly with the stored assignment layout
+    val merged = spark.read.parquet(st.assignedPath).unionByName(
+      spark.read.parquet(out))
+    assert(merged.count() ==
+      2 * corpus.count() + 2 * spark.read.parquet(in).count())
+  }
+
   test("AvailableNow file stream: windowed agg matches the batch twin on closed windows") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
