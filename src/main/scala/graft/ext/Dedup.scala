@@ -121,9 +121,16 @@ object Dedup {
     * doc_id against the compact (doc_id, prefix) relation.
     */
   def editDistancePairs(docs: DataFrame, n: Int, prefixLen: Int,
-      k: Int = 8, bands: Int = 4): DataFrame = {
-    val cand = minhashCandidates(minhashBands(docs, n, k, bands))
-      .select("doc_a", "doc_b")
+      k: Int = 8, bands: Int = 4): DataFrame =
+    editDistanceVerify(docs,
+      minhashCandidates(minhashBands(docs, n, k, bands)).select("doc_a", "doc_b"),
+      prefixLen)
+
+  /** The verification stage alone, against a PRE-COMPUTED candidate
+    * relation — the entry point for callers that keep the candidate
+    * graph as stored state (`RelationStore`) shared across verifiers.
+    */
+  def editDistanceVerify(docs: DataFrame, cand: DataFrame, prefixLen: Int): DataFrame = {
     val prepared = docs.select(
       col("doc_id"), substring(col("text"), 1, prefixLen).as("pfx"))
     val dist = levenshtein(col("a.pfx"), col("b.pfx"))
@@ -152,9 +159,14 @@ object Dedup {
     * list back to the compact (doc_id, shingle-set) relation — two
     * hash joins on doc_id, never an all-pairs product.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, k: Int = 8, bands: Int = 4): DataFrame = {
-    val cand = minhashCandidates(minhashBands(docs, n, k, bands))
-      .select("doc_a", "doc_b")
+  def ngramJaccardPairs(docs: DataFrame, n: Int, k: Int = 8, bands: Int = 4): DataFrame =
+    ngramJaccardVerify(docs,
+      minhashCandidates(minhashBands(docs, n, k, bands)).select("doc_a", "doc_b"), n)
+
+  /** The verification stage alone over pre-computed candidates — see
+    * [[editDistanceVerify]].
+    */
+  def ngramJaccardVerify(docs: DataFrame, cand: DataFrame, n: Int): DataFrame = {
     val prepared = docs.select(
       col("doc_id"),
       array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n)).as("sh"))

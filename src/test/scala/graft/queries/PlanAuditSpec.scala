@@ -99,12 +99,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
-  test("x_dedup_minhash_pairs: sketch relation materialized once (LogicalRDD barrier)") {
-    // the localCheckpoint barrier appears as a scan of an existing RDD;
-    // without it both self-join sides would recompute the signature
-    // pipeline from raw text (and pushdown-through-Generate bites)
+  test("x_dedup_minhash_pairs: candidate graph served from stored state, not a re-sketch") {
+    // since r5 the candidate-pair graph is RelationStore parquet
+    // shared by five consumers (pairs view, both verifiers, component
+    // labels, PageRank, triangles); the pairs view must be a plain
+    // scan of it — a refactor that re-derives candidates from raw
+    // text would re-run the signature pipeline per consumer
     val p = plan("x_dedup_minhash_pairs")
-    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p)
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the verifiers consume the same stored graph
+    val j = plan("x_dedup_ngram_jaccard")
+    assert(j.contains("graft-state-p"), j)
+    val e = plan("x_dedup_edit")
+    assert(e.contains("graft-state-p"), e)
   }
 
   test("m5_scd2: lag + lead windows share ONE user_id exchange (filter preserves sort)") {
