@@ -1636,7 +1636,15 @@ object CoreQueries {
     * hash-mismatches. Same pid-scoped build-once fixture lifetime as
     * s15/s17.
     */
-  def s18SnapshotPublish(spark: SparkSession, dir: String): DataFrame = {
+  /** Build the two-version snapshot log once per (JVM, sf dir): v1 =
+    * day-1 state (keys ≤ 3000), v2 = day-2 restatement (grows to
+    * ≤ 3500, every %97 key retired, F-status prices corrected by a
+    * decimal-exact +1.00 — so a version diff carries all three change
+    * classes), plus a CRASHED third attempt (dir renamed, marker
+    * never written). Shared by [[s18SnapshotPublish]] (current-version
+    * resolution) and [[s19SnapshotCdc]] (between-version change feed).
+    */
+  private def ensureSnapshotFixture(spark: SparkSession, dir: String): Unit = {
     sweepStaleFixtureDirs()
     s18BuiltFor.synchronized {
       if (s18BuiltFor.get() != dir) {
@@ -1646,17 +1654,27 @@ object CoreQueries {
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_totalprice"), lit(tag).as("publish_tag"))
           .coalesce(2)
+        val v2 = slice(3500, "v2")
+          .filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderstatus") === "F",
+              (col("o_totalprice").cast(DecimalType(20, 2)) +
+                lit(BigDecimal("1.00")).cast(DecimalType(20, 2))).cast(DoubleType))
+              .otherwise(col("o_totalprice")))
         graft.sources.SnapshotPublish.publish(spark, S18Root, Seq(
           "warehouse" -> slice(3000, "v1"), "enterprise" -> slice(3000, "v1"),
           "curated" -> slice(3000, "v1")))
         graft.sources.SnapshotPublish.publish(spark, S18Root, Seq(
-          "warehouse" -> slice(3500, "v2"), "enterprise" -> slice(3500, "v2"),
-          "curated" -> slice(3500, "v2")))
+          "warehouse" -> v2, "enterprise" -> v2, "curated" -> v2))
         // crashed attempt: version dir present, marker never written
         new java.io.File(s"$S18Root/v=00000003").mkdirs()
         s18BuiltFor.set(dir)
       }
     }
+  }
+
+  def s18SnapshotPublish(spark: SparkSession, dir: String): DataFrame = {
+    ensureSnapshotFixture(spark, dir)
     graft.sources.SnapshotPublish.readCurrent(spark, S18Root, "warehouse")
       .orderBy("o_orderkey")
   }
@@ -1669,6 +1687,51 @@ object CoreQueries {
   private val s18SnapshotPublishSql =
     s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, publish_tag
        |FROM read_parquet('$S18Root/v=00000002/warehouse/*.parquet')
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** S19 — change feed BETWEEN published snapshot versions: the m6
+    * CDC classification applied to the snapshot log's time travel
+    * (`SnapshotPublish.readAt`) — exactly what a downstream consumer
+    * replays after each publish instead of re-reading the full store.
+    * One full-outer sort-merge join on the key (the m6 plan), price
+    * compared on the STORED bytes of each version, so the oracle —
+    * which reads both version directories' raw parquet — pins the
+    * version resolution AND the classification. The v1→v2 fixture
+    * carries all three classes: %97 keys retired (delete), 3001-3500
+    * added (insert), F-status prices restated (update).
+    */
+  def s19SnapshotCdc(spark: SparkSession, dir: String): DataFrame = {
+    ensureSnapshotFixture(spark, dir)
+    val a = graft.sources.SnapshotPublish.readAt(spark, S18Root, "warehouse", 1L)
+      .select(col("o_orderkey").as("key_a"), col("o_totalprice").as("price_a"))
+    val b = graft.sources.SnapshotPublish.readAt(spark, S18Root, "warehouse", 2L)
+      .select(col("o_orderkey").as("key_b"), col("o_totalprice").as("price_b"))
+    a.join(b, col("key_a") === col("key_b"), "full_outer")
+      .filter(col("key_a").isNull || col("key_b").isNull ||
+        col("price_a") =!= col("price_b"))
+      .select(
+        coalesce(col("key_a"), col("key_b")).as("o_orderkey"),
+        when(col("key_a").isNull, "insert")
+          .when(col("key_b").isNull, "delete")
+          .otherwise("update").as("change_type"),
+        col("price_a").as("old_price"),
+        col("price_b").as("new_price"))
+      .orderBy("o_orderkey")
+  }
+
+  private val s19SnapshotCdcSql =
+    s"""WITH a AS (
+       |  SELECT o_orderkey AS k, o_totalprice AS price
+       |  FROM read_parquet('$S18Root/v=00000001/warehouse/*.parquet')),
+       |b AS (
+       |  SELECT o_orderkey AS k, o_totalprice AS price
+       |  FROM read_parquet('$S18Root/v=00000002/warehouse/*.parquet'))
+       |SELECT COALESCE(a.k, b.k) AS o_orderkey,
+       |  CASE WHEN a.k IS NULL THEN 'insert' WHEN b.k IS NULL THEN 'delete'
+       |       ELSE 'update' END AS change_type,
+       |  a.price AS old_price, b.price AS new_price
+       |FROM a FULL OUTER JOIN b ON a.k = b.k
+       |WHERE a.k IS NULL OR b.k IS NULL OR a.price <> b.price
        |ORDER BY o_orderkey""".stripMargin
 
   /** W6 — quantile binning (`ntile`): orders bucketed into price
@@ -1851,6 +1914,7 @@ object CoreQueries {
     "s15_incr_manifest" -> s15IncrementalManifest _,
     "s17_jsonl_export"  -> s17JsonlExport _,
     "s18_snapshot_publish" -> s18SnapshotPublish _,
+    "s19_snapshot_cdc"  -> s19SnapshotCdc _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2157,6 +2221,7 @@ object CoreQueries {
     "s15_incr_manifest" -> s15IncrementalManifestSql,
     "s17_jsonl_export" -> s17JsonlExportSql,
     "s18_snapshot_publish" -> s18SnapshotPublishSql,
+    "s19_snapshot_cdc" -> s19SnapshotCdcSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,
