@@ -49,6 +49,19 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("pair")).distinct.length == 5)
   }
 
+  test("x_reshard_rendezvous: growing N->N+1 moves only docs won by the NEW shard, ~1/(N+1) of corpus") {
+    val rows = ExtQueries.xReshardRendezvous(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val moved = rows.filter(_.getAs[Boolean]("moved"))
+    // the defining rendezvous property: an existing doc only moves
+    // when the ADDED shard out-weighs its old winner — never between
+    // surviving shards (a mod-N rule fails exactly this)
+    moved.foreach(r => assert(r.getAs[Long]("shard_after") == 8L, r.toString))
+    // and the movement fraction is ~1/9, nowhere near mod-N's ~8/9
+    val frac = moved.length.toDouble / rows.length
+    assert(frac < 0.25, s"moved fraction $frac — rendezvous should move ~11%")
+  }
+
   test("x_repetition: signals are in range and the gate is non-degenerate") {
     val rows = ExtQueries.xRepetition(spark, dir).collect()
     assert(rows.nonEmpty)
