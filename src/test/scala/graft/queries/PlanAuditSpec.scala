@@ -234,6 +234,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("s19_snapshot_cdc: version diff is a key-partitioned full-outer merge join over both stored versions") {
+    val p = plan("s19_snapshot_cdc")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // both sides scan the snapshot log's version directories directly
+    assert(p.contains("v=00000001/warehouse") && p.contains("v=00000002/warehouse"), p)
+  }
+
+  test("x_reshard_rendezvous: placement is pure map-side — no shuffle before the output sort") {
+    val p = plan("x_reshard_rendezvous")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("x_sketch_merge: sketch state merges through partial aggregation (one day shuffle)") {
     val p = plan("x_sketch_merge")
     // daily sketches: partial_hll_sketch_agg map-side before the day
