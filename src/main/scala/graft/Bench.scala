@@ -156,6 +156,17 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // file copy is best-effort; stdout is the contract
+    // LAST stdout line: a compact summary guaranteed to fit whole
+    // inside a ~2000-char stdout tail-capture (the full line above is
+    // >3 KB — 113 query names alone are ~1.6 KB — so a tail that
+    // clips it from the front can never parse it; this one parses).
+    // Carries the total, the A/B, and the `topK` slowest queries —
+    // the ones any perf reader looks at first — plus a pointer to the
+    // full map.
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val topK = results.toSeq.sortBy(-_._2).take(15).map { case (k, v) => k -> r3(v) }
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${json(topK)},"skew":${json(skew.map { case (k, v) => k -> r3(v) })},"sf":"$sfDir","queries_full":"target/bench.json"}"""
+    println(compact)
     spark.stop()
   }
 }

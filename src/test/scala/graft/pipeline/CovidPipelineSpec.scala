@@ -369,7 +369,9 @@ class CovidPipelineSpec extends SparkSpec {
     assert(SnapshotPublish.currentVersion(spark, root).contains(v2))
 
     // vacuum keeps the current version, drops the old one + debris
-    SnapshotPublish.vacuum(spark, root, keep = 1)
+    // (minAgeMillis=0: this test IS the no-readers-in-flight caller;
+    // the retention guard itself is covered in SnapshotPublishSpec)
+    SnapshotPublish.vacuum(spark, root, keep = 1, minAgeMillis = 0L)
     assert(SnapshotPublish.currentVersion(spark, root).contains(v2))
     assert(!new java.io.File(s"$root/v=00000001").exists())
     assert(!new java.io.File(s"$root/v=00000099").exists())
