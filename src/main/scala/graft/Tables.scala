@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md /
   * FIXTURES.md §A). Parquet carries its own schema, so no inferSchema
@@ -27,23 +27,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads
-    * under `spark.sql.legacy.parquet.nanosAsLong=true` (set centrally
-    * by [[GraftSession]]) — it then arrives as LongType nanos.
-    * Normalize to µs TimestampType here so downstream operators see a
-    * plain timestamp column (FIXTURES.md timestamp caution).
+  /** `events.ts` arrives in whatever physical timestamp flavor the
+    * generator last wrote — TIMESTAMP(NANOS) in early testdata drops
+    * (read as LongType nanos under `spark.sql.legacy.parquet
+    * .nanosAsLong=true`, set centrally by [[GraftSession]]),
+    * TIMESTAMP(MICROS, NTZ) in current drops (read as
+    * TimestampNTZType). Normalize all of them to µs TimestampType
+    * here so downstream operators see one plain timestamp column
+    * (FIXTURES.md timestamp caution).
     *
     * The ns→µs conversion uses *integral* division (`div`): `/` would
     * be double division, and nanosecond epochs (~1.7e18) exceed
-    * double's 53-bit exact range, giving ±1 µs errors.
+    * double's 53-bit exact range, giving ±1 µs errors. The NTZ→LTZ
+    * cast reinterprets the naive datetime in the session timezone —
+    * [[GraftSession]] pins UTC, so the instants match what a naive
+    * reader (the DuckDB oracle) sees.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = read(spark, dir, "events")
     df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => df
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
       case other => throw new IllegalStateException(
-        s"events.ts: expected LongType (nanosAsLong) or TimestampType, got $other — " +
+        s"events.ts: expected LongType (nanosAsLong), TimestampNTZType or TimestampType, got $other — " +
           "was the session built via graft.GraftSession?")
     }
   }
