@@ -6,11 +6,20 @@ import org.apache.spark.sql.SparkSession
   * tests, ad-hoc mains) builds its session here so engine-critical
   * configs are set in exactly one place.
   *
-  * Notably `spark.sql.legacy.parquet.nanosAsLong`: the testdata
-  * `events.ts` column is TIMESTAMP(NANOS) parquet, which Spark 4 only
-  * reads with this flag (it then arrives as LongType nanos, normalized
-  * by [[Tables.events]]). A session built elsewhere would fail at scan
-  * time with an illegal-Parquet-type error.
+  * Two parquet-timestamp configs cover every testdata drop of
+  * `events.ts` (physical flavor has changed across regenerations):
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true` — legacy
+  *    TIMESTAMP(NANOS) drops, which Spark 4 otherwise refuses to read
+  *    (illegal-Parquet-type error); they arrive as LongType nanos,
+  *    normalized by [[Tables.events]].
+  *  - `spark.sql.parquet.inferTimestampNTZ.enabled=false` — current
+  *    TIMESTAMP(MICROS, NTZ) drops read directly as µs TimestampType
+  *    AT THE SCAN (micros-as-instant, identical values to an NTZ→LTZ
+  *    cast under this session's pinned UTC timezone). Reading LTZ
+  *    natively instead of casting after the scan keeps range
+  *    predicates on `ts` pushable to the parquet source — a cast on
+  *    the column would block pushdown, a full-scan-vs-pruned-scan
+  *    difference at scale (`PlanAuditSpec` pins the pushdown).
   *
   * Scale posture: AQE on (runtime re-plan, skew-join splitting,
   * broadcast downgrade), shuffle partitions = local cores (on a real
@@ -26,6 +35,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // bucketed-table (saveAsTable) metadata goes to a per-process
       // temp warehouse — never the working directory, and never shared

@@ -31,23 +31,37 @@ object Tables {
     * generator last wrote — TIMESTAMP(NANOS) in early testdata drops
     * (read as LongType nanos under `spark.sql.legacy.parquet
     * .nanosAsLong=true`, set centrally by [[GraftSession]]),
-    * TIMESTAMP(MICROS, NTZ) in current drops (read as
-    * TimestampNTZType). Normalize all of them to µs TimestampType
-    * here so downstream operators see one plain timestamp column
+    * TIMESTAMP(MICROS, NTZ) in current drops (read DIRECTLY as µs
+    * TimestampType at the scan under `spark.sql.parquet
+    * .inferTimestampNTZ.enabled=false`, also set by [[GraftSession]]).
+    * Downstream operators see one plain timestamp column
     * (FIXTURES.md timestamp caution).
+    *
+    * In the normal GraftSession path the NTZ case never reaches this
+    * match — the scan itself yields TimestampType, which is what keeps
+    * range predicates on `ts` pushable to parquet (a post-scan cast
+    * would block pushdown; `PlanAuditSpec` pins `PushedFilters` on
+    * this table). The TimestampNTZType branch below is a fallback for
+    * sessions built elsewhere, and it is only value-correct when the
+    * session timezone is UTC (the cast reinterprets the naive datetime
+    * in the session zone) — so it asserts UTC rather than silently
+    * shifting every instant.
     *
     * The ns→µs conversion uses *integral* division (`div`): `/` would
     * be double division, and nanosecond epochs (~1.7e18) exceed
-    * double's 53-bit exact range, giving ±1 µs errors. The NTZ→LTZ
-    * cast reinterprets the naive datetime in the session timezone —
-    * [[GraftSession]] pins UTC, so the instants match what a naive
-    * reader (the DuckDB oracle) sees.
+    * double's 53-bit exact range, giving ±1 µs errors.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = read(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ and session timezone is '$tz': the NTZ->LTZ cast would " +
+            "shift every instant. Build the session via graft.GraftSession (pins UTC and reads " +
+            "NTZ natively as TimestampType via spark.sql.parquet.inferTimestampNTZ.enabled=false).")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"events.ts: expected LongType (nanosAsLong), TimestampNTZType or TimestampType, got $other — " +

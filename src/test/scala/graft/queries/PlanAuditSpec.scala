@@ -11,7 +11,7 @@ import graft.SparkSpec
 class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
-  private def plan(name: String): String = {
+  private def planOf(df: => org.apache.spark.sql.DataFrame): String = {
     // scan metadata (PushedFilters/ReadSchema) renders truncated at
     // 100 chars by default — long filter lists would vanish from the
     // assertion surface. Save/restore: the session is shared across
@@ -19,9 +19,11 @@ class PlanAuditSpec extends SparkSpec {
     val key = "spark.sql.maxMetadataStringLength"
     val saved = spark.conf.get(key)
     spark.conf.set(key, "10000")
-    try graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    try df.queryExecution.executedPlan.toString
     finally spark.conf.set(key, saved)
   }
+  private def plan(name: String): String =
+    planOf(graft.SparkEntry.queries(name)(spark, dir))
 
   test("q1_agg: shipdate predicate reaches the parquet scan as a raw-timestamp range") {
     val p = plan("q1_agg")
@@ -68,6 +70,37 @@ class PlanAuditSpec extends SparkSpec {
   test("x_asof_join: plans through the custom operator, not a window fallback") {
     val p = plan("x_asof_join")
     assert(p.contains("AsOfJoin "), p)
+  }
+
+  test("x_asof_join: one exchange+sort per side, no nested-loop fallback (r6 drift pin)") {
+    val p = plan("x_asof_join")
+    // AsOfJoinExec declares ClusteredDistribution + (key, ts) ordering
+    // per child; EnsureRequirements should satisfy that with exactly
+    // one hash exchange and one sort per side. Expected exchanges: the
+    // left event clustering, the purchase-agg partial->final, the
+    // right clustering — plus NOTHING else (a fourth hash exchange or
+    // any SinglePartition means a plan change slid in under the
+    // operator; the r6 bench drift was diagnosed as JVM noise exactly
+    // because this shape had NOT changed — keep it that way).
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // both inputs sorted (key, ts) + the final presentation sort
+    assert("Sort \\[".r.findAllIn(p).length == 3, p)
+  }
+
+  test("events.ts: raw range predicate reaches the parquet scan (NTZ read natively as LTZ)") {
+    // SURVEY §8.4's promise for the events table: `ts` arrives as µs
+    // TimestampType AT THE SCAN (GraftSession sets
+    // spark.sql.parquet.inferTimestampNTZ.enabled=false), so a range
+    // predicate pushes into parquet row-group pruning. A post-scan
+    // NTZ->LTZ cast — the r6 interim normalization — silently voids
+    // this: the filter compares cast(ts) and never reaches the source.
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = planOf(graft.Tables.events(spark, dir)
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))))
+    assert(p.contains("GreaterThanOrEqual(ts"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"), p)
   }
 
   test("x_range_join: interval bucketing yields an equi hash join, never a nested loop") {
