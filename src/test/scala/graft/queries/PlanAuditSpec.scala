@@ -208,6 +208,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(probe2.contains("graft-ivf-p") && !probe2.contains("embeddings.parquet"), probe2)
   }
 
+  test("text posting relation: tfidf/inverted-index/bm25 all consume the ONE stored (doc,token) store") {
+    // the r7 consolidation: one corpus explode + (doc,token) shuffle
+    // builds the posting store; all three consumers must read it back
+    // as materialized state. A refactor that re-derives postings from
+    // raw text re-tokenizes the corpus per query; one that reverts to
+    // localCheckpoint pins corpus-sized executor memory (the r6
+    // verdict's residency flag) and would show as Scan ExistingRDD.
+    val tfidf = plan("x_tfidf_top_terms")
+    assert(tfidf.contains("graft-state-p"), tfidf)
+    assert(!tfidf.contains("ExistingRDD"), tfidf)
+    assert(!tfidf.contains("Generate explode"), tfidf)
+    val inv = plan("x_inverted_index")
+    assert(inv.contains("graft-state-p"), inv)
+    assert(!inv.contains("Generate explode"), inv)
+    val bm25 = plan("x_bm25")
+    assert(bm25.contains("graft-state-p"), bm25)
+    // the serving-path contract: the fixed query vocabulary reaches
+    // the store scan as a pushed In filter — probe cost ∝ the queried
+    // terms' posting lists, never a corpus pass
+    assert(bm25.contains("In(token"), bm25)
+  }
+
   test("s13_orc_roundtrip: predicates push into the ORC scan (format-agnostic pushdown)") {
     val p = plan("s13_orc_roundtrip")
     assert(p.contains("Scan orc"), p)
