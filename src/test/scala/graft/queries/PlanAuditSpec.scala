@@ -208,6 +208,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(probe2.contains("graft-ivf-p") && !probe2.contains("embeddings.parquet"), probe2)
   }
 
+  test("x_ann_query_novel: serving path — stored index only, no training, no corpus scan") {
+    val p = plan("x_ann_query_novel")
+    // novel queries are synthesized from range(); the corpus is reached
+    // ONLY through the stored replicated-assignment relation, and the
+    // reloaded centroid pivot is a materialized 1-row broadcast — none
+    // of the Lloyd training aggregates may appear at serving time
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+    // probe fan-out broadcasts into the cell-bucketed store; a
+    // SortMergeJoin here would shuffle the whole index per query batch
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("text posting relation: tfidf/inverted-index/bm25 all consume the ONE stored (doc,token) store") {
     // the r7 consolidation: one corpus explode + (doc,token) shuffle
     // builds the posting store; all three consumers must read it back
