@@ -1055,23 +1055,16 @@ object CoreQueries {
     val o = Tables.orders(spark, dir)
     def price = col("o_totalprice").cast(DecimalType(20, 2)).cast(DoubleType)
     val snapA = o.filter(col("o_orderdate") < ts("2001-01-01"))
-      .select(col("o_orderkey").as("key_a"), price.as("price_a"),
-        col("o_orderstatus").as("status_a"))
+      .select(col("o_orderkey").as("k"), price.as("price"),
+        col("o_orderstatus").as("status"))
     val snapB = o.filter(col("o_orderkey") % 97 =!= 0)
-      .select(col("o_orderkey").as("key_b"),
+      .select(col("o_orderkey").as("k"),
         (price + when(col("o_orderstatus") === "O", lit(10.0)).otherwise(lit(0.0)))
-          .as("price_b"),
-        col("o_orderstatus").as("status_b"))
-    snapA.join(snapB, col("key_a") === col("key_b"), "full_outer")
-      .filter(col("key_a").isNull || col("key_b").isNull ||
-        col("price_a") =!= col("price_b") || col("status_a") =!= col("status_b"))
-      .select(
-        coalesce(col("key_a"), col("key_b")).as("o_orderkey"),
-        when(col("key_a").isNull, "insert")
-          .when(col("key_b").isNull, "delete")
-          .otherwise("update").as("change_type"),
-        col("price_a").as("old_price"),
-        col("price_b").as("new_price"))
+          .as("price"),
+        col("o_orderstatus").as("status"))
+    graft.ops.ChangeFeed.diff(snapA, snapB,
+        key = "k", compare = Seq("price", "status"), keyOut = "o_orderkey")
+      .select("o_orderkey", "change_type", "old_price", "new_price")
       .orderBy("o_orderkey")
   }
 
@@ -1703,19 +1696,11 @@ object CoreQueries {
   def s19SnapshotCdc(spark: SparkSession, dir: String): DataFrame = {
     ensureSnapshotFixture(spark, dir)
     val a = graft.sources.SnapshotPublish.readAt(spark, S18Root, "warehouse", 1L)
-      .select(col("o_orderkey").as("key_a"), col("o_totalprice").as("price_a"))
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
     val b = graft.sources.SnapshotPublish.readAt(spark, S18Root, "warehouse", 2L)
-      .select(col("o_orderkey").as("key_b"), col("o_totalprice").as("price_b"))
-    a.join(b, col("key_a") === col("key_b"), "full_outer")
-      .filter(col("key_a").isNull || col("key_b").isNull ||
-        col("price_a") =!= col("price_b"))
-      .select(
-        coalesce(col("key_a"), col("key_b")).as("o_orderkey"),
-        when(col("key_a").isNull, "insert")
-          .when(col("key_b").isNull, "delete")
-          .otherwise("update").as("change_type"),
-        col("price_a").as("old_price"),
-        col("price_b").as("new_price"))
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    graft.ops.ChangeFeed.diff(a, b,
+        key = "k", compare = Seq("price"), keyOut = "o_orderkey")
       .orderBy("o_orderkey")
   }
 

@@ -53,6 +53,32 @@ final class ConcurrentPublishException(message: String)
   * out from under a reader's lazy scan (the failure mode Delta's
   * `retentionDurationCheck` exists for, which the reference disables
   * at `extract_functions.py:67` with `vacuum(0)`).
+  *
+  * ==Required filesystem contract (object-store caveat)==
+  * The protocol's atomicity rests on exactly two primitives of the
+  * Hadoop `FileSystem` it runs on:
+  *  1. '''exclusive create''' — `create(path, overwrite=false)` must
+  *     fail atomically when the path exists (the claim);
+  *  2. '''atomic directory rename''' — `rename(stage, target)` must
+  *     move the whole tree as one metadata operation, failing (not
+  *     merging) if `target` appeared concurrently.
+  * HDFS and local/POSIX filesystems provide both, so the guarantees
+  * above hold there as written. S3-style object stores provide
+  * NEITHER: `create(…, false)` is a last-writer-wins PUT (two racing
+  * claimants can both "succeed"), and "rename" is a non-atomic
+  * client-side copy+delete that readers can observe half-done. On
+  * such stores this class must not be used bare — the same gap that
+  * drives Delta/Iceberg to require a coordination layer there
+  * (S3 DynamoDB/conditional-write LogStores, a Hive/REST catalog's
+  * atomic pointer swap). The minimal adaptation is to route ONLY the
+  * two primitives through a CAS service (claim = conditional PUT of
+  * `v=<n>.claim`, commit = conditional PUT of the marker naming the
+  * staged prefix, readers resolve through markers alone and never
+  * assume the version dir is complete without one); the staged data
+  * writes need no coordination in either world. Until such a LogStore
+  * is plugged in, deploy the snapshot log on a filesystem with real
+  * exclusive-create + atomic-rename semantics (HDFS, POSIX, ADLS
+  * Gen2 with hierarchical namespace).
   */
 object SnapshotPublish {
 

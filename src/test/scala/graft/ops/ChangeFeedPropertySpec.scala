@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck laws for the snapshot CDC classifier (`ChangeFeed.diff`,
+  * the algebra behind `m6_cdc_diff` and `s19_snapshot_cdc`):
+  *
+  *  1. PARTITION — over random version pairs, the classification
+  *     partitions the key space: inserts = keys(v2)∖keys(v1),
+  *     deletes = keys(v1)∖keys(v2), updates = the intersection where
+  *     the value changed, and every other key (intersection,
+  *     unchanged) is ABSENT from the feed; no key appears twice.
+  *  2. REPLAY — applying the feed to v1 (drop deletes, overwrite
+  *     updates with `new_*`, add inserts) reconstructs v2 EXACTLY —
+  *     the property a downstream consumer relies on when it replays
+  *     the feed instead of re-reading the full store.
+  *
+  * Generators draw keys from a small space (forced collisions →
+  * all three classes occur often) with small value ranges (forced
+  * unchanged keys → the absent-from-feed class occurs too).
+  */
+class ChangeFeedPropertySpec extends SparkSpec {
+
+  private val versionGen: Gen[Map[Long, Long]] = for {
+    keys <- Gen.someOf(0L until 30L)
+    vals <- Gen.listOfN(keys.size, Gen.chooseNum(0L, 4L))
+  } yield keys.zip(vals).toMap
+
+  private def toDf(m: Map[Long, Long]): DataFrame = {
+    import spark.implicits._
+    // a deterministic order in, though diff must not depend on it
+    m.toSeq.sortBy(_._1).toDF("k", "v")
+  }
+
+  private def feedOf(v1: Map[Long, Long], v2: Map[Long, Long]) =
+    ChangeFeed.diff(toDf(v1), toDf(v2), key = "k", compare = Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+
+  private def checkProp(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("classification partitions the key space (ScalaCheck, 25 version pairs)") {
+    checkProp(Prop.forAll(versionGen, versionGen) { (v1, v2) =>
+      val feed = feedOf(v1, v2)
+      val byType = feed.groupBy(_._2).view
+        .mapValues(_.map(_._1).toSet).toMap.withDefaultValue(Set.empty[Long])
+      val expectIns = v2.keySet -- v1.keySet
+      val expectDel = v1.keySet -- v2.keySet
+      val expectUpd = (v1.keySet & v2.keySet).filter(k => v1(k) != v2(k))
+      val keysOnce = feed.map(_._1).distinct.length == feed.length
+      keysOnce &&
+        byType("insert") == expectIns &&
+        byType("delete") == expectDel &&
+        byType("update") == expectUpd &&
+        // everything else — unchanged intersection keys — is absent
+        feed.map(_._1).toSet ==
+          (expectIns ++ expectDel ++ expectUpd)
+    })
+  }
+
+  test("old/new sides carry the version values faithfully (ScalaCheck)") {
+    checkProp(Prop.forAll(versionGen, versionGen) { (v1, v2) =>
+      feedOf(v1, v2).forall { case (k, _, oldV, newV) =>
+        oldV == v1.get(k) && newV == v2.get(k)
+      }
+    })
+  }
+
+  test("replaying the feed reconstructs v2 from v1 (ScalaCheck, 25 version pairs)") {
+    checkProp(Prop.forAll(versionGen, versionGen) { (v1, v2) =>
+      val replayed = feedOf(v1, v2).foldLeft(v1) {
+        case (acc, (k, "delete", _, _))          => acc - k
+        case (acc, (k, _, _, Some(newV)))        => acc + (k -> newV) // insert | update
+        case (acc, _)                            => acc
+      }
+      replayed == v2
+    })
+  }
+}
