@@ -75,6 +75,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(rn == rw)
   }
 
+  test("asOfLeftNative: NULL keys and timestamps never match but left rows still emit") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // exercises the primitive fast path's null branches (long-backed
+    // key/ts): NULLS sort FIRST per the required ordering, so null
+    // right rows arrive at each partition's head and must be consumed
+    // without ever matching; null left rows must emit NULL payload
+    val quotes = Seq[(Option[Long], Option[Timestamp], Double)](
+      (Some(1L), Some(ts("2024-01-01 09:00:00")), 10.0),
+      (None,     Some(ts("2024-01-01 08:00:00")), 66.0), // null key: never matches
+      (Some(1L), None,                            77.0)) // null ts: never matches
+      .toDF("q_key", "q_ts", "price")
+    val trades = Seq[(Long, Option[Long], Option[Timestamp])](
+      (100L, Some(1L), Some(ts("2024-01-01 10:00:00"))), // -> 10.0
+      (101L, None,     Some(ts("2024-01-01 10:00:00"))), // null key -> NULL
+      (102L, Some(1L), None),                            // null ts -> NULL
+      (103L, Some(2L), Some(ts("2024-01-01 10:00:00")))) // no quotes -> NULL
+      .toDF("trade_id", "key", "ts")
+    val out = AsOfJoin.asOfLeftNative(trades, quotes, "key", "q_key", "ts", "q_ts", Seq("price"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("price")))).toMap
+    assert(out == Map(
+      100L -> Some(10.0), 101L -> None, 102L -> None, 103L -> None))
+  }
+
   test("asOfLeftNative with STRING keys matches the window composition") {
     import spark.implicits._
     // String (buffer-backed) keys through the merge. The remembered
