@@ -245,6 +245,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(bm25.contains("In(token"), bm25)
   }
 
+  test("x_bpe_encode: tokenizer apply runs on stored state only — no corpus pass, no training") {
+    // the encode map is vocab-sized work over TWO stored relations
+    // (corpus vocabulary + trained merge table, the latter broadcast
+    // as one pivoted row); a refactor that re-trains or re-explodes
+    // the corpus per encode would show as explode/agg machinery here
+    val p = plan("x_bpe_encode")
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("Generate explode"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the audited merge table is likewise a stored-state scan
+    val m = plan("x_bpe_merges")
+    assert(m.contains("graft-state-p"), m)
+    assert(!m.contains("documents.parquet"), m)
+  }
+
   test("s13_orc_roundtrip: predicates push into the ORC scan (format-agnostic pushdown)") {
     val p = plan("s13_orc_roundtrip")
     assert(p.contains("Scan orc"), p)
