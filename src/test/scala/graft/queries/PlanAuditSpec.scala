@@ -245,6 +245,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(bm25.contains("In(token"), bm25)
   }
 
+  test("x_semantic_dedup: within-cell pairs from the stored index — no training, no corpus scan") {
+    // SemDeDup reuses the stored IVF assignment as its clustering: the
+    // pairwise leg must be a cell-equi self-join of the stored
+    // relation (Σ cell², never corpus²) with no Lloyd aggregates and
+    // no raw embeddings read at dedup time
+    val p = plan("x_semantic_dedup")
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x_bpe_encode: tokenizer apply runs on stored state only — no corpus pass, no training") {
     // the encode map is vocab-sized work over TWO stored relations
     // (corpus vocabulary + trained merge table, the latter broadcast
