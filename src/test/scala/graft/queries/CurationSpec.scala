@@ -140,6 +140,21 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == 0, out.toString)
   }
 
+  test("x_countmin: CMS invariant — estimate never undercounts; collisions overcount") {
+    val rows = ExtQueries.xCountMin(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // est >= cnt for EVERY token: each token's own occurrences land in
+    // all D of its counters, so the min over rows still contains them
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("cnt"),
+        s"undercount at ${r.getAs[String]("token")}: $r")
+      assert(r.getAs[Long]("overcount") == r.getAs[Long]("est") - r.getAs[Long]("cnt"))
+    }
+    // W=8 < vocabulary size forces collisions: the sketch must be a
+    // genuine approximation on this corpus, not an exact pass-through
+    assert(rows.exists(_.getAs[Long]("overcount") > 0), rows.mkString("\n"))
+  }
+
   test("x_bm25: scores ranked desc, ties broken by doc_id, k bounded") {
     val rows = ExtQueries.xBm25(spark, dir).collect()
     assert(rows.length <= 10 && rows.nonEmpty)

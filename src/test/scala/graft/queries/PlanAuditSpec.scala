@@ -245,6 +245,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(bm25.contains("In(token"), bm25)
   }
 
+  test("x_countmin: sketch builds from stored vocab, counters broadcast — no corpus pass") {
+    val p = plan("x_countmin")
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("documents.parquet"), p)
+    // the 24-cell counter table joins back broadcast — a SortMergeJoin
+    // here would shuffle the vocabulary against a fixed-size sketch
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x_semantic_dedup: within-cell pairs from the stored index — no training, no corpus scan") {
     // SemDeDup reuses the stored IVF assignment as its clustering: the
     // pairwise leg must be a cell-equi self-join of the stored
