@@ -283,6 +283,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!m.contains("documents.parquet"), m)
   }
 
+  test("x_bpe_corpus_tokens: the word->pieces map joins broadcast into the token stream") {
+    // the memoized-tokenizer serving shape: the corpus token stream
+    // hash-joins against the vocabulary-bounded piece map as a
+    // BROADCAST (an exploded-corpus shuffle against a map that fits
+    // in memory would be the scale bug). The ONE permitted
+    // SortMergeJoin is the final per-doc left join — documents vs the
+    // doc_id-partitioned aggregate, both corpus-sized, correctly
+    // key-co-partitioned.
+    val p = plan("x_bpe_corpus_tokens")
+    assert(p.contains("graft-state-p"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s13_orc_roundtrip: predicates push into the ORC scan (format-agnostic pushdown)") {
     val p = plan("s13_orc_roundtrip")
     assert(p.contains("Scan orc"), p)
