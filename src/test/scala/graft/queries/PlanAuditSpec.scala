@@ -245,6 +245,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(bm25.contains("In(token"), bm25)
   }
 
+  test("x_contamination / x_dedup_substring: gram relations consumed as stored state") {
+    // the r7 conversion of the last two corpus-sized in-query
+    // localCheckpoints: both branches of each query must read the
+    // persisted gram/window-hash relation back as parquet scans — a
+    // revert to checkpoint sharing shows as Scan ExistingRDD, a
+    // refactor that drops sharing re-shingles the corpus per branch
+    val c = plan("x_contamination")
+    assert(c.contains("graft-state-p"), c)
+    assert(!c.contains("ExistingRDD"), c)
+    assert(!c.contains("documents.parquet"), c)
+    val s = plan("x_dedup_substring")
+    assert(s.contains("graft-state-p"), s)
+    assert(!s.contains("ExistingRDD"), s)
+    assert(!s.contains("documents.parquet"), s)
+  }
+
   test("x_countmin: sketch builds from stored vocab, counters broadcast — no corpus pass") {
     val p = plan("x_countmin")
     assert(p.contains("graft-state-p"), p)
