@@ -245,6 +245,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(bm25.contains("In(token"), bm25)
   }
 
+  test("x_ann_novel_recall / x_semdedup_coverage: measurement legs stay bucketed/broadcast") {
+    // the recall measurement: exact leg is |Q|-broadcast against the
+    // corpus (never a corpus-side shuffle join), served leg reads the
+    // stored index; the coverage measurement: pair generation is the
+    // LSH bucket equi-join and cell lookup reads stored assignment —
+    // neither may degrade to an all-pairs product
+    val r = plan("x_ann_novel_recall")
+    assert(r.contains("graft-ivf-p"), r)
+    assert(!r.contains("CartesianProduct"), r)
+    // the ONE SortMergeJoin is the |Q|-sized exact-vs-served compare
+    // (8 rows a side; AQE converts it at runtime) — the corpus-sized
+    // legs must not contribute another
+    assert("SortMergeJoin".r.findAllIn(r).length <= 1, r)
+    val c = plan("x_semdedup_coverage")
+    assert(c.contains("graft-ivf-p"), c)
+    assert(!c.contains("CartesianProduct"), c)
+  }
+
   test("x_contamination / x_dedup_substring: gram relations consumed as stored state") {
     // the r7 conversion of the last two corpus-sized in-query
     // localCheckpoints: both branches of each query must read the
