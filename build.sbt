@@ -27,6 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the embedded-Derby staged-upsert spec boots Derby, whose default
+  // boot log lands in cwd — keep it out of the repo root
+  "-Dderby.stream.error.file=target/derby.log",
 )
 // Forked-run output passes through unprefixed: the driver parses
 // graft.Bench's single JSON stdout line, and sbt's default logger
