@@ -84,4 +84,29 @@ class ChangeFeedPropertySpec extends SparkSpec {
       replayed == v2
     })
   }
+
+  test("multi-column compare: update iff ANY compared column changed (ScalaCheck)") {
+    // the m6_cdc_diff shape — two compare columns; a change in either
+    // marks the key updated, equal rows stay out of the feed entirely
+    val twoColGen: Gen[Map[Long, (Long, Long)]] = for {
+      keys <- Gen.someOf(0L until 25L)
+      va <- Gen.listOfN(keys.size, Gen.chooseNum(0L, 2L))
+      vb <- Gen.listOfN(keys.size, Gen.chooseNum(0L, 2L))
+    } yield keys.zip(va.zip(vb)).toMap
+    def toDf2(m: Map[Long, (Long, Long)]): DataFrame = {
+      import spark.implicits._
+      m.toSeq.map { case (k, (a, b)) => (k, a, b) }
+        .sortBy(_._1).toDF("k", "va", "vb")
+    }
+    checkProp(Prop.forAll(twoColGen, twoColGen) { (v1, v2) =>
+      val feed = ChangeFeed.diff(toDf2(v1), toDf2(v2), key = "k",
+          compare = Seq("va", "vb")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expectUpd = (v1.keySet & v2.keySet).filter(k => v1(k) != v2(k))
+      feed.filter(_._2 == "update").keySet == expectUpd &&
+        feed.filter(_._2 == "insert").keySet == v2.keySet -- v1.keySet &&
+        feed.filter(_._2 == "delete").keySet == v1.keySet -- v2.keySet &&
+        feed.keySet.intersect((v1.keySet & v2.keySet).filter(k => v1(k) == v2(k))).isEmpty
+    })
+  }
 }
