@@ -258,6 +258,46 @@ object EventStream {
       .start()
   }
 
+  /** Streaming POSTING-INDEX maintenance — the text-retrieval twin of
+    * [[runIvfAssignStream]]: arriving documents are exploded into the
+    * stored (doc_id, len, token, cnt) posting layout and APPENDED, so
+    * the TF-IDF / inverted-index / BM25 consumers see old and new
+    * documents uniformly. Posting maintenance is append-only because
+    * doc_ids are unique across batches — no read-modify-write of
+    * existing postings, no state store, no watermark: the per-document
+    * term frequency is computed MAP-SIDE (explode distinct tokens,
+    * count occurrences inside the row's own token array) rather than
+    * via a streaming aggregation, which keeps the query stateless and
+    * the per-batch cost O(new documents). Document-frequency and
+    * corpus statistics are intentionally NOT maintained here — both
+    * derive from the posting relation at read time exactly as the
+    * batch consumers do, so there is no second state table to drift.
+    * Exactly-once comes from the file sink's checkpoint +
+    * `_spark_metadata` manifest, same as every append sink here.
+    */
+  def runPostingsStream(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import graft.ext.TextOps
+    val schema = spark.read.parquet(inDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inDir)
+    stream
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        col("toks"), explode(array_distinct(col("toks"))).as("token"))
+      .select(col("doc_id"), col("len"), col("token"),
+        size(filter(col("toks"), x => x === col("token"))).cast("long").as("cnt"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Streaming twin of the batch text pipeline: quality-gate then
     * chunk incoming documents into fixed 64-token training windows.
     * Everything here is a stateless map-side Column expression

@@ -55,6 +55,37 @@ class EventStreamSpec extends SparkSpec {
       2 * corpus.count() + 2 * spark.read.parquet(in).count())
   }
 
+  test("postings stream: incremental index maintenance row-equal to the batch posting build") {
+    import graft.ext.TextOps
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-postings-stream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    // land the corpus as TWO separate files so maxFilesPerTrigger=1
+    // genuinely exercises multi-batch incremental appends
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+
+    val q = EventStream.runPostingsStream(spark, in, out, ck, maxFilesPerTrigger = Some(1))
+    assert(q.awaitTermination(120000), "stream did not terminate within the timeout")
+
+    // streamed posting state == the batch (doc,token) build on the
+    // same rows — the exact layout the TF-IDF / inverted-index / BM25
+    // consumers read
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "len", "token", "cnt")
+    val batch = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "len", "token").agg(count(lit(1)).as("cnt"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // df derived from the streamed state matches the batch df
+    val dfS = streamed.groupBy("token").count()
+    val dfB = batch.groupBy("token").count()
+    assert(dfS.exceptAll(dfB).isEmpty && dfB.exceptAll(dfS).isEmpty)
+  }
+
   test("AvailableNow file stream: windowed agg matches the batch twin on closed windows") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
