@@ -273,6 +273,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(c.contains("graft-state-p"), c)
     assert(!c.contains("ExistingRDD"), c)
     assert(!c.contains("documents.parquet"), c)
+    // the incremental gate: stored bench set broadcast, delta filter
+    // pushed into the stored gram scan, no corpus read
+    val i = plan("x_contamination_incr")
+    assert(i.contains("graft-state-p"), i)
+    assert(!i.contains("documents.parquet"), i)
+    assert(i.contains("BroadcastHashJoin"), i)
+    assert(!i.contains("SortMergeJoin"), i)
     val s = plan("x_dedup_substring")
     assert(s.contains("graft-state-p"), s)
     assert(!s.contains("ExistingRDD"), s)
