@@ -19,6 +19,26 @@ class RelationStoreSpec extends SparkSpec {
     assert(p3 != p1 && builds == 2)
   }
 
+  test("racing ensure calls on one key serialize to a single build") {
+    import spark.implicits._
+    RelationStore.reset()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build = { builds.incrementAndGet(); Seq((1L, "a")).toDF("k", "v") }
+    // eleven stored relations now ride on this lock (postings, vocab,
+    // gram sets, BPE merges, dedup indexes, labels, centroid pivot) —
+    // a doubled build under a real race would re-run a corpus pass
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val paths = Await.result(
+      Future.sequence((1 to 4).map(_ =>
+        Future(RelationStore.ensure("rs-spec-race")(build)))),
+      2.minutes)
+    assert(paths.toSet.size == 1, paths.toString)
+    assert(builds.get() == 1, s"expected exactly one build, got ${builds.get()}")
+    assert(spark.read.parquet(paths.head).count() == 1)
+  }
+
   test("a failed build leaves nothing readable and the retry rebuilds") {
     import spark.implicits._
     RelationStore.reset()

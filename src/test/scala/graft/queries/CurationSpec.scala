@@ -155,6 +155,21 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("overcount") > 0), rows.mkString("\n"))
   }
 
+  test("x_countmin: counters are mergeable — union sketch == summed part sketches") {
+    // the property that makes CMS a distributed sketch: counters over
+    // the whole relation equal the element-wise sum of counters built
+    // over any disjoint partition of it (this is exactly what
+    // Catalyst's partial aggregation exploits on stream ingestion)
+    import spark.implicits._
+    val vocab = (1 to 40).map(i => (s"tok$i", (i * 3 + 1).toLong)).toDF("token", "cnt")
+    val whole = ExtQueries.cmsCounters(vocab)
+    val partA = ExtQueries.cmsCounters(vocab.filter(col("cnt") % 2 === 0))
+    val partB = ExtQueries.cmsCounters(vocab.filter(col("cnt") % 2 =!= 0))
+    val merged = partA.unionByName(partB)
+      .groupBy("r", "bucket").agg(sum(col("c")).as("c"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+
   test("x_bm25: scores ranked desc, ties broken by doc_id, k bounded") {
     val rows = ExtQueries.xBm25(spark, dir).collect()
     assert(rows.length <= 10 && rows.nonEmpty)
