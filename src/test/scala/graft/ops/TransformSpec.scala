@@ -26,6 +26,24 @@ class TransformSpec extends SparkSpec {
     assert(occs == Set(2.35, 2.36))
   }
 
+  test("castTypes ToRounded: HALF_UP law vs the JDK BigDecimal reference (300 seeded + edges)") {
+    import spark.implicits._
+    // the reference's DecimalN semantics (transform_functions.py:32-39)
+    // is java.math HALF_UP on the double's shortest decimal repr —
+    // Spark's round(double, n) goes through BigDecimal.valueOf the
+    // same way, so the law must hold exactly, including the classic
+    // x.xx5 cases whose nearest double sits below the literal
+    val rng = new scala.util.Random(42)
+    val vals = Seq.fill(300)(f"${(rng.nextInt(2000000) - 1000000) / 1000.0}%.6f") ++
+      Seq("1.005", "2.675", "-1.005", "0.125", "-0.125", "999.994999")
+    val out = castTypes(vals.toDF("v"),
+        Seq(CastSpec(ToRounded(2), Seq("v"))))
+      .collect().map(_.getDouble(0))
+    val expect = vals.map(s => java.math.BigDecimal.valueOf(s.toDouble)
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue)
+    assert(out.toSeq == expect, out.toSeq.zip(expect).filter(p => p._1 != p._2).take(5).toString)
+  }
+
   test("upperFirstCols / lowerCols are inverse-ish metadata renames") {
     val up = upperFirstCols(raw)
     assert(up.columns.toSeq == Seq("Cnt", "Occ", "Date"))
