@@ -155,6 +155,39 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("overcount") > 0), rows.mkString("\n"))
   }
 
+  test("x_semantic_dedup: kept set is tau-independent per cell; every drop is justified") {
+    import graft.Tables
+    import graft.ext.Similarity
+    val out = ExtQueries.xSemanticDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("cell"), r.getAs[String]("keep")))
+      .toMap
+    val emb = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    def cos(a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]): Double = {
+      def dot(x: scala.collection.Seq[Float], y: scala.collection.Seq[Float]) =
+        x.iterator.zip(y.iterator).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val byCell = out.groupBy(_._2._1)
+    byCell.foreach { case (_, members) =>
+      val kept = members.collect { case (id, (_, "Y")) => id }.toSeq.sorted
+      // greedy keep-lowest invariant 1: no two kept cell members are
+      // tau-close (the higher-id one would have been dropped)
+      for (i <- kept.indices; j <- 0 until i)
+        assert(cos(emb(kept(j)), emb(kept(i))) < 0.25,
+          s"kept pair ${kept(j)}/${kept(i)} is tau-close")
+      // invariant 2: every dropped member has SOME lower-id cell
+      // member at >= tau (the justification for dropping it)
+      val ids = members.keys.toSeq.sorted
+      members.collect { case (id, (_, "N")) => id }.foreach { d =>
+        assert(ids.filter(_ < d).exists(o => cos(emb(o), emb(d)) >= 0.25),
+          s"dropped $d has no tau-close lower-id neighbor")
+      }
+    }
+    assert(out.values.exists(_._2 == "N") && out.values.exists(_._2 == "Y"))
+  }
+
   test("x_countmin: counters are mergeable — union sketch == summed part sketches") {
     // the property that makes CMS a distributed sketch: counters over
     // the whole relation equal the element-wise sum of counters built
