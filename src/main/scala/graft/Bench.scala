@@ -139,14 +139,23 @@ object Bench {
       val ts = passes.map(_(name)).sorted
       name -> ts(ts.length / 2)
     }.toMap
+    // The measurement BAND, reported alongside the official median —
+    // the r7 lesson: whole sessions run uniformly 10-25% slow (GC /
+    // host state), so a single total is not comparable across
+    // sessions. `value_min` (sum of per-query minima) strips
+    // uniform-slow passes per query and is the stable cross-session
+    // statistic; `pass_totals` shows this session's own spread.
+    val minTotal = SparkEntry.queries.keys.map(n => passes.map(_(n)).min).sum
+    val passTotals = passes.map(_.map(_._2).sum)
     val skew = try skewBench(spark, sfDir) catch { case _: Throwable => Nil }
     def json(kvs: Iterable[(String, Double)]) =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val band = s""""value_min":$minTotal,"pass_totals":[${passTotals.mkString(",")}]"""
     // `skew` is reported OUTSIDE queries/total: it is a controlled
     // A/B measurement (broadcast + AQE rescue disabled), not a
     // round-over-round query timing.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"skew":${json(skew)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$band,"queries":${json(results)},"skew":${json(skew)},"sf":"$sfDir"}"""
     println(line)
     // the same JSON also lands in a file: a stdout tail-capture can
     // truncate the (long) line and lose the round's official total —
@@ -165,7 +174,7 @@ object Bench {
     // full map.
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val topK = results.toSeq.sortBy(-_._2).take(15).map { case (k, v) => k -> r3(v) }
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${json(topK)},"skew":${json(skew.map { case (k, v) => k -> r3(v) })},"sf":"$sfDir","queries_full":"target/bench.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_min":${r3(minTotal)},"pass_totals":[${passTotals.map(r3).mkString(",")}],"n_queries":${results.size},"queries":${json(topK)},"skew":${json(skew.map { case (k, v) => k -> r3(v) })},"sf":"$sfDir","queries_full":"target/bench.json"}"""
     println(compact)
     spark.stop()
   }

@@ -93,9 +93,11 @@ object IvfIndex {
     * `df` needs (embedding, v_norm); other columns pass through.
     */
   def withCell(df: DataFrame, cents: DataFrame, k: Int): DataFrame = {
-    val withCos = (0 until k).foldLeft(df.crossJoin(broadcast(cents))) {
-      (d, i) => d.withColumn(s"ivf_cos$i", cosTo(i))
-    }
+    // ONE select, not k chained withColumns: each withColumn re-analyzes
+    // the growing plan, an O(k²) driver-side cost that begins to matter
+    // now that k scales with √corpus
+    val withCos = df.crossJoin(broadcast(cents))
+      .select(col("*") +: (0 until k).map(i => cosTo(i).as(s"ivf_cos$i")): _*)
     val cos = (0 until k).map(i => col(s"ivf_cos$i"))
     val best = greatest(cos: _*)
     withCos
@@ -131,11 +133,14 @@ object IvfIndex {
     cents
   }
 
-  /** Top-`nprobe` cell fan-out: rank-1 cell always, rank-2 cell (the
-    * best among the OTHER centroids, ties again to lowest id —
-    * `ROW_NUMBER() = 2`) when `nprobe = 2`; `posexplode` then emits
-    * one row per cell with its 1-based `cell_rank`. Two distinct
-    * consumers, same computation:
+  /** Top-`nprobe` cell fan-out — the iterative masked argmax: cell j
+    * is the best centroid not already picked (ties to lowest id),
+    * exactly `ROW_NUMBER() OVER (ORDER BY cos DESC, c_id) <= nprobe`;
+    * `posexplode` then emits one row per cell with its 1-based
+    * `cell_rank`. Arbitrary `nprobe` (r8: the serving nprobe scales
+    * with the cell count, so the fixed-2 form had to go); per-row cost
+    * O(k·nprobe²) comparisons, which only ever runs on tiny sides.
+    * Two distinct consumers, same computation:
     *  - QUERY probing — query sets are tiny, so the fan-out is
     *    nprobe·|Q| rows, never corpus-sized;
     *  - CORPUS multi-assignment (boundary replication, the SPANN-style
@@ -145,32 +150,68 @@ object IvfIndex {
     *    index storage and ZERO extra probe cost. Still map-side
     *    codegen: the fan-out is nassign·corpus rows of (id, cell),
     *    no shuffle, no window.
+    * A query with fewer than `nprobe` non-empty cells emits NULL for
+    * the tail picks (dropped by any equi-join on `cell`), matching
+    * the oracle's rank form which has no row to emit there.
     */
   def probeCells(qdf: DataFrame, cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    require(nprobe == 1 || nprobe == 2, s"nprobe in {1, 2}, got $nprobe")
-    val withCos = (0 until k).foldLeft(qdf.crossJoin(broadcast(cents))) {
-      (d, i) => d.withColumn(s"ivf_cos$i", cosTo(i))
-    }
+    require(nprobe >= 1 && nprobe <= k, s"nprobe in [1, $k], got $nprobe")
+    var staged = qdf.crossJoin(broadcast(cents))
+      .select(col("*") +: (0 until k).map(i => cosTo(i).as(s"ivf_cos$i")): _*)
     val cos = (0 until k).map(i => col(s"ivf_cos$i"))
-    val best = greatest(cos: _*)
-    val staged = withCos
-      .withColumn("ivf_cell1",
-        coalesce((0 until k).map(i => when(cos(i) === best, lit(i.toLong))): _*))
-    val probes =
-      if (nprobe == 1) array(col("ivf_cell1"))
-      else {
-        val others = (0 until k).map(i =>
-          when(col("ivf_cell1") === i, lit(null).cast(DoubleType)).otherwise(cos(i)))
-        val best2 = greatest(others: _*)
-        val cell2 = coalesce((0 until k).map(i =>
-          when(col("ivf_cell1") =!= i && cos(i) === best2, lit(i.toLong))): _*)
-        array(col("ivf_cell1"), cell2)
-      }
+    for (j <- 1 to nprobe) {
+      val prior = (1 until j).map(p => col(s"ivf_cell$p"))
+      def masked(i: Int): Column =
+        if (prior.isEmpty) cos(i)
+        else when(prior.map(_ === i).reduce(_ || _), lit(null).cast(DoubleType))
+          .otherwise(cos(i))
+      val best = greatest((0 until k).map(masked): _*)
+      staged = staged.withColumn(s"ivf_cell$j",
+        coalesce((0 until k).map(i => when(masked(i) === best, lit(i.toLong))): _*))
+    }
     staged
-      .select(col("*"), posexplode(probes).as(Seq("ivf_pos", "cell")))
+      .select(col("*"),
+        posexplode(array((1 to nprobe).map(j => col(s"ivf_cell$j")): _*))
+          .as(Seq("ivf_pos", "cell")))
       .withColumn("cell_rank", col("ivf_pos").cast("int") + lit(1))
       .drop((0 until k).flatMap(i => Seq(ce(i), cn(i), s"ivf_cos$i")): _* )
-      .drop("ivf_cell1", "ivf_pos")
+      .drop((1 to nprobe).map(j => s"ivf_cell$j"): _*)
+      .drop("ivf_pos")
+  }
+
+  /** QUERY-SIDE top-`nprobe` cell fan-out for SMALL query sets — same
+    * semantics as [[probeCells]] (`ROW_NUMBER() OVER (PARTITION BY id
+    * ORDER BY cos DESC, c_id) <= nprobe`), different plan shape: the
+    * k cosines explode to (id, c_id, cos) rows ranked by a per-query
+    * window. For |Q| query rows that is a |Q|·k-row window — trivial —
+    * where the comparison-chain form's generated code grows with
+    * k·nprobe² and breaks the 64 KB codegen method limit once the
+    * serving nprobe scales with k (measured r8 at k=45, nprobe≥6).
+    * NOT for corpus-side assignment: there the k× fan-out through a
+    * window is exactly the shuffle [[withCell]] exists to avoid —
+    * corpus assignment keeps [[probeCells]] at nassign ≤ 2.
+    * `idCol` is the window partition key; all `qdf` columns pass
+    * through, plus `cell` and 1-based `cell_rank`. Empty cells (NULL
+    * cosine) are skipped, matching the oracle's rank form.
+    */
+  def probeCellsExploded(qdf: DataFrame, cents: DataFrame, k: Int,
+      nprobe: Int, idCol: String): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k, s"nprobe in [1, $k], got $nprobe")
+    val withCos = qdf.crossJoin(broadcast(cents))
+      .select(col("*") +: (0 until k).map(i => cosTo(i).as(s"ivf_cos$i")): _*)
+    val exploded = withCos
+      .select(col("*"),
+        posexplode(array((0 until k).map(i => col(s"ivf_cos$i")): _*))
+          .as(Seq("ivf_cid", "ivf_qcos")))
+      .drop((0 until k).flatMap(i => Seq(ce(i), cn(i), s"ivf_cos$i")): _*)
+    val byQuery = Window.partitionBy(idCol)
+      .orderBy(col("ivf_qcos").desc, col("ivf_cid"))
+    exploded
+      .filter(col("ivf_qcos").isNotNull)
+      .withColumn("cell_rank", row_number().over(byQuery))
+      .filter(col("cell_rank") <= nprobe)
+      .select(qdf.columns.map(col) ++
+        Seq(col("ivf_cid").cast("long").as("cell"), col("cell_rank")): _*)
   }
 
   /** The pivoted row back as a (c_id, c_emb, c_norm) k-row relation —

@@ -38,16 +38,20 @@ import org.apache.spark.sql.functions._
   * state). Out-of-corpus queries would assign against the reloaded
   * centroid row instead, map-side.
   *
-  * Build-once discipline: memoized per (JVM, corpus key) under a
-  * lock (two concurrent callers must not interleave delete/write),
-  * written to a `.build` staging dir then renamed so a crashed build
-  * can never be read as a complete index.
+  * Build-once discipline: memoized per (JVM, corpus key) with
+  * PER-KEY locking (same-key callers must not interleave
+  * delete/write, so they serialize on the key's own lazy-thunk
+  * monitor; different corpora build concurrently — see
+  * [[RelationStore]] for the pattern), written to a `.build` staging
+  * dir then renamed so a crashed build can never be read as a
+  * complete index.
   */
 object IvfStore {
 
   final case class StoredIndex(centroidsPath: String, assignedPath: String)
 
-  private val built = scala.collection.mutable.HashMap[String, StoredIndex]()
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, () => StoredIndex]()
 
   private lazy val root: String = {
     val r = System.getProperty("java.io.tmpdir") +
@@ -67,28 +71,37 @@ object IvfStore {
     * content version) — see [[RelationStore]]'s staleness note.
     */
   def ensure(emb: DataFrame, key: String, k: Int, iters: Int,
-      nassign: Int, dim: Int): StoredIndex = synchronized {
-    built.getOrElseUpdate(key, {
-      val sub = s"$root/" + key.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
-      val stage = new File(sub + ".build")
-      FileUtils.deleteQuietly(new File(sub))
-      FileUtils.deleteQuietly(stage)
-      val trained = IvfIndex.train(emb, k, iters, dim)
-      IvfIndex.centroidRelation(trained, k)
-        .coalesce(1) // k rows — hyperparameter-sized
-        .write.parquet(s"$stage/centroids")
-      IvfIndex.probeCells(emb, trained, k, nassign)
-        .select(col("vec_id"), col("embedding"), col("v_norm"),
-          col("cell"), col("cell_rank"))
-        .repartition(col("cell"))
-        .write.parquet(s"$stage/assigned")
-      FileUtils.moveDirectory(stage, new File(sub))
-      StoredIndex(s"$sub/centroids", s"$sub/assigned")
+      nassign: Int, dim: Int): StoredIndex = {
+    val thunk = built.computeIfAbsent(key, _ => {
+      lazy val idx: StoredIndex = {
+        val sub = s"$root/" + key.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
+        val stage = new File(sub + ".build")
+        FileUtils.deleteQuietly(new File(sub))
+        FileUtils.deleteQuietly(stage)
+        val trained = IvfIndex.train(emb, k, iters, dim)
+        IvfIndex.centroidRelation(trained, k)
+          .coalesce(1) // k rows — hyperparameter-sized
+          .write.parquet(s"$stage/centroids")
+        IvfIndex.probeCells(emb, trained, k, nassign)
+          .select(col("vec_id"), col("embedding"), col("v_norm"),
+            col("cell"), col("cell_rank"))
+          .repartition(col("cell"))
+          .write.parquet(s"$stage/assigned")
+        FileUtils.moveDirectory(stage, new File(sub))
+        StoredIndex(s"$sub/centroids", s"$sub/assigned")
+      }
+      () => idx
     })
+    // deregister on failure — same contract as RelationStore.ensure:
+    // a memoized FAILING thunk would re-run the crashed build closure
+    // on every retry; removal is conditional so a concurrent rebuild
+    // that already succeeded isn't evicted
+    try thunk()
+    catch { case e: Throwable => built.remove(key, thunk); throw e }
   }
 
   /** Test seam: forget the in-memory memo (stored files are left to
     * the shutdown hook) so a spec can exercise a fresh build.
     */
-  def reset(): Unit = synchronized { built.clear() }
+  def reset(): Unit = built.clear()
 }

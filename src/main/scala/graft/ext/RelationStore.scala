@@ -23,13 +23,21 @@ import org.apache.spark.sql.DataFrame
   * parallelism, and is exactly how a production pipeline shares a
   * derived relation across jobs.
   *
-  * Same safety contract as IvfStore: per-(JVM, key) memo under a
-  * lock; staged write + rename so a crashed build is never read as
+  * Same safety contract as IvfStore: per-(JVM, key) memo with
+  * PER-KEY locking — same-key callers serialize (the single-build
+  * guarantee `RelationStoreSpec` races), while builds of DIFFERENT
+  * keys run concurrently: `computeIfAbsent` only registers a lazy
+  * thunk (cheap, so the map's internal lock is held for ns), and the
+  * corpus-scale build itself runs under that thunk's own monitor.
+  * With 11 relations riding this store, one slow build must not
+  * gate every other stored-state access in concurrent sessions.
+  * Staged write + rename so a crashed build is never read as
   * complete; pid-scoped root reaped by a shutdown hook.
   */
 object RelationStore {
 
-  private val built = scala.collection.mutable.HashMap[String, String]()
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
 
   private lazy val root: String = {
     val r = System.getProperty("java.io.tmpdir") +
@@ -49,20 +57,34 @@ object RelationStore {
     * caller keys by content version — e.g. `SnapshotPublish`'s
     * published version number.
     */
-  def ensure(key: String)(build: => DataFrame): String = synchronized {
-    built.getOrElseUpdate(key, {
-      val sub = s"$root/" + key.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
-      val stage = new File(sub + ".build")
-      FileUtils.deleteQuietly(new File(sub))
-      FileUtils.deleteQuietly(stage)
-      build.write.parquet(stage.getPath)
-      FileUtils.moveDirectory(stage, new File(sub))
-      sub
+  def ensure(key: String)(build: => DataFrame): String = {
+    // register a lazy thunk under the map's (brief) bin lock; the
+    // FIRST registered thunk wins for the key, and its `lazy val`
+    // monitor is what same-key callers then serialize on — the build
+    // job itself never runs inside the shared map lock
+    val thunk = built.computeIfAbsent(key, _ => {
+      lazy val path: String = {
+        val sub = s"$root/" + key.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
+        val stage = new File(sub + ".build")
+        FileUtils.deleteQuietly(new File(sub))
+        FileUtils.deleteQuietly(stage)
+        build.write.parquet(stage.getPath)
+        FileUtils.moveDirectory(stage, new File(sub))
+        sub
+      }
+      () => path
     })
+    // a FAILED build must not stay registered: the memoized thunk
+    // captured the failing caller's build closure, so a retry through
+    // it would re-run the crashed build forever — deregister (only if
+    // still ours, so a concurrent successful rebuild isn't evicted)
+    // and let the next ensure() register its own closure fresh
+    try thunk()
+    catch { case e: Throwable => built.remove(key, thunk); throw e }
   }
 
   /** Test seam: forget the in-memory memo so a spec can exercise a
     * fresh build (stored files are left to the shutdown hook).
     */
-  def reset(): Unit = synchronized { built.clear() }
+  def reset(): Unit = built.clear()
 }

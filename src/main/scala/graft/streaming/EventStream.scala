@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -255,6 +255,44 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .format("parquet")
       .option("path", outDir)
+      .start()
+  }
+
+  /** Streaming twin of the stored-ANN-index SERVING side — the online
+    * complement of [[runIvfAssignStream]]'s ingestion: QUERY vectors
+    * arriving as a file stream are served per micro-batch through the
+    * SAME probe path as the batch `x_ann_query_novel`
+    * ([[graft.queries.ExtQueries.serveAnn]] — centroid-assign against
+    * the stored pivot, probe the top-nprobe stored cells, rank
+    * top-k), so online answers are row-identical to offline ones for
+    * the same vectors (`EventStreamSpec` pins exactly that). No
+    * retraining, no state store: the only state touched is the
+    * already-persisted index (centroids + cell-bucketed assignment),
+    * read-only — per-batch cost ∝ |batch| · probed cells, never
+    * corpus. `foreachBatch` because the ranking window over candidate
+    * rows is a batch-only operation; idempotence on replay comes from
+    * writing each batch's results under its own `batch=<id>` subdir
+    * with overwrite (a restarted micro-batch rewrites the same leaf,
+    * exact duplicate of the first attempt — the same re-delivery
+    * contract as the LWW sink's `_batchid` marker, in directory form).
+    */
+  def runAnnServeStream(
+      spark: SparkSession, inDir: String, corpusDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inDir)
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.queries.ExtQueries.serveAnn(spark, corpusDir, batch)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
       .start()
   }
 

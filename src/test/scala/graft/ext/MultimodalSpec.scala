@@ -109,4 +109,33 @@ class MultimodalSpec extends SparkSpec {
       assert(payloadPlan.contains("payload:binary"), payloadPlan)
     } finally spark.conf.set(key, saved)
   }
+
+  test("PPM decode + nearest-neighbor resample: real crafted bytes, pixels asserted end-to-end") {
+    import spark.implicits._
+    // 4×2 binary PPM with a header comment; pixel (x, y) distinct per channel
+    val header = "P6\n# crafted fixture\n4 2\n255\n".getBytes("US-ASCII")
+    def px(x: Int, y: Int): Seq[Byte] =
+      Seq((10 * x + y).toByte, (100 + x).toByte, (200 - x).toByte)
+    val body = (for (y <- 0 until 2; x <- 0 until 4) yield px(x, y)).flatten.toArray
+    val media = Seq((7L, "image", header ++ body)).toDF("doc_id", "modality", "payload")
+
+    // feature extraction reports the REAL header dimensions, not the stub's fake ones
+    val f = Multimodal.extractFeatures(spark, media).collect().head
+    assert(f.width == 4 && f.height == 2 && f.n_bytes == (header.length + body.length).toLong)
+
+    // aspect clamp 4×2 → 2×1; nearest-neighbor takes source (0,0) and (2,0)
+    val r = Multimodal.resampleImages(spark, media, maxSide = 2).collect().head
+    assert((r.width, r.height, r.orig_width, r.orig_height) == ((2, 1, 4, 2)))
+    assert(r.pixels.toSeq == px(0, 0) ++ px(2, 0))
+
+    // upscale never happens: maxSide larger than the image passes pixels through
+    val same = Multimodal.resampleImages(spark, media, maxSide = 64).collect().head
+    assert((same.width, same.height) == ((4, 2)) && same.pixels.toSeq == body.toSeq)
+
+    // non-PPM payloads (the synthetic text corpus) drop out of the image
+    // path and keep the stub features — the x_multimodal_meta contract
+    assert(Multimodal.resampleImages(spark, Multimodal.withPayload(docs), 64).count() == 0)
+    assert(Multimodal.tryDecodePpm("P6 oops".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.tryDecodePpm(header.dropRight(1) ++ Array[Byte]('0', '\n') ++ body).isEmpty)
+  }
 }

@@ -85,6 +85,26 @@ class ChangeFeedPropertySpec extends SparkSpec {
     })
   }
 
+  test("nullSafe compare: NULL↔value transitions are updates; ANSI default still skips them") {
+    import spark.implicits._
+    // k=1 NULL→7, k=2 7→NULL, k=3 NULL→NULL, k=4 5→5 — the four cases
+    // the three-valued <> gets wrong or right in non-obvious ways
+    val v1 = Seq((1L, None), (2L, Some(7L)), (3L, None), (4L, Some(5L)))
+      .toDF("k", "v")
+    val v2 = Seq((1L, Some(7L)), (2L, None), (3L, None), (4L, Some(5L)))
+      .toDF("k", "v")
+    val ansi = ChangeFeed.diff(v1, v2, key = "k", compare = Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ANSI <>: NULL comparisons yield NULL → filtered → no update rows
+    assert(ansi.isEmpty, ansi.toString)
+    val safe = ChangeFeed.diff(v1, v2, key = "k", compare = Seq("v"),
+        nullSafe = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // IS DISTINCT FROM: the two transitions surface; NULL=NULL and
+    // 5=5 stay out of the feed
+    assert(safe == Map(1L -> "update", 2L -> "update"), safe.toString)
+  }
+
   test("multi-column compare: update iff ANY compared column changed (ScalaCheck)") {
     // the m6_cdc_diff shape — two compare columns; a change in either
     // marks the key updated, equal rows stay out of the feed entirely

@@ -308,6 +308,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x_semantic_dedup_r2: replication lever keeps the stored-state-only economics") {
+    // the rank-≤2 witness side must still come from the SAME stored
+    // relation (the boundary-replicated rows are already in the index —
+    // that is the whole point of the lever: 2× pair cost, ZERO extra
+    // state); no training aggregates, no raw embeddings read, no
+    // all-pairs product may appear at dedup time
+    val p = plan("x_semantic_dedup_r2")
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x_knn_bulk: labeling probes the stored index — cell-equi join, labels projection-pruned") {
+    // the bulk labeler's candidate generation must be the Σ cell²
+    // cell-equi self-join of the stored relation (never |V|·corpus,
+    // never a crossJoin); the ONLY embeddings read is the label join,
+    // and it must arrive projection-pruned to (vec_id, label) — the
+    // payload vectors stay unread
+    val p = plan("x_knn_bulk")
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,label:int>"), p)
+  }
+
+  test("x_semdedup_coverage_r2: measurement leg stays bucketed — no all-pairs product") {
+    val p = plan("x_semdedup_coverage_r2")
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_bpe_encode: tokenizer apply runs on stored state only — no corpus pass, no training") {
     // the encode map is vocab-sized work over TWO stored relations
     // (corpus vocabulary + trained merge table, the latter broadcast

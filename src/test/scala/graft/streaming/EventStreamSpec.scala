@@ -55,6 +55,32 @@ class EventStreamSpec extends SparkSpec {
       2 * corpus.count() + 2 * spark.read.parquet(in).count())
   }
 
+  test("ANN serve stream: micro-batch serving row-equal to x_ann_query_novel on the same vectors") {
+    import graft.queries.ExtQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-ann-serve-stream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    // the EXACT novel-query vectors of the batch query, landed as TWO
+    // files so maxFilesPerTrigger=1 splits serving across micro-batches
+    val q = ExtQueries.novelQueries(spark).select("query_id", "embedding")
+    q.filter(col("query_id") % 2 === 0).coalesce(1).write.parquet(in)
+    q.filter(col("query_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+
+    val sq = EventStream.runAnnServeStream(spark, in, sfDir, out, ck,
+      maxFilesPerTrigger = Some(1))
+    assert(sq.awaitTermination(180000), "stream did not terminate within the timeout")
+
+    // two micro-batches, each under its own idempotent batch=<id> leaf
+    assert(new java.io.File(out).listFiles().count(_.getName.startsWith("batch=")) == 2)
+    // online results == the offline serving query, row for row (cos
+    // included: same stored index, same probe path, same arithmetic)
+    val streamed = spark.read.parquet(out).drop("batch")
+      .select("query_id", "rank", "vec_id", "cos")
+    val batch = ExtQueries.queries("x_ann_query_novel")(spark, sfDir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() == batch.count())
+  }
+
   test("postings stream: incremental index maintenance row-equal to the batch posting build") {
     import graft.ext.TextOps
     val sfDir = "/root/testdata/sf0.001"
