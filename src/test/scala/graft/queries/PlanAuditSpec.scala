@@ -340,6 +340,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x_ann_sq8: quantized serving reads the SQ8 store — no training, no raw embeddings") {
+    // the quantized scorer must consume the persisted int8-code
+    // relation (RelationStore) plus the stored probe machinery; a
+    // refactor that re-quantizes from the raw corpus per query would
+    // re-read float32 embeddings and defeat the 4× compression
+    val p = plan("x_ann_sq8")
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_semantic_dedup_incr: arrival gate touches stored state only — no corpus scan, no training") {
+    // the incremental gate is the serving path with a τ filter:
+    // arrivals are range()-built, assignment uses the stored centroid
+    // pivot, candidates come from the stored cell-bucketed index
+    val p = plan("x_semantic_dedup_incr")
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_dedup_lsh_quality: ground truth is a shingle-postings equi-join, candidates the stored graph") {
+    // the exact ground-truth leg must be the inverted-index route
+    // (shingle equi-join), NEVER an all-pairs product of the sample;
+    // the candidate leg reads the stored band graph
+    val p = plan("x_dedup_lsh_quality")
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x_bpe_encode: tokenizer apply runs on stored state only — no corpus pass, no training") {
     // the encode map is vocab-sized work over TWO stored relations
     // (corpus vocabulary + trained merge table, the latter broadcast
