@@ -279,7 +279,36 @@ object EventStream {
   def runAnnServeStream(
       spark: SparkSession, inDir: String, corpusDir: String,
       outDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    runServeBatches(spark, inDir, outDir, checkpointDir, maxFilesPerTrigger)(
+      batch => graft.queries.ExtQueries.serveAnn(spark, corpusDir, batch))
+
+  /** Streaming SEMANTIC-DEDUP GATE — the arrival-side twin of the
+    * batch `x_semantic_dedup_incr`: each micro-batch of incoming
+    * vectors is gated through the same stored-index serving path
+    * (centroid-assign against the reloaded pivot, probe top-2 cells,
+    * drop iff any stored member is τ-close) via
+    * [[graft.queries.ExtQueries.serveSemanticGate]]. Read-only
+    * against stored state — no retrain, no state store, no index
+    * mutation; per-batch cost ∝ |batch| · probed cell size. Same
+    * replay-idempotence contract as [[runAnnServeStream]].
+    */
+  def runSemanticGateStream(
+      spark: SparkSession, inDir: String, corpusDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    runServeBatches(spark, inDir, outDir, checkpointDir, maxFilesPerTrigger)(
+      batch => graft.queries.ExtQueries.serveSemanticGate(spark, corpusDir, batch))
+
+  /** Shared micro-batch serving harness: file-stream `inDir`, apply
+    * `f` per batch, write each batch's result under its own
+    * idempotent `batch=<id>` overwrite leaf (a replayed batch
+    * rewrites the same leaf — exact duplicate of the first attempt).
+    */
+  private def runServeBatches(
+      spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Option[Int])(
+      f: DataFrame => DataFrame): StreamingQuery = {
     val schema = spark.read.parquet(inDir).schema
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
@@ -287,7 +316,7 @@ object EventStream {
       .parquet(inDir)
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.queries.ExtQueries.serveAnn(spark, corpusDir, batch)
+        f(batch.toDF())
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }

@@ -81,6 +81,26 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
   }
 
+  test("semantic gate stream: micro-batch arrival gating row-equal to x_semantic_dedup_incr") {
+    import graft.queries.ExtQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-semgate-stream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    val q = ExtQueries.novelQueries(spark).select("query_id", "embedding")
+    q.filter(col("query_id") % 2 === 0).coalesce(1).write.parquet(in)
+    q.filter(col("query_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+
+    val sq = EventStream.runSemanticGateStream(spark, in, sfDir, out, ck,
+      maxFilesPerTrigger = Some(1))
+    assert(sq.awaitTermination(180000), "stream did not terminate within the timeout")
+
+    val streamed = spark.read.parquet(out).drop("batch")
+      .select("query_id", "keep")
+    val batch = ExtQueries.queries("x_semantic_dedup_incr")(spark, sfDir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() == batch.count())
+  }
+
   test("postings stream: incremental index maintenance row-equal to the batch posting build") {
     import graft.ext.TextOps
     val sfDir = "/root/testdata/sf0.001"
