@@ -364,6 +364,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x_ivf_retrain_drift: diagnostic reads two stored k-row codebooks — no corpus scan at query time") {
+    // the retrained codebook is stored state (built once per corpus
+    // snapshot); the drift readout itself is a k×k broadcast argmax
+    // over two metadata-sized relations — re-training per invocation
+    // would put the 10-iteration Lloyd chain (and an embeddings scan)
+    // back into every diagnostic run
+    val p = plan("x_ivf_retrain_drift")
+    assert(p.contains("graft-state-p") && p.contains("graft-ivf-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+  }
+
   test("x_dedup_lsh_quality: ground truth is a shingle-postings equi-join, candidates the stored graph") {
     // the exact ground-truth leg must be the inverted-index route
     // (shingle equi-join), NEVER an all-pairs product of the sample;
