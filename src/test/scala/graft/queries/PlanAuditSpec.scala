@@ -376,6 +376,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("partial_first"), p)
   }
 
+  test("x_pq_encode / x_pq_quality: consumers scan the stored encoded relation — no embeddings, no training") {
+    // the PQ codebooks train and the corpus encodes ONCE into stored
+    // state; both queries must be pure scans/aggregates of that
+    // relation — a refactor that re-trains or re-encodes per query
+    // would put four Lloyd chains and an embeddings scan behind every
+    // read of a 4-byte code
+    val e = plan("x_pq_encode")
+    assert(e.contains("graft-state-p"), e)
+    assert(!e.contains("embeddings.parquet"), e)
+    assert(!e.contains("partial_first"), e)
+    // the sample filter reaches the stored scan
+    assert(e.contains("PushedFilters:"), e)
+    val q = plan("x_pq_quality")
+    assert(q.contains("graft-state-p"), q)
+    assert(!q.contains("embeddings.parquet"), q)
+  }
+
   test("x_dedup_lsh_quality: ground truth is a shingle-postings equi-join, candidates the stored graph") {
     // the exact ground-truth leg must be the inverted-index route
     // (shingle equi-join), NEVER an all-pairs product of the sample;
