@@ -300,6 +300,28 @@ object EventStream {
     runServeBatches(spark, inDir, outDir, checkpointDir, maxFilesPerTrigger)(
       batch => graft.queries.ExtQueries.serveSemanticGate(spark, corpusDir, batch))
 
+  /** Streaming TOMBSTONE ingestion — the erasure-request feed: each
+    * micro-batch of (vec_id) delete requests lands as its own
+    * idempotent `batch=<id>` overwrite leaf (same replay contract as
+    * the serving twins — a replayed batch rewrites the same leaf), so
+    * the accumulated directory IS the tombstone relation the gated
+    * serving path anti-joins
+    * ([[graft.queries.ExtQueries.serveAnnExcluding]]). Deduplication
+    * inside a batch is map-side `distinct`; duplicates ACROSS batches
+    * are harmless by construction — an anti-join treats one tombstone
+    * and five identically, so no state store or read-modify-write is
+    * needed, the same reasoning that keeps posting maintenance
+    * stateless. The index itself is never touched: deletes take
+    * effect at read time, and the periodic rebuild
+    * (`x_ivf_retrain_drift`'s decision) compacts them away.
+    */
+  def runTombstoneStream(
+      spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    runServeBatches(spark, inDir, outDir, checkpointDir, maxFilesPerTrigger)(
+      batch => batch.select(col("vec_id")).distinct())
+
   /** Shared micro-batch serving harness: file-stream `inDir`, apply
     * `f` per batch, write each batch's result under its own
     * idempotent `batch=<id>` overwrite leaf (a replayed batch

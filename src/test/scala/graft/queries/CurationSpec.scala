@@ -310,4 +310,60 @@ class CurationSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p) // rank state is pure join+agg, never a window
   }
+
+  test("x_ann_delete: tombstoned ids can never be served; churn equals top-1 erasures") {
+    // the erasure contract: no served row may carry a deleted id —
+    // this is the GDPR-shaped assertion, stronger than hash-matching
+    // one fixture. And the two churn columns are equal BY THEOREM
+    // (dropping a non-top candidate cannot change top-1); published
+    // separately because their divergence at real scale flags a query
+    // whose candidate set emptied — the spec pins the theorem so a
+    // refactor that breaks it (e.g. re-ranking after a lossy rewrite)
+    // fails here, not in production
+    val served = ExtQueries.xAnnDelete(spark, dir).collect()
+    assert(served.nonEmpty)
+    assert(served.forall(r => r.getAs[Long]("vec_id") % 11 != 3),
+      served.filter(r => r.getAs[Long]("vec_id") % 11 == 3).mkString(","))
+    val churn = ExtQueries.xAnnDeleteChurn(spark, dir).collect().head
+    assert(churn.getAs[Long]("n_changed") == churn.getAs[Long]("n_top1_tombstoned"),
+      churn.toString)
+  }
+
+  test("NB classifier learns when the tokens carry the label (crafted corpus)") {
+    import spark.implicits._
+    // the testdata corpus is UNLEARNABLE by construction (one shared
+    // vocabulary across langs — x_nb_eval measures accuracy below the
+    // majority baseline and that verdict is the product). This fixture
+    // proves the identical train->store->score->measure pipeline
+    // learns for real the moment signal exists: en docs speak
+    // {the,a,fast}, others {der,das,und}, with one shared noise token
+    val docs = (0L until 60L).map { i =>
+      val en = i % 2 == 0
+      val text = if (en) "the a fast the noise" else "der das und der noise"
+      (i, text, if (en) "en" else "de", s"src${i % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val e = ExtQueries.xNbEval(spark, tmp).collect().head
+    assert(e.getAs[Long]("n_eval") == 12L, e.toString)
+    val acc = e.getAs[Double]("accuracy")
+    assert(acc >= 0.9, s"expected >=0.9 held-out accuracy on separable tokens, got $acc")
+    // and the stored model itself ranks the class markers correctly:
+    // positive llr for en markers, negative for de markers
+    val m = ExtQueries.xNbModel(spark, tmp).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("llr_q")).toMap
+    assert(m("the") > 0 && m("fast") > 0, m.toString)
+    assert(m("der") < 0 && m("und") < 0, m.toString)
+  }
+
+  test("x_pq_serve_agreement: rescoring can only help — rescored >= raw-ADC agreement") {
+    // theorem: if the raw ADC top-1 equals the exact top-1, the exact
+    // top-1 is inside the candidate cut, and the exact-cosine rescore
+    // re-selects it; so column (b) dominates column (a) on any corpus.
+    // A violation means the rescore stage lost a candidate (the exact
+    // failure mode of a buggy fetch join)
+    val r = ExtQueries.xPqServeAgreement(spark, dir).collect().head
+    assert(r.getAs[Long]("n_rescored") >= r.getAs[Long]("n_adc_top1"), r.toString)
+    assert(r.getAs[Long]("n_queries") == 24L, r.toString)
+  }
 }

@@ -393,6 +393,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q.contains("embeddings.parquet"), q)
   }
 
+  test("x_pq_serve: ADC scan reads stored codes; all joins broadcast; no training") {
+    // two-tier serving: the corpus-wide leg must touch the stored
+    // 4-byte codes only (the 16× IO point of PQ); the LUT and the
+    // candidate cut broadcast; embeddings.parquet may appear ONLY as
+    // the candidate-sized rescore fetch (a broadcast join into the
+    // scan), never under a Lloyd chain or a cartesian
+    val p = plan("x_pq_serve")
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_ivfpq_serve: composed index served from stored state — probes broadcast, no training") {
+    // the IVFADC hot path: probes + ADC LUTs broadcast into the
+    // cell-bucketed stored code relation; the Lloyd chains (IVF and
+    // all four PQ subspaces) ran offline into the store — any
+    // partial_first here means a consumer silently re-trains per query
+    val p = plan("x_ivfpq_serve")
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_nb_score: model applies as a broadcast vocab join from stored state") {
+    // deployment shape of the learned gate: the stored model must
+    // broadcast onto the exploded token stream (a shuffle join THERE
+    // would move the corpus against a vocab-sized relation). The
+    // later doc_id join of eval docs to their score sums is two
+    // eval-split-sized relations — a co-partitioned shuffle join is
+    // the CORRECT shape for it at scale, so it is not banned
+    val p = plan("x_nb_score")
+    assert(p.contains("graft-state-p"), p)
+    assert(p.contains("BroadcastHashJoin [token"), p)
+  }
+
+  test("x_ann_delete: tombstones apply as a broadcast anti-join over the stored index — no retrain") {
+    // deletion is a serving-time filter: stored probe path unchanged,
+    // one LeftAnti broadcast of the stored tombstone relation; a plan
+    // that re-trains, rescans the raw corpus, or shuffles the index
+    // for the anti-join defeats the delete-without-rebuild posture
+    val p = plan("x_ann_delete")
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x_dedup_lsh_quality: ground truth is a shingle-postings equi-join, candidates the stored graph") {
     // the exact ground-truth leg must be the inverted-index route
     // (shingle equi-join), NEVER an all-pairs product of the sample;

@@ -101,6 +101,38 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
   }
 
+  test("tombstone stream: streamed erasure requests gate serving row-equal to x_ann_delete") {
+    import graft.queries.ExtQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-tomb-stream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    // the batch query's tombstone set (vec_id % 11 == 3), landed as TWO
+    // files — with one id duplicated ACROSS batches to exercise the
+    // no-state-needed claim (an anti-join treats 1 and 2 tombstones
+    // identically)
+    val tomb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id")).filter(col("vec_id") % 11 === 3)
+    tomb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(in)
+    tomb.filter(col("vec_id") % 2 =!= 0)
+      .unionByName(tomb.filter(col("vec_id") === 14L)) // cross-batch dup
+      .coalesce(1).write.mode("append").parquet(in)
+
+    val sq = EventStream.runTombstoneStream(spark, in, out, ck,
+      maxFilesPerTrigger = Some(1))
+    assert(sq.awaitTermination(180000), "stream did not terminate within the timeout")
+
+    // accumulated delete store -> the SAME gated serving entry the
+    // batch query uses; results must match it row for row
+    val streamedTombs = spark.read.parquet(out).select("vec_id")
+    val served = ExtQueries.serveAnnExcluding(spark, sfDir,
+      ExtQueries.novelQueries(spark), streamedTombs)
+    val batch = ExtQueries.queries("x_ann_delete")(spark, sfDir)
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty)
+    assert(served.count() == batch.count())
+    // and no served id is ever a streamed tombstone
+    assert(served.join(streamedTombs, Seq("vec_id"), "left_semi").isEmpty)
+  }
+
   test("postings stream: incremental index maintenance row-equal to the batch posting build") {
     import graft.ext.TextOps
     val sfDir = "/root/testdata/sf0.001"
