@@ -420,6 +420,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x_hybrid_rrf: both legs serve from stored state — no re-tokenize, no training, no cartesian") {
+    // the dense leg probes the stored IVF; the sparse leg reads the
+    // stored posting relation (query terms, df, avgdl all derive from
+    // it). A Generate explode here means a consumer re-tokenized the
+    // corpus per query; partial_first means a Lloyd chain leaked into
+    // serving
+    val p = plan("x_hybrid_rrf")
+    assert(p.contains("graft-state-p") && p.contains("graft-ivf-p"), p)
+    assert(!p.contains("Generate explode"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY embeddings touch is the 1-row query-vector fetch, and
+    // its point predicate reaches the scan
+    assert(p.contains("EqualTo(vec_id,0)"), p)
+  }
+
   test("x_nb_score: model applies as a broadcast vocab join from stored state") {
     // deployment shape of the learned gate: the stored model must
     // broadcast onto the exploded token stream (a shuffle join THERE
