@@ -26,7 +26,21 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every CTE is emitted `AS MATERIALIZED`: DuckDB inlines plain CTEs
+    * per reference, so an iterative chain (the 10-step Lloyd training
+    * CTEs, the PQ codebook chains) whose stages are each referenced
+    * twice re-evaluates the whole upstream chain exponentially —
+    * measured 39.4 s → 0.41 s on `x_ann_delete` at sf0.01 with
+    * identical results. The keyword is an evaluation barrier only;
+    * semantics are unchanged (every oracle is deterministic).
     */
-  def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ ExtQueries.oracleSql
+  def oracleSql: Map[String, String] = {
+    // lookbehinds: not a qualified name / expression suffix, and not a
+    // named-window definition (`WINDOW w AS (...)` must stay untouched)
+    val CteDef = "(?<![\\w.)\\]])(?<!WINDOW )([A-Za-z_]\\w*) AS \\(".r
+    (CoreQueries.oracleSql ++ ExtQueries.oracleSql).map { case (k, sql) =>
+      k -> CteDef.replaceAllIn(sql, m => s"${m.group(1)} AS MATERIALIZED (")
+    }
+  }
 }
