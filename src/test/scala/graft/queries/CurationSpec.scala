@@ -366,4 +366,27 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rescored") >= r.getAs[Long]("n_adc_top1"), r.toString)
     assert(r.getAs[Long]("n_queries") == 24L, r.toString)
   }
+
+  test("x_split: group-keyed assignment makes near-dup leakage structurally zero; naive rate near 1-sum(p^2)") {
+    val asg = ExtQueries.xSplitAssign(spark, dir).collect()
+    assert(asg.nonEmpty)
+    // split is a pure function of doc_id, split_group of component
+    asg.foreach { r =>
+      val splits = Set("train", "val", "test")
+      assert(splits(r.getAs[String]("split")) && splits(r.getAs[String]("split_group")), r.toString)
+    }
+    // every member of a component carries the SAME split_group (the
+    // structural-leakage-zero property the leakage query publishes)
+    asg.groupBy(_.getAs[Long]("component")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("split_group")).distinct.length == 1)
+    }
+    // rough 8/1/1 shape on the naive rule (hash uniformity, loose band)
+    val n = asg.length.toDouble
+    val trainFrac = asg.count(_.getAs[String]("split") == "train") / n
+    assert(trainFrac > 0.65 && trainFrac < 0.92, s"train fraction $trainFrac")
+    val leak = ExtQueries.xSplitLeakage(spark, dir).collect().head
+    assert(leak.getAs[Long]("n_cross_group") == 0L, leak.toString)
+    assert(leak.getAs[Long]("n_pairs") > 0L)
+    assert(leak.getAs[Long]("n_cross_naive") <= leak.getAs[Long]("n_pairs"))
+  }
 }

@@ -245,6 +245,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(bm25.contains("In(token"), bm25)
   }
 
+  test("x_ann_compact: compacted serve reads STORED relations only - no corpus scan, no training") {
+    val p = plan("x_ann_compact")
+    // the compacted index and the tombstone set are materialized state
+    // (graft-state-p); the before-count and the gated audit leg read
+    // the stored assignment (graft-ivf-p). A refactor that re-derives
+    // the compacted rows from the raw corpus would re-embed the
+    // corpus scan (and the Lloyd aggregates) into every maintenance
+    // audit run.
+    assert(p.contains("graft-state-p"), p)
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_ann_novel_recall / x_semdedup_coverage: measurement legs stay bucketed/broadcast") {
     // the recall measurement: exact leg is |Q|-broadcast against the
     // corpus (never a corpus-side shuffle join), served leg reads the
