@@ -389,4 +389,47 @@ class CurationSpec extends SparkSpec {
     assert(leak.getAs[Long]("n_pairs") > 0L)
     assert(leak.getAs[Long]("n_cross_naive") <= leak.getAs[Long]("n_pairs"))
   }
+
+  test("x_hard_negatives: no negative is the anchor, its positive, or any same-component member") {
+    val rows = ExtQueries.xHardNegatives(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val comp = ExtQueries.xDedupComponents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    rows.foreach { r =>
+      val a = r.getAs[Long]("anchor_id"); val n = r.getAs[Long]("neg_id")
+      assert(n != a, r.toString)
+      assert(n != r.getAs[Long]("pos_id"), s"positive mined as negative: $r")
+      assert(comp.getOrElse(a, a) != comp.getOrElse(n, n),
+        s"same-component false negative: $r")
+    }
+    // ranks are contiguous from 1 per anchor
+    rows.groupBy(_.getAs[Long]("anchor_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("neg_rank")).sorted.sameElements(1L to rs.length))
+    }
+  }
+
+  test("x_mixture_temperature: sqrt-temperature compresses source skew (crafted 100:1 corpus)") {
+    import spark.implicits._
+    // head source 400 docs, tail source 4: raw ratio 100x, alpha=0.5
+    // target ratio must be sqrt(100) = 10x (the multilingual
+    // rebalancing contract); the real corpus' uniform 250-doc sources
+    // make temperature a documented no-op there, so the law needs a
+    // skewed fixture
+    val docs = ((1 to 400).map(i => (i.toLong, s"tok$i text", "en", "head", 10L)) ++
+      (1 to 4).map(i => (400L + i, s"tok$i text", "en", "tail", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mixtemp").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ExtQueries.xMixtureTemperature(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val head = rows("head"); val tail = rows("tail")
+    val rawRatio = head.getAs[Double]("p") / tail.getAs[Double]("p")
+    val tempRatio = head.getAs[Double]("p_temp") / tail.getAs[Double]("p_temp")
+    assert(math.abs(rawRatio - 100.0) < 1e-9, s"raw $rawRatio")
+    assert(math.abs(tempRatio - 10.0) < 1e-3, s"temp $tempRatio")
+    // the tail's acceptance rate rises relative to the head's
+    assert(tail.getAs[Double]("rate") > head.getAs[Double]("rate"))
+    // budgets sum to <= the budget (floor never overshoots)
+    assert(rows.values.map(_.getAs[Long]("target_n")).sum <= 1000L)
+  }
 }

@@ -260,6 +260,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x_hard_negatives: mined from stored pairs + stored index - no corpus scan, no training") {
+    val p = plan("x_hard_negatives")
+    // anchors/positives come from the stored LSH pair relation and the
+    // exclusion labels from the stored components (both graft-state-p);
+    // candidates from the stored assignment (graft-ivf-p). Neither the
+    // corpus embeddings nor the Lloyd chain may appear: this is the
+    // nightly batch job over yesterday's materialized state.
+    assert(p.contains("graft-state-p"), p)
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_ann_novel_recall / x_semdedup_coverage: measurement legs stay bucketed/broadcast") {
     // the recall measurement: exact leg is |Q|-broadcast against the
     // corpus (never a corpus-side shuffle join), served leg reads the

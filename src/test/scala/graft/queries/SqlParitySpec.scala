@@ -51,7 +51,13 @@ class SqlParitySpec extends SparkSpec {
         val api = SparkEntry.queries(name)(spark, dir)
         val cols = api.columns.sorted.map(col(_))
         val a = api.select(cols: _*).collect()
-        val b = spark.sql(SparkEntry.oracleSql(name)).select(cols: _*).collect()
+        // `AS MATERIALIZED` is DuckDB's CTE evaluation barrier (added
+        // r9 so the iterative oracle chains don't re-inline
+        // exponentially); it is a vendor hint, not semantics, and
+        // Spark's parser has no equivalent — strip it for the parity
+        // run, which tests the RELATIONAL text
+        val ansi = SparkEntry.oracleSql(name).replace(" AS MATERIALIZED (", " AS (")
+        val b = spark.sql(ansi).select(cols: _*).collect()
         if (a.length != b.length)
           Some(s"$name: row count ${a.length} (api) vs ${b.length} (sql)")
         else
