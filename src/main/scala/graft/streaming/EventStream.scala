@@ -322,6 +322,26 @@ object EventStream {
     runServeBatches(spark, inDir, outDir, checkpointDir, maxFilesPerTrigger)(
       batch => batch.select(col("vec_id")).distinct())
 
+  /** Streaming SPLIT ASSIGNMENT at ingest: every arriving document
+    * gets its train/val/test decision (both the naive id-hash and the
+    * dedup-group-keyed rule against the STORED component labels) the
+    * moment it lands — the posture that makes eval-leakage-by-
+    * late-assignment impossible: a doc's split is fixed before
+    * anything downstream sees it. Stateless map-side hash + one
+    * broadcastable label join per micro-batch
+    * ([[graft.queries.ExtQueries.serveSplitAssign]] — one engine
+    * under batch and stream); a doc the labels don't know yet gets
+    * the provisional singleton-group split until the next dedup
+    * refresh, which cannot MOVE any already-assigned doc whose label
+    * is unchanged (the hash has no corpus-state input).
+    */
+  def runSplitStream(
+      spark: SparkSession, inDir: String, corpusDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    runServeBatches(spark, inDir, outDir, checkpointDir, maxFilesPerTrigger)(
+      batch => graft.queries.ExtQueries.serveSplitAssign(spark, corpusDir, batch))
+
   /** Shared micro-batch serving harness: file-stream `inDir`, apply
     * `f` per batch, write each batch's result under its own
     * idempotent `batch=<id>` overwrite leaf (a replayed batch

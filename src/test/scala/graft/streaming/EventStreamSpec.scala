@@ -101,6 +101,28 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
   }
 
+  test("split stream: ingest-time split assignment row-equal to x_split_assign") {
+    import graft.queries.ExtQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-split-stream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    // the corpus docs landed as TWO files so assignment spans two
+    // micro-batches; the decision must not depend on batch boundaries
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+
+    val sq = EventStream.runSplitStream(spark, in, sfDir, out, ck,
+      maxFilesPerTrigger = Some(1))
+    assert(sq.awaitTermination(180000), "stream did not terminate within the timeout")
+
+    val streamed = spark.read.parquet(out).drop("batch")
+      .select("doc_id", "component", "split", "split_group")
+    val batch = ExtQueries.queries("x_split_assign")(spark, sfDir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() == batch.count())
+  }
+
   test("tombstone stream: streamed erasure requests gate serving row-equal to x_ann_delete") {
     import graft.queries.ExtQueries
     val sfDir = "/root/testdata/sf0.001"
