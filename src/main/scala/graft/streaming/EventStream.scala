@@ -342,6 +342,26 @@ object EventStream {
     runServeBatches(spark, inDir, outDir, checkpointDir, maxFilesPerTrigger)(
       batch => graft.queries.ExtQueries.serveSplitAssign(spark, corpusDir, batch))
 
+  /** Streaming CURATION GATE at ingest: every arriving document gets
+    * its quality / repetition / decontamination flags and the fused
+    * keep decision per micro-batch
+    * ([[graft.queries.ExtQueries.serveCurationGate]] — one engine
+    * under the batch funnel and the stream). Quality and repetition
+    * are stateless per-row expressions; decontamination probes the
+    * BROADCAST stored benchmark-gram set — so per-batch cost ∝ the
+    * batch and the only state is the bench relation, refreshed when
+    * the benchmark is (never per-batch). The dedup-canonical stage is
+    * deliberately NOT here: canonicality is a corpus-wide ranking
+    * that belongs to the batch refresh, and gating it at ingest would
+    * make a doc's keep decision depend on arrival order.
+    */
+  def runCurationGateStream(
+      spark: SparkSession, inDir: String, corpusDir: String,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    runServeBatches(spark, inDir, outDir, checkpointDir, maxFilesPerTrigger)(
+      batch => graft.queries.ExtQueries.serveCurationGate(spark, corpusDir, batch))
+
   /** Shared micro-batch serving harness: file-stream `inDir`, apply
     * `f` per batch, write each batch's result under its own
     * idempotent `batch=<id>` overwrite leaf (a replayed batch

@@ -432,4 +432,26 @@ class CurationSpec extends SparkSpec {
     // budgets sum to <= the budget (floor never overshoots)
     assert(rows.values.map(_.getAs[Long]("target_n")).sum <= 1000L)
   }
+
+  test("serveCurationGate: per-doc flags equal the three batch gates' own decisions") {
+    val gate = ExtQueries.serveCurationGate(spark, dir,
+      graft.Tables.documents(spark, dir)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val q = ExtQueries.queries("x_quality_filter")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("keep") == "Y")).toMap
+    val rr = ExtQueries.queries("x_repetition")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("keep") == "Y")).toMap
+    // contamination relation covers only bucket<90 docs; bench-bucket
+    // docs must gate to ck=false (the eval set is never trained on)
+    val c = ExtQueries.queries("x_contamination")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("contaminated") == "N")).toMap
+    assert(gate.nonEmpty && gate.size == q.size)
+    gate.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("qk") == q(id), s"qk mismatch doc $id")
+      assert(r.getAs[Boolean]("rk") == rr(id), s"rk mismatch doc $id")
+      assert(r.getAs[Boolean]("ck") == c.getOrElse(id, false), s"ck mismatch doc $id")
+      val fused = r.getAs[Boolean]("qk") && r.getAs[Boolean]("rk") && r.getAs[Boolean]("ck")
+      assert((r.getAs[String]("keep") == "Y") == fused)
+    }
+  }
 }

@@ -274,6 +274,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x_bloom_filter / x_join_size_est: broadcast-only joins, key-column-pruned scans") {
+    val b = plan("x_bloom_filter")
+    // the bit relation broadcasts (16n distinct bits - never a
+    // corpus-side shuffle join); every orders scan reads ONLY the key
+    assert(!b.contains("SortMergeJoin") && !b.contains("CartesianProduct"), b)
+    assert(b.contains("ReadSchema: struct<o_orderkey:bigint>"), b)
+    assert(!b.contains("o_custkey"), b)
+    val j = plan("x_join_size_est")
+    // both estimate-side scans carry the sample hash as a DataFilter
+    // and read only the join key - the 10%-of-shuffle cost contract
+    assert(j.contains("ReadSchema: struct<o_orderkey:bigint>"), j)
+    assert(j.contains("ReadSchema: struct<l_orderkey:bigint>"), j)
+    assert(!j.contains("CartesianProduct"), j)
+  }
+
+  test("x_curation_funnel / x_datacard: flags and card read the stored dedup state") {
+    val f = plan("x_curation_funnel")
+    // decontamination probes the STORED benchmark-gram set (the
+    // already-filtered contam_bench relation — never a benchmark
+    // re-shingle); component labels are stored state. A refactor that
+    // re-derives either would re-shingle or re-run label propagation
+    // inside the report query.
+    assert(f.contains("graft-state-p"), f)
+    assert(f.contains("contam_bench"), f)
+    assert(f.contains("dedup_components"), f)
+    assert(!f.contains("CartesianProduct"), f)
+    val d = plan("x_datacard")
+    assert(d.contains("graft-state-p"), d)
+    assert(!d.contains("CartesianProduct"), d)
+  }
+
   test("x_ann_novel_recall / x_semdedup_coverage: measurement legs stay bucketed/broadcast") {
     // the recall measurement: exact leg is |Q|-broadcast against the
     // corpus (never a corpus-side shuffle join), served leg reads the

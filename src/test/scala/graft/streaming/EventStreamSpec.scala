@@ -123,6 +123,27 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
   }
 
+  test("curation gate stream: ingest-time gating row-equal to the batch gate entry") {
+    import graft.queries.ExtQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-gate-stream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+
+    val sq = EventStream.runCurationGateStream(spark, in, sfDir, out, ck,
+      maxFilesPerTrigger = Some(1))
+    assert(sq.awaitTermination(180000), "stream did not terminate within the timeout")
+
+    val streamed = spark.read.parquet(out).drop("batch")
+      .select("doc_id", "qk", "rk", "ck", "keep")
+    val batch = ExtQueries.serveCurationGate(spark, sfDir,
+      graft.Tables.documents(spark, sfDir))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() == batch.count())
+  }
+
   test("tombstone stream: streamed erasure requests gate serving row-equal to x_ann_delete") {
     import graft.queries.ExtQueries
     val sfDir = "/root/testdata/sf0.001"
