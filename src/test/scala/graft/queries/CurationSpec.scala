@@ -454,4 +454,75 @@ class CurationSpec extends SparkSpec {
       assert((r.getAs[String]("keep") == "Y") == fused)
     }
   }
+
+  test("x_containment: injected prefix copies surface at containment 1.0 where jaccard misses") {
+    val rows = ExtQueries.xContainment(spark, dir).collect()
+    // every sample doc at doc_id % 15 == 0 with >= 3 tokens contributed
+    // a half-length prefix copy at id + 1e9; the prefix property makes
+    // its shingle set a strict subset of the source's, so the pair MUST
+    // appear at containment exactly 1.0
+    val injected = rows.filter(_.getAs[Long]("doc_b") >= 1000000000L)
+      .filter(r => r.getAs[Long]("doc_b") - 1000000000L == r.getAs[Long]("doc_a"))
+    assert(injected.nonEmpty, "no injected (source, prefix-copy) pairs surfaced")
+    injected.foreach { r =>
+      assert(r.getAs[Double]("containment") == 1.0, r.toString)
+      // the class the query exists for: symmetric jaccard stays below
+      // the near-dup threshold on the same pair
+      assert(r.getAs[Double]("jaccard") < 0.8, r.toString)
+    }
+    // containment dominates jaccard on EVERY pair (min <= union)
+    rows.foreach(r =>
+      assert(r.getAs[Double]("containment") >= r.getAs[Double]("jaccard"), r.toString))
+  }
+
+  test("x_shard_mixing: every shard's diversity tracks the corpus; counts are complete") {
+    val rows = ExtQueries.xShardMixing(spark, dir).collect()
+      .map(r => r.getAs[Int]("shard") -> r).toMap
+    assert(rows.contains(-1), "corpus row (shard = -1) missing")
+    val corpus = rows(-1)
+    val shards = (rows - (-1)).values.toSeq
+    assert(shards.nonEmpty)
+    // shard doc counts partition the corpus count
+    assert(shards.map(_.getAs[Long]("n_docs")).sum == corpus.getAs[Long]("n_docs"))
+    // the well-mixed law: a deterministic-hash shuffle must not
+    // concentrate a language; each shard's Gini-Simpson diversity
+    // stays within a sampling-noise band of the corpus diversity
+    val cs = corpus.getAs[Double]("simpson")
+    shards.foreach { s =>
+      val d = math.abs(s.getAs[Double]("simpson") - cs)
+      assert(d < 0.15, s"shard ${s.getAs[Int]("shard")} simpson off corpus by $d")
+    }
+  }
+
+  test("x_posting_skew: deciles partition the vocabulary with monotone df bands") {
+    val rows = ExtQueries.xPostingSkew(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    // decile df ranges are internally consistent and non-decreasing
+    rows.foreach(r => assert(r.getAs[Long]("min_df") <= r.getAs[Long]("max_df")))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_df") <= b.getAs[Long]("min_df"),
+        s"decile ${a.getAs[Long]("decile")} overlaps ${b.getAs[Long]("decile")}")
+      case _ => ()
+    }
+    // token mass accounts for the whole vocabulary: sum(sum_tf) equals
+    // the corpus token total
+    val total = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ext.TextOps.tokens(col("text")))).count()
+    assert(rows.map(_.getAs[Long]("sum_tf")).sum == total)
+  }
+
+  test("x_ivf_silhouette: every corpus vector audited once; scores in [0,1]") {
+    val rows = ExtQueries.xIvfSilhouette(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the replicated index stores exactly one rank-1 and one rank-2
+    // row per vector, so the audit covers each vector exactly once
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    // simplified silhouette is bounded [0,1]: rank order makes d2 >= d1
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_sil")
+      assert(s >= 0.0 && s <= 1.0, r.toString)
+    }
+  }
 }

@@ -223,6 +223,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x_posting_skew: consumes the stored posting relation — the corpus text is never re-tokenized") {
+    val p = plan("x_posting_skew")
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("Generate explode"), p)
+  }
+
+  test("x_ivf_silhouette: audits the STORED index only — no embeddings scan, no training, broadcast centroids") {
+    val p = plan("x_ivf_silhouette")
+    // both the replicated assignment and the centroid relation are
+    // materialized index state; a refactor that re-assigns or
+    // re-trains per audit would re-pay the Lloyd chain every run
+    assert(p.contains("graft-ivf-p"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+    // k-row centroids broadcast into the cell-bucketed index
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("text posting relation: tfidf/inverted-index/bm25 all consume the ONE stored (doc,token) store") {
     // the r7 consolidation: one corpus explode + (doc,token) shuffle
     // builds the posting store; all three consumers must read it back
