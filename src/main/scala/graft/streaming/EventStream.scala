@@ -643,4 +643,53 @@ object EventStream {
       }
       .start()
   }
+
+  /** Streaming COUNT-MIN SKETCH maintenance — the online form of
+    * `x_countmin`, and the shape the sketch actually earns its keep
+    * in at 100 TB: no vocabulary is ever materialized; each arriving
+    * micro-batch of documents reduces to ITS OWN D×W partial counter
+    * table (fixed size no matter how many rows the batch carried —
+    * CMS counters are linear in token counts, so partial aggregation
+    * IS the sketch's mergeability), which sum-merges into the stored
+    * counter state. State stays D×W rows forever; the raw text is
+    * never rescanned; a frequency estimate for ANY later query token
+    * is servable from the store at any point mid-stream. The batch
+    * query and this sink share the same `cmsFan` bucket expressions,
+    * so streamed counters are bit-equal to a batch build over the
+    * same documents regardless of how the stream was chopped
+    * (spec-asserted). Sum-merge is not idempotent → the same
+    * `_batchid` replay guard as [[mergeAggBatch]].
+    */
+  def cmsBatchCounters(docs: DataFrame): DataFrame =
+    graft.queries.ExtQueries.cmsCounters(
+      docs.select(explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt")))
+
+  def mergeCmsState(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy("r", "bucket").agg(sum(col("c")).as("c"))
+
+  def mergeCmsBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
+      batchId: Long): Unit =
+    if (!lastMergedBatch(spark, stateDir).contains(batchId)) {
+      val delta = cmsBatchCounters(batch)
+      mergeIntoTarget(spark, stateDir, delta, delta.schema, Some(batchId))(mergeCmsState)
+    }
+
+  def runCmsStream(
+      spark: SparkSession, inDir: String, stateDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeCmsBatch(spark, stateDir, batch, batchId)
+      }
+      .start()
+  }
 }

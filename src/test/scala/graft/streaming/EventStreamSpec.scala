@@ -207,6 +207,33 @@ class EventStreamSpec extends SparkSpec {
     assert(dfS.exceptAll(dfB).isEmpty && dfB.exceptAll(dfS).isEmpty)
   }
 
+  test("CMS stream: counters merged across micro-batches bit-equal the batch sketch build") {
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-cms-stream").toString
+    val in = s"$dir/in"; val st = s"$dir/state"; val ck = s"$dir/ck"
+    // two files -> two micro-batches at maxFilesPerTrigger=1, so the
+    // sum-merge path (not just the first-batch write) is exercised
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+
+    val q = EventStream.runCmsStream(spark, in, st, ck, maxFilesPerTrigger = Some(1))
+    assert(q.awaitTermination(120000), "stream did not terminate within the timeout")
+
+    // streamed counter state == the batch sketch over the same rows:
+    // CMS counters are linear in token counts, so HOW the stream was
+    // chopped cannot show in the state
+    val streamed = spark.read.parquet(st).select("r", "bucket", "c")
+    val batch = EventStream.cmsBatchCounters(docs)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // replay guard: re-merging the last batch is a no-op (sum-merge
+    // is not idempotent; the _batchid marker must gate it)
+    val lastBatch = docs.filter(col("doc_id") % 2 =!= 0)
+    EventStream.mergeCmsBatch(spark, st, lastBatch, batchId = 1L)
+    val after = spark.read.parquet(st).select("r", "bucket", "c")
+    assert(after.exceptAll(batch).isEmpty && batch.exceptAll(after).isEmpty)
+  }
+
   test("AvailableNow file stream: windowed agg matches the batch twin on closed windows") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
