@@ -455,6 +455,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x_bpe_drift: unseen delta words surface as OOV; the real corpus reads no-drift") {
+    import spark.implicits._
+    // crafted corpus: the snapshot (doc_id % 10 != 0) trains the
+    // tokenizer; the delta doc carries two words the snapshot never
+    // saw — they MUST surface as OOV, not silently tokenize
+    val df = Seq(
+      (1L, "alpha beta alpha beta gamma", "en", "t", 27L),
+      (2L, "alpha beta gamma alpha", "en", "t", 22L),
+      (10L, "alpha zzzunseen qqqunseen", "en", "t", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-drift").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val crafted = ExtQueries.xBpeDrift(spark, tmp).collect()
+    assert(crafted.length == 1)
+    assert(crafted.head.getAs[Long]("n_words") == 3L)
+    assert(crafted.head.getAs[Long]("n_oov") == 2L, crafted.head.toString)
+    // matched-word fertility still reports over the in-vocab word
+    assert(crafted.head.getAs[Double]("fertility_delta") > 0.0)
+    // the real corpus draws delta and snapshot from one vocabulary:
+    // the honest reading is zero OOV and drift near zero
+    val real = ExtQueries.xBpeDrift(spark, dir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Double]("oov_rate") == 0.0, r.toString)
+      assert(math.abs(r.getAs[Double]("drift")) < 0.3, r.toString)
+    }
+  }
+
   test("x_containment: injected prefix copies surface at containment 1.0 where jaccard misses") {
     val rows = ExtQueries.xContainment(spark, dir).collect()
     // every sample doc at doc_id % 15 == 0 with >= 3 tokens contributed
