@@ -540,6 +540,25 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("sum_tf")).sum == total)
   }
 
+  test("x_cluster_labels: ranks contiguous per cell; doc counts cover the corpus; lift coherent") {
+    val rows = ExtQueries.xClusterLabels(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per-cell label lists are top-k: ranks 1..n with n <= 3, no gaps
+    rows.groupBy(_.getAs[Long]("cell")).foreach { case (c, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.length <= 3 && ranks.sameElements(1L to ranks.length), s"cell $c: ${ranks.toSeq}")
+    }
+    // every corpus vector is in exactly one labeled region (rank-1
+    // assignment is a partition of the corpus)
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(rows.map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n_docs")))
+      .distinct.map(_._2).sum == n)
+    // a label is a positive-lift, min-support term
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ct") >= 3L && r.getAs[Long]("lift_q") > 0L, r.toString)
+    }
+  }
+
   test("x_ivf_silhouette: every corpus vector audited once; scores in [0,1]") {
     val rows = ExtQueries.xIvfSilhouette(spark, dir).collect()
     assert(rows.nonEmpty)

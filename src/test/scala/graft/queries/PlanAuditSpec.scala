@@ -653,6 +653,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x_cluster_labels: labels join the two stores — no re-tokenize, no training, no raw scans") {
+    // cartography must be store-only: cells from the persisted IVF
+    // assignment, term stats from the persisted posting/vocab
+    // relations; a documents.parquet or embeddings.parquet scan here
+    // means a corpus pass the query has no business making
+    val p = plan("x_cluster_labels")
+    assert(p.contains("graft-ivf-p"), p)
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("partial_first"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only single-partition exchange is the 1-row corpus-total
+    // scalar aggregate; ranking stays partitioned by cell
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1, p)
+  }
+
   test("x_sketch_merge: sketch state merges through partial aggregation (one day shuffle)") {
     val p = plan("x_sketch_merge")
     // daily sketches: partial_hll_sketch_agg map-side before the day
