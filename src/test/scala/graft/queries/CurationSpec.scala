@@ -356,6 +356,30 @@ class CurationSpec extends SparkSpec {
     assert(m("der") < 0 && m("und") < 0, m.toString)
   }
 
+  test("x_dsir_select enriches the target language when the tokens carry it (crafted corpus)") {
+    import spark.implicits._
+    // same separable fixture as the NB lifecycle test: on the real
+    // testdata the llrs are noise and x_dsir_select's shares move only
+    // by sampling noise (the documented null); here the density ratio
+    // is real and importance resampling must concentrate the budget
+    // on the target slice
+    val docs = (0L until 60L).map { i =>
+      val en = i % 2 == 0
+      val text = if (en) "the a fast the noise" else "der das und der noise"
+      (i, text, if (en) "en" else "de", s"src${i % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ExtQueries.xDsirSelect(spark, tmp).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sel"), r.getAs[Double]("share_after"))).toMap
+    // budget = 60/5 = 12 docs, all of it spent on the target slice
+    assert(rows.values.map(_._2).sum == 12L, rows.toString)
+    assert(rows("en")._3 >= 0.9, s"expected >=0.9 en share after selection, got $rows")
+    // and before-shares still describe the unselected corpus
+    assert(rows("en")._1 == 30L && rows("de")._1 == 30L, rows.toString)
+  }
+
   test("x_pq_serve_agreement: rescoring can only help — rescored >= raw-ADC agreement") {
     // theorem: if the raw ADC top-1 equals the exact top-1, the exact
     // top-1 is inside the candidate cut, and the exact-cosine rescore

@@ -670,6 +670,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).length == 1, p)
   }
 
+  test("x_dsir_select: weights from stored model+postings; selection is a distributed top-B") {
+    // the importance weights must come from the STORED nb-model and
+    // posting relations (broadcast model join — no retrain, no
+    // corpus re-explode), and the top-B selection must be a
+    // distributed TakeOrdered, never a global single-partition sort
+    val p = plan("x_dsir_select")
+    assert(p.contains("graft-state-p"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Sort [key_q"), p)
+  }
+
   test("x_sketch_merge: sketch state merges through partial aggregation (one day shuffle)") {
     val p = plan("x_sketch_merge")
     // daily sketches: partial_hll_sketch_agg map-side before the day
