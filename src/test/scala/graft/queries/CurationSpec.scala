@@ -380,6 +380,34 @@ class CurationSpec extends SparkSpec {
     assert(rows("en")._1 == 30L && rows("de")._1 == 30L, rows.toString)
   }
 
+  test("x_token_budget: scarce sources repeat more and waste more (crafted 100:1 corpus)") {
+    import spark.implicits._
+    // 100:1 token skew: temperature allocation forces the scarce
+    // source through many epochs, where the 3/4-decay makes later
+    // passes worth geometrically less — utilization must fall exactly
+    // where repeats concentrate, and the epoch clamp must engage
+    val docs = (0L until 101L).map { i =>
+      val big = i < 100
+      val text = "tok " * 9 + "tok" // 10 tokens
+      (i, text, "en", if (big) "big" else "small", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-budget").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ExtQueries.xTokenBudget(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val (big, small) = (rows("big"), rows("small"))
+    assert(small.getAs[Double]("epochs") > big.getAs[Double]("epochs"))
+    assert(small.getAs[Double]("utilization") < big.getAs[Double]("utilization"))
+    // scarce source: requested = ~2020*0.0909 tokens over n=10 → clamp
+    assert(small.getAs[Long]("full_epochs") == 12L, small.toString)
+    rows.values.foreach { r =>
+      assert(r.getAs[Double]("effective") <= r.getAs[Long]("requested").toDouble, r.toString)
+    }
+    // floor-division allocation never overspends the budget
+    val total = rows.values.map(_.getAs[Long]("n_tokens")).sum
+    assert(rows.values.map(_.getAs[Long]("requested")).sum <= 2L * total)
+  }
+
   test("x_pq_serve_agreement: rescoring can only help — rescored >= raw-ADC agreement") {
     // theorem: if the raw ADC top-1 equals the exact top-1, the exact
     // top-1 is inside the candidate cut, and the exact-cosine rescore
