@@ -408,6 +408,33 @@ class CurationSpec extends SparkSpec {
     assert(rows.values.map(_.getAs[Long]("requested")).sum <= 2L * total)
   }
 
+  test("x_pca_power finds a planted dominant direction (crafted anisotropic fixture)") {
+    import spark.implicits._
+    // the real embeddings are isotropic noise (measured EVR ~= 1.2/D,
+    // the honest reading); this fixture plants variance on dim 0 and
+    // the power iteration must recover it: loadings concentrate on
+    // dim 0 and EVR reads near 1
+    val dim = 64
+    val vecs = (0L until 40L).map { i =>
+      val a = if (i % 2 == 0) 1.0f else -1.0f
+      val emb = Array.tabulate(dim)(j =>
+        if (j == 0) a else 0.001f * (((i + j) % 7).toFloat - 3.0f))
+      (i, emb, (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    vecs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = ExtQueries.xPcaPower(spark, tmp).collect().sortBy(_.getAs[Long]("i"))
+    assert(rows.length == dim)
+    // dominant loading on the planted dimension (unit vector scale 1e6)
+    assert(math.abs(rows(0).getAs[Long]("load_q")) > 900000L, rows(0).toString)
+    assert(rows.drop(1).forall(r => math.abs(r.getAs[Long]("load_q")) < 200000L))
+    // variance concentrates: explained-variance ratio near 1
+    assert(rows(0).getAs[Double]("evr") > 0.9, rows(0).toString)
+    // and the component is (close to) unit norm in quantized units
+    val n2 = rows.map(r => { val l = r.getAs[Long]("load_q"); l * l }).sum
+    assert(math.abs(n2 - 1000000000000L) < 5000000000L, n2.toString)
+  }
+
   test("x_pq_serve_agreement: rescoring can only help — rescored >= raw-ADC agreement") {
     // theorem: if the raw ADC top-1 equals the exact top-1, the exact
     // top-1 is inside the candidate cut, and the exact-cosine rescore
