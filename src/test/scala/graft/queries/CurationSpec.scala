@@ -435,6 +435,33 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(n2 - 1000000000000L) < 5000000000L, n2.toString)
   }
 
+  test("x_whiten_top removes the planted dominant direction (res << orig on the fixture)") {
+    import spark.implicits._
+    // same planted-anisotropy fixture as x_pca_power: variance lives
+    // on dim 0. Removing mean + top component must collapse each
+    // top-|projection| vector's norm² — residual under 5% of the
+    // centered original — while on-component projections stay large
+    val dim = 64
+    val vecs = (0L until 40L).map { i =>
+      val a = if (i % 2 == 0) 1.0f else -1.0f
+      val emb = Array.tabulate(dim)(j =>
+        if (j == 0) a else 0.001f * (((i + j) % 7).toFloat - 3.0f))
+      (i, emb, (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-whiten").toString
+    vecs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = ExtQueries.xWhitenTop(spark, tmp).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val orig = r.getAs[Long]("orig_q")
+      val res = r.getAs[Long]("res_q")
+      // planted component carries ~all the energy: |t| ~ 1e6 (unit
+      // projection in quantized units) and the residual collapses
+      assert(math.abs(r.getAs[Long]("t_q")) > 900000L, r.toString)
+      assert(res.toDouble < 0.05 * orig.toDouble, r.toString)
+    }
+  }
+
   test("x_pq_serve_agreement: rescoring can only help — rescored >= raw-ADC agreement") {
     // theorem: if the raw ADC top-1 equals the exact top-1, the exact
     // top-1 is inside the candidate cut, and the exact-cosine rescore

@@ -690,4 +690,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(day".r.findAllIn(p).length == 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x_whiten_top: whitening is pure map-side (μ, v as literals) + distributed TakeOrdered") {
+    // the application pass must never join or shuffle the corpus: the
+    // solved direction and mean enter as array literals, each row is
+    // whitened in place, and the top-|projection| cut is TakeOrdered
+    val p = plan("x_whiten_top")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x_pca_power: Gram accumulation is map-side outer product — no self-join, one D²-key exchange") {
+    // the corpus-sized leg of the power-iteration PCA: the D×D outer
+    // product must materialize inside one projection (transform ×
+    // transform), never as an exploded self-join — a join here is a
+    // second corpus shuffle that the map-side shape makes unnecessary
+    val p = planOf(graft.queries.ExtQueries.pcaGramSums(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(pos".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_sum"), p)
+  }
 }
