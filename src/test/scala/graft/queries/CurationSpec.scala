@@ -435,6 +435,19 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(n2 - 1000000000000L) < 5000000000L, n2.toString)
   }
 
+  test("PcaGramAgg one-pass buffer == declarative outer-product twin (same quantized longs)") {
+    // cross-implementation parity law: the typed Aggregator the
+    // queries actually run must produce bit-identical Gram sums to
+    // the declarative flatten-transform build (which itself mirrors
+    // the oracle's self-join CTE) — the chain that makes the one-pass
+    // fast path provably exact
+    val st = ExtQueries.pcaState(spark, dir)
+    val twin = ExtQueries.pcaGramSums(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(st.sMap == twin)
+    assert(st.n == spark.read.parquet(s"$dir/embeddings.parquet").count())
+  }
+
   test("x_whiten_top removes the planted dominant direction (res << orig on the fixture)") {
     import spark.implicits._
     // same planted-anisotropy fixture as x_pca_power: variance lives

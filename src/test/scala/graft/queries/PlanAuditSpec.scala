@@ -702,13 +702,28 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("x_pca_power: Gram accumulation is map-side outer product — no self-join, one D²-key exchange") {
-    // the corpus-sized leg of the power-iteration PCA: the D×D outer
-    // product must materialize inside one projection (transform ×
-    // transform), never as an exploded self-join — a join here is a
-    // second corpus shuffle that the map-side shape makes unnecessary
+    // the declarative audit twin of the single-pass Aggregator build:
+    // the D×D outer product must materialize inside one projection
+    // (transform × transform), never as an exploded self-join — a
+    // join here is a second corpus shuffle the map-side shape avoids
     val p = planOf(graft.queries.ExtQueries.pcaGramSums(spark, dir))
     assert(!p.contains("Join"), p)
     assert("Exchange hashpartitioning\\(pos".r.findAllIn(p).length == 1, p)
     assert(p.contains("partial_sum"), p)
+  }
+
+  test("pcaState: the serving Gram build is ONE pass — bounded-buffer partial agg, no explode, no join") {
+    // the production leg both PCA queries run: a typed Aggregator
+    // folding Gram+means+count into one 33 KB buffer per task; the
+    // only exchange carries ≤one buffer row per task
+    import spark.implicits._
+    val ds = graft.Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.col("embedding"))
+      .as[Seq[Float]].select(graft.queries.ExtQueries.PcaGramAgg.toColumn)
+    val p = planOf(ds.toDF())
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p) // no posexplode of the corpus
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1, p)
   }
 }
