@@ -701,6 +701,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x_dup_source_matrix: pairs from the stored graph; corpus reduced by broadcast, never shuffled") {
+    // the pair graph must come from the shared dedup-cand-pairs
+    // stored relation (no re-sketch: no md5 banding in this plan),
+    // the documents scan must prune to (doc_id, source), and the
+    // corpus-side reduction must be a BroadcastHashJoin on the
+    // endpoint set — a hashpartitioning exchange of the documents
+    // scan would be a corpus shuffle the broadcast shape avoids
+    val p = plan("x_dup_source_matrix")
+    assert(p.contains("graft-state-p"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_pca_power: Gram accumulation is map-side outer product — no self-join, one D²-key exchange") {
     // the declarative audit twin of the single-pass Aggregator build:
     // the D×D outer product must materialize inside one projection
