@@ -335,6 +335,36 @@ object EventStream {
     * refresh, which cannot MOVE any already-assigned doc whose label
     * is unchanged (the hash has no corpus-state input).
     */
+  /** Streaming twin of the whitening application: the top-component
+    * parameters (μ, v) are solved ONCE from the offline corpus at
+    * stream build time ([[graft.queries.ExtQueries.whitenParams]] —
+    * the same one-pass bounded Gram build the batch query runs) and
+    * enter the stream as array literals; every arriving vector is
+    * then whitened by the SAME stateless projection the batch
+    * `x_whiten_top` uses ([[graft.queries.ExtQueries.whitenApply]] —
+    * literally the shared function, so stream rows are bit-identical
+    * to batch rows for the same vectors; `EventStreamSpec` pins it).
+    * Append-only, no state store, no retrain — per-batch cost ∝ the
+    * batch; the whitening parameters refresh when the corpus snapshot
+    * does, never per-batch.
+    */
+  def runWhitenStream(
+      spark: SparkSession, inDir: String, corpusDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val (v, mu) = graft.queries.ExtQueries.whitenParams(spark, corpusDir)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    graft.queries.ExtQueries.whitenApply(
+        stream.select(col("vec_id"), col("embedding")), v, mu)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   def runSplitStream(
       spark: SparkSession, inDir: String, corpusDir: String,
       outDir: String, checkpointDir: String,

@@ -123,6 +123,28 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
   }
 
+  test("whiten stream: arriving vectors whitened bit-identically to the batch projection") {
+    import graft.queries.ExtQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-whiten-stream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    // arrivals split over two files => two micro-batches; whitening
+    // is stateless so results must not depend on batch boundaries
+    val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(in)
+    emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+
+    val sq = EventStream.runWhitenStream(spark, in, sfDir, out, ck)
+    assert(sq.awaitTermination(180000), "stream did not terminate within the timeout")
+
+    val streamed = spark.read.parquet(out)
+      .select("vec_id", "t_q", "orig_q", "res_q")
+    val (v, mu) = ExtQueries.whitenParams(spark, sfDir)
+    val batch = ExtQueries.whitenApply(emb, v, mu)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() == batch.count())
+  }
+
   test("curation gate stream: ingest-time gating row-equal to the batch gate entry") {
     import graft.queries.ExtQueries
     val sfDir = "/root/testdata/sf0.001"
