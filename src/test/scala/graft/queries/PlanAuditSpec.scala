@@ -701,6 +701,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x_curriculum: ranking is bucket-partitioned two-level — no global-order window over the corpus") {
+    // the global curriculum_rank must come from a bucket-PARTITIONED
+    // row_number plus a broadcast 10-row offset join; a corpus-wide
+    // row_number (empty partition spec) would be the SinglePartition
+    // global sort this query exists to avoid
+    val p = plan("x_curriculum")
+    assert("row_number\\(\\) windowspecdefinition\\(bucket".r.findAllIn(p).nonEmpty, p)
+    assert(!"row_number\\(\\) windowspecdefinition\\((h|doc_id)".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_dup_source_matrix: pairs from the stored graph; corpus reduced by broadcast, never shuffled") {
     // the pair graph must come from the shared dedup-cand-pairs
     // stored relation (no re-sketch: no md5 banding in this plan),
