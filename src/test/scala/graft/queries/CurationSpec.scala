@@ -435,6 +435,27 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(n2 - 1000000000000L) < 5000000000L, n2.toString)
   }
 
+  test("x_zipf_fit recovers the exponent on an exact-Zipf fixture; synthetic corpus reads non-natural") {
+    import spark.implicits._
+    // crafted corpus with cnt(rank r) = floor(2000/r): a true Zipf
+    // law with exponent -1. The OLS over (ln rank, ln cnt) must
+    // recover slope ~ -1 with a near-perfect fit...
+    val words = (1 to 30).flatMap(r => Seq.fill(2000 / r)(s"w$r"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    words.grouped(200).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fit = ExtQueries.xZipfFit(spark, tmp).collect().head
+    assert(math.abs(fit.getAs[Double]("slope") + 1.0) < 0.03, fit.toString)
+    assert(fit.getAs[Double]("r2") > 0.99, fit.toString)
+    // ...while the uniform synthetic corpus honestly reads
+    // non-natural: shallow slope, poor fit
+    val real = ExtQueries.xZipfFit(spark, dir).collect().head
+    assert(real.getAs[Double]("slope") > -0.5, real.toString)
+    assert(real.getAs[Double]("r2") < 0.5, real.toString)
+  }
+
   test("PcaGramAgg one-pass buffer == declarative outer-product twin (same quantized longs)") {
     // cross-implementation parity law: the typed Aggregator the
     // queries actually run must produce bit-identical Gram sums to

@@ -701,6 +701,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x_zipf_fit: consumes the stored vocabulary only — no corpus pass at fit time") {
+    // the OLS runs over the language-bounded stored vocab relation; a
+    // documents.parquet scan here would be a corpus re-tokenize the
+    // stored state exists to avoid
+    val p = plan("x_zipf_fit")
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("x_curriculum: ranking is bucket-partitioned two-level — no global-order window over the corpus") {
     // the global curriculum_rank must come from a bucket-PARTITIONED
     // row_number plus a broadcast 10-row offset join; a corpus-wide
