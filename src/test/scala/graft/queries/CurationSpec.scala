@@ -454,6 +454,12 @@ class CurationSpec extends SparkSpec {
     val real = ExtQueries.xZipfFit(spark, dir).collect().head
     assert(real.getAs[Double]("slope") > -0.5, real.toString)
     assert(real.getAs[Double]("r2") < 0.5, real.toString)
+    // entropy agrees: the skewed Zipf fixture sits well below the
+    // uniform ceiling, the synthetic corpus reads ~uniform (norm ~ 1)
+    val hz = ExtQueries.xUnigramEntropy(spark, tmp).collect().head
+    val hr = ExtQueries.xUnigramEntropy(spark, dir).collect().head
+    assert(hz.getAs[Long]("hnorm_q") < 9000L, hz.toString)
+    assert(hr.getAs[Long]("hnorm_q") > 9800L, hr.toString)
   }
 
   test("PcaGramAgg one-pass buffer == declarative outer-product twin (same quantized longs)") {

@@ -709,6 +709,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft-state-p"), p)
     assert(!p.contains("documents.parquet"), p)
     assert(!p.contains("Join"), p)
+    val p2 = plan("x_unigram_entropy")
+    assert(p2.contains("graft-state-p"), p2)
+    assert(!p2.contains("documents.parquet"), p2)
+    assert(!p2.contains("Join"), p2)
   }
 
   test("x_curriculum: ranking is bucket-partitioned two-level — no global-order window over the corpus") {
