@@ -460,6 +460,14 @@ class CurationSpec extends SparkSpec {
     val hr = ExtQueries.xUnigramEntropy(spark, dir).collect().head
     assert(hz.getAs[Long]("hnorm_q") < 9000L, hz.toString)
     assert(hr.getAs[Long]("hnorm_q") > 9800L, hr.toString)
+    // degenerate single-token vocabulary: both fits refuse loudly
+    // instead of silently emitting engine-dependent NaN/Inf
+    val deg = java.nio.file.Files.createTempDirectory("graft-zipf-deg").toString
+    Seq((0L, "same same same")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$deg/documents.parquet")
+    val e1 = intercept[IllegalArgumentException](ExtQueries.xZipfFit(spark, deg).collect())
+    val e2 = intercept[IllegalArgumentException](ExtQueries.xUnigramEntropy(spark, deg).collect())
+    assert(e1.getMessage.contains("degenerate") && e2.getMessage.contains("degenerate"))
   }
 
   test("PcaGramAgg one-pass buffer == declarative outer-product twin (same quantized longs)") {
