@@ -470,6 +470,26 @@ class CurationSpec extends SparkSpec {
     assert(e1.getMessage.contains("degenerate") && e2.getMessage.contains("degenerate"))
   }
 
+  test("x_heaps_law: growing-vocab fixture reads beta ~ 1; saturated synthetic corpus reads beta ~ 0") {
+    import spark.implicits._
+    // each doc introduces exactly one never-seen token (plus one
+    // shared token), so V(n) = n + 1 and the log-log slope must
+    // recover beta ~ 1; the synthetic corpus saturates its vocab in
+    // the first decile and must read beta ~ 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    (0L until 200L).map(i => (i, s"shared tok$i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val grow = ExtQueries.xHeapsLaw(spark, tmp).collect()
+    assert(grow.length == 10)
+    assert(math.abs(grow.head.getAs[Long]("beta_q") - 10000L) < 500L, grow.head.toString)
+    val sat = ExtQueries.xHeapsLaw(spark, dir).collect().head
+    assert(math.abs(sat.getAs[Long]("beta_q")) < 500L, sat.toString)
+    // cumulative counts are monotone and end at the full corpus
+    val vs = grow.map(_.getAs[Long]("vocab"))
+    assert(vs.sameElements(vs.sorted) && vs.last == 201L)
+  }
+
   test("PcaGramAgg one-pass buffer == declarative outer-product twin (same quantized longs)") {
     // cross-implementation parity law: the typed Aggregator the
     // queries actually run must produce bit-identical Gram sums to

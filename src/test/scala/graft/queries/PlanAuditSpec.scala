@@ -715,6 +715,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("Join"), p2)
   }
 
+  test("x_heaps_law: first-seen from stored postings; documents contribute a doc_id-only scan") {
+    // the vocabulary-growth curve must not re-tokenize: token first
+    // occurrence comes from the stored posting relation, and the only
+    // corpus touch is the pruned doc_id column for the decile
+    // boundaries and counts
+    val p = plan("x_heaps_law")
+    assert(p.contains("graft-state-p"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    assert(!p.contains("word_shingles") && !p.contains("split("), p)
+  }
+
   test("x_curriculum: ranking is bucket-partitioned two-level — no global-order window over the corpus") {
     // the global curriculum_rank must come from a bucket-PARTITIONED
     // row_number plus a broadcast 10-row offset join; a corpus-wide
