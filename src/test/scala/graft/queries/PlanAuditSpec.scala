@@ -715,6 +715,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("Join"), p2)
   }
 
+  test("x_source_stats: rank window partitions by source — no single-partition collapse") {
+    // per-source fits must parallelize across sources: the rank
+    // window is source-partitioned and the OLS/entropy aggregate is
+    // source-keyed; an empty window spec here would serialize the
+    // whole (source, token) relation through one task
+    val p = plan("x_source_stats")
+    assert("row_number\\(\\) windowspecdefinition\\(source".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("x_heaps_law: first-seen from stored postings; documents contribute a doc_id-only scan") {
     // the vocabulary-growth curve must not re-tokenize: token first
     // occurrence comes from the stored posting relation, and the only
