@@ -490,6 +490,25 @@ class CurationSpec extends SparkSpec {
     assert(vs.sameElements(vs.sorted) && vs.last == 201L)
   }
 
+  test("x_datacard_diff: the release properties hold — zero curated dup pairs, retained <= 1") {
+    // every LSH candidate pair lies inside one dedup component and
+    // canonical keeps one doc per component, so the curated side MUST
+    // read zero near-dup pairs and zero dup-doc rate; a non-zero
+    // reading means the dedup stage broke. Retention never exceeds 1
+    // (curation only removes).
+    val rows = ExtQueries.xDatacardDiff(spark, dir).collect()
+      .map(r => r.getAs[String]("metric") -> r).toMap
+    assert(rows("04_near_dup_pairs").getAs[Double]("curated") == 0.0)
+    assert(rows("05_dup_doc_rate").getAs[Double]("curated") == 0.0)
+    rows.values.foreach { r =>
+      assert(r.getAs[Double]("curated") <= r.getAs[Double]("raw"), r.toString)
+    }
+    // and the curated doc count agrees with the funnel's final stage
+    val n4 = ExtQueries.xCurationFunnel(spark, dir).collect()
+      .find(_.getAs[String]("stage") == "4_dedup_canonical").get.getAs[Long]("n_kept")
+    assert(rows("01_n_docs").getAs[Double]("curated") == n4.toDouble)
+  }
+
   test("PcaGramAgg one-pass buffer == declarative outer-product twin (same quantized longs)") {
     // cross-implementation parity law: the typed Aggregator the
     // queries actually run must produce bit-identical Gram sums to

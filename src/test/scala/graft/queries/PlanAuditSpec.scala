@@ -715,6 +715,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("Join"), p2)
   }
 
+  test("x_datacard_diff: survivors come from the stored keep manifest — no gate re-run per metric leg") {
+    // the curated side must join the materialized curated-keepset
+    // relation; re-deriving it inline would re-run the corpus text
+    // gate (tokenize + bigram + 4-gram contamination probe) once per
+    // metric leg
+    val p = plan("x_datacard_diff")
+    assert(p.contains("graft-state-p"), p)
+    assert(!p.contains("word_shingles"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_source_stats: rank window partitions by source — no single-partition collapse") {
     // per-source fits must parallelize across sources: the rank
     // window is source-partitioned and the OLS/entropy aggregate is
