@@ -509,6 +509,17 @@ class CurationSpec extends SparkSpec {
     assert(rows("01_n_docs").getAs[Double]("curated") == n4.toDouble)
   }
 
+  test("x_retained_by_source: partitions the release — sums equal the card totals, retained <= 1") {
+    val rows = ExtQueries.xRetainedBySource(spark, dir).collect()
+    val diff = ExtQueries.xDatacardDiff(spark, dir).collect()
+      .map(r => r.getAs[String]("metric") -> r).toMap
+    assert(rows.map(_.getAs[Long]("n_raw")).sum.toDouble ==
+      diff("01_n_docs").getAs[Double]("raw"))
+    assert(rows.map(_.getAs[Long]("n_curated")).sum.toDouble ==
+      diff("01_n_docs").getAs[Double]("curated"))
+    rows.foreach(r => assert(r.getAs[Double]("retained") <= 1.0, r.toString))
+  }
+
   test("PcaGramAgg one-pass buffer == declarative outer-product twin (same quantized longs)") {
     // cross-implementation parity law: the typed Aggregator the
     // queries actually run must produce bit-identical Gram sums to
