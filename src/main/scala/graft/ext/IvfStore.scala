@@ -53,6 +53,9 @@ object IvfStore {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, () => StoredIndex]()
 
+  private val kMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   private lazy val root: String = {
     val r = System.getProperty("java.io.tmpdir") +
       s"/graft-ivf-p${ProcessHandle.current().pid()}"
@@ -100,8 +103,22 @@ object IvfStore {
     catch { case e: Throwable => built.remove(key, thunk); throw e }
   }
 
-  /** Test seam: forget the in-memory memo (stored files are left to
+  /** The index's cell count k, memoized per (JVM, corpus key) on the
+    * SAME lifecycle as the stored index itself — deliberately, not as
+    * a cache convenience: serving-side k (probe widths, oracle CTEs)
+    * must match the k the frozen index was BUILT with, so if the
+    * corpus under `key` grows mid-process, a re-counted k would
+    * disagree with the stored index while this memo stays consistent
+    * with it. (`pqServeC` dropped its own memo in r9 precisely
+    * because it was NOT tied to a store lifecycle; this one is.)
+    * [[reset]] clears both maps together, so an in-process corpus
+    * rebuild gets a freshly counted k and a freshly built index.
+    */
+  def kFor(key: String)(compute: => Int): Int =
+    kMemo.computeIfAbsent(key, _ => Int.box(compute)).intValue()
+
+  /** Test seam: forget the in-memory memos (stored files are left to
     * the shutdown hook) so a spec can exercise a fresh build.
     */
-  def reset(): Unit = built.clear()
+  def reset(): Unit = { built.clear(); kMemo.clear() }
 }

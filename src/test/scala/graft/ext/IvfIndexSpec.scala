@@ -134,6 +134,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(stored1.exceptAll(primary).isEmpty && primary.exceptAll(stored1).isEmpty)
   }
 
+  test("kFor shares the store lifecycle: frozen until reset, refreshed with the index") {
+    IvfStore.reset()
+    var n = 100
+    def k = IvfStore.kFor("kfor-spec-corpus")(
+      math.max(12, math.floor(math.sqrt(n.toDouble) + 0.5).toInt))
+    assert(k == 12)
+    // corpus grows under the same key mid-process: serving k must stay
+    // consistent with the FROZEN stored index, not the new count
+    n = 90000
+    assert(k == 12)
+    // an in-process corpus rebuild invalidates index and k TOGETHER
+    IvfStore.reset()
+    assert(k == 300)
+    IvfStore.reset()
+  }
+
   test("stored index keeps measured recall@1 at nprobe=2 >= 0.6 (the r4-verdict serving bar)") {
     // the quality contract boundary replication + k=12/iters=10 was
     // chosen to clear (sweep in PLANS.md): sf0.001 measures 0.72 at
