@@ -8,16 +8,21 @@ import org.apache.spark.sql.functions._
   * extraction over `mapPartitions` (the Scala analogue of a
   * `mapInPandas` batch UDF).
   *
-  * The IMAGE decode path is REAL for binary PPM (P6) — a pure-JVM
-  * parser plus an actual nearest-neighbor pixel resample
-  * ([[decodePpm]]/[[resampleNearest]], r8) — so crafted image bytes
-  * decode end-to-end with pixels asserted in `MultimodalSpec`.
-  * Compressed formats (JPEG/WAV/MP4) remain clearly-marked STUBS —
-  * the container has no codec libraries — producing deterministic
-  * fake features from the byte stream. The Spark-side plumbing is
-  * real either way: schema (binary + metadata struct), partition-
-  * parallel batch processing, and a typed `Dataset` boundary,
-  * exactly the shape a full multi-codec decoder would plug into.
+  * The IMAGE decode path is REAL for binary PPM (P6, r8) and 24-bit
+  * uncompressed BMP (r10) — pure-JVM parsers plus an actual
+  * nearest-neighbor pixel resample ([[decodePpm]]/[[decodeBmp]]/
+  * [[resampleNearest]]) — and the AUDIO path is REAL for RIFF/WAVE
+  * PCM (container walk, fmt-chunk sample rate, data-chunk extraction,
+  * [[decodeWav]], r10); each codec has an encoder twin so crafted
+  * bytes round-trip with pixels/samples asserted in `MultimodalSpec`
+  * and hash-verified against the DuckDB oracle (`x_media_decode`).
+  * Entropy-coded formats (JPEG/PNG/MP3/MP4) remain clearly-marked
+  * STUBS — the container has no codec libraries — producing
+  * deterministic fake features from the byte stream. The Spark-side
+  * plumbing is real either way: schema (binary + metadata struct),
+  * partition-parallel batch processing, and a typed `Dataset`
+  * boundary, exactly the shape a full multi-codec decoder would plug
+  * into.
   *
   * Scale posture (100 TB): payloads never leave the executor — decode
   * is map-side with no shuffle; metadata-only queries prune the
@@ -47,10 +52,14 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"))
 
   /** The ONE payload rolling checksum ((acc·131 + byte) mod 1e9+7) —
-    * shared by [[extractFeatures]] and [[sampleFrames]], and
-    * value-identical to the native `char_rolling_hash` / the oracle
-    * fold on ASCII payloads, so the constants live in one place.
+    * shared by [[extractFeatures]], [[sampleFrames]] and the
+    * `x_media_decode` oracle query, and value-identical to the native
+    * `char_rolling_hash` / the oracle fold on ASCII payloads, so the
+    * constants live in one place.
     */
+  def rollingHash(bytes: Array[Byte]): Long =
+    byteRollingHash(bytes, 0, bytes.length)
+
   private def byteRollingHash(bytes: Array[Byte], from: Int, until: Int): Long = {
     var acc = 0L
     var j = from
@@ -109,6 +118,175 @@ object Multimodal {
   def tryDecodePpm(bytes: Array[Byte]): Option[RasterImage] =
     try Some(decodePpm(bytes)) catch { case _: IllegalArgumentException => None }
 
+  // -- little-endian field helpers shared by the BMP/WAV codec pair --
+  private def le4(bytes: Array[Byte], at: Int): Int =
+    (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8) |
+      ((bytes(at + 2) & 0xff) << 16) | ((bytes(at + 3) & 0xff) << 24)
+  private def le2(bytes: Array[Byte], at: Int): Int =
+    (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
+  private def putLe4(out: Array[Byte], at: Int, v: Int): Unit = {
+    out(at) = (v & 0xff).toByte; out(at + 1) = ((v >> 8) & 0xff).toByte
+    out(at + 2) = ((v >> 16) & 0xff).toByte; out(at + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def putLe2(out: Array[Byte], at: Int, v: Int): Unit = {
+    out(at) = (v & 0xff).toByte; out(at + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putTag(out: Array[Byte], at: Int, tag: String): Unit = {
+    var i = 0
+    while (i < tag.length) { out(at + i) = tag.charAt(i).toByte; i += 1 }
+  }
+
+  /** BMP row stride: each stored row pads to a 4-byte boundary. */
+  def bmpStride(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+  /** REAL image decoder #2: uncompressed 24-bit BI_RGB Windows BMP —
+    * 14-byte file header (`BM`, file size, pixel-data offset) +
+    * 40-byte BITMAPINFOHEADER (width, height, planes=1, bpp=24,
+    * compression=0). Stored rows are BGR, padded to 4-byte stride,
+    * BOTTOM-UP when height is positive (top-down when negative — both
+    * handled); the decoder un-flips and un-swaps into the same
+    * top-down RGB [[RasterImage]] the PPM path produces, so resample
+    * and feature extraction are codec-agnostic. Pure JVM, no codec
+    * dependency — with [[decodePpm]] this closes the r8 "second real
+    * codec" gap for images.
+    */
+  def decodeBmp(bytes: Array[Byte]): RasterImage = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "BMP: not BM")
+    val dataOffset = le4(bytes, 10)
+    val headerSize = le4(bytes, 14)
+    require(headerSize >= 40, s"BMP: info header $headerSize < 40")
+    val w = le4(bytes, 18)
+    val hRaw = le4(bytes, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    require(w > 0 && w <= 100000 && h > 0 && h <= 100000, s"BMP: bad dimensions ${w}x$hRaw")
+    require(le2(bytes, 26) == 1, "BMP: planes != 1")
+    require(le2(bytes, 28) == 24, s"BMP: only 24bpp supported, got ${le2(bytes, 28)}")
+    require(le4(bytes, 30) == 0, s"BMP: only BI_RGB (0) supported, got ${le4(bytes, 30)}")
+    val stride = bmpStride(w)
+    require(dataOffset >= 54 && bytes.length.toLong >= dataOffset.toLong + stride.toLong * h,
+      s"BMP: truncated pixel data (${bytes.length} < $dataOffset + $stride*$h)")
+    val out = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val srcRow = dataOffset + r * stride
+      val dstRow = (if (topDown) r else h - 1 - r) * w * 3
+      var x = 0
+      while (x < w) {
+        // stored BGR -> RGB
+        out(dstRow + x * 3) = bytes(srcRow + x * 3 + 2)
+        out(dstRow + x * 3 + 1) = bytes(srcRow + x * 3 + 1)
+        out(dstRow + x * 3 + 2) = bytes(srcRow + x * 3)
+        x += 1
+      }
+      r += 1
+    }
+    RasterImage(w, h, out)
+  }
+
+  def tryDecodeBmp(bytes: Array[Byte]): Option[RasterImage] =
+    try Some(decodeBmp(bytes)) catch { case _: IllegalArgumentException => None }
+
+  /** Codec-dispatching image decode: P6 PPM, then 24-bit BMP — the
+    * seam a third codec would widen. None keeps the payload on the
+    * deterministic stub path.
+    */
+  def tryDecodeImage(bytes: Array[Byte]): Option[RasterImage] =
+    tryDecodePpm(bytes).orElse(tryDecodeBmp(bytes))
+
+  /** ENCODER twin of [[decodeBmp]]: top-down RGB pixels to a
+    * bottom-up, BGR, stride-padded 24-bit BI_RGB BMP. Used by the
+    * `x_media_decode` round-trip oracle and specs; also the real
+    * write path for exporting decoded rasters.
+    */
+  def bmpPayload(width: Int, height: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
+    require(rgbTopDown.length == width * height * 3,
+      s"bmpPayload: ${rgbTopDown.length} pixels for ${width}x$height")
+    val stride = bmpStride(width)
+    val out = new Array[Byte](54 + stride * height)
+    putTag(out, 0, "BM"); putLe4(out, 2, out.length); putLe4(out, 10, 54)
+    putLe4(out, 14, 40); putLe4(out, 18, width); putLe4(out, 22, height)
+    putLe2(out, 26, 1); putLe2(out, 28, 24); putLe4(out, 30, 0)
+    putLe4(out, 34, stride * height)
+    var r = 0
+    while (r < height) {
+      val dstRow = 54 + r * stride
+      val srcRow = (height - 1 - r) * width * 3
+      var x = 0
+      while (x < width) {
+        out(dstRow + x * 3) = rgbTopDown(srcRow + x * 3 + 2)
+        out(dstRow + x * 3 + 1) = rgbTopDown(srcRow + x * 3 + 1)
+        out(dstRow + x * 3 + 2) = rgbTopDown(srcRow + x * 3)
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** A parsed WAV: the fmt-chunk fields plus the data chunk's bytes. */
+  final case class WavAudio(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, data: Array[Byte])
+
+  /** REAL audio decoder: RIFF/WAVE container walk — `RIFF` + size +
+    * `WAVE`, then (id, size, payload) chunks until both `fmt ` (PCM
+    * audio format 1: channels, sample rate, bits per sample) and
+    * `data` are found; unknown chunks are skipped by size, and odd
+    * chunk sizes consume their RIFF pad byte. This is the actual
+    * container format parse (the part a sample-rate / duration /
+    * channel-layout pipeline needs); PCM sample DECODING is the data
+    * array itself — compressed codecs inside WAV (non-PCM formats)
+    * are rejected loudly.
+    */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F', "WAV: not RIFF")
+    require(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "WAV: not WAVE")
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Array[Byte]] = None
+    while ((fmt.isEmpty || data.isEmpty) && i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val size = le4(bytes, i + 4)
+      require(size >= 0 && i + 8 + size <= bytes.length, s"WAV: chunk '$id' truncated")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"WAV: fmt chunk $size < 16")
+          val audioFormat = le2(bytes, i + 8)
+          require(audioFormat == 1, s"WAV: only PCM (1) supported, got $audioFormat")
+          fmt = Some((le2(bytes, i + 10), le4(bytes, i + 12), le2(bytes, i + 22)))
+        case "data" =>
+          data = Some(java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + size))
+        case _ => () // skip unknown chunk (LIST, fact, ...)
+      }
+      i += 8 + size + (size & 1) // odd-sized chunks carry a pad byte
+    }
+    require(fmt.nonEmpty, "WAV: no fmt chunk")
+    require(data.nonEmpty, "WAV: no data chunk")
+    val (channels, sampleRate, bps) = fmt.get
+    require(channels > 0 && sampleRate > 0, s"WAV: bad fmt ($channels ch, $sampleRate Hz)")
+    WavAudio(sampleRate, channels, bps, data.get)
+  }
+
+  def tryDecodeWav(bytes: Array[Byte]): Option[WavAudio] =
+    try Some(decodeWav(bytes)) catch { case _: IllegalArgumentException => None }
+
+  /** ENCODER twin of [[decodeWav]]: 16-bit mono PCM container around
+    * `data` — the canonical 44-byte header.
+    */
+  def wavPayload(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + data.length)
+    putTag(out, 0, "RIFF"); putLe4(out, 4, 36 + data.length); putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt "); putLe4(out, 16, 16)
+    putLe2(out, 20, 1); putLe2(out, 22, 1) // PCM, mono
+    putLe4(out, 24, sampleRate); putLe4(out, 28, sampleRate * 2)
+    putLe2(out, 32, 2); putLe2(out, 34, 16) // block align, bits/sample
+    putTag(out, 36, "data"); putLe4(out, 40, data.length)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
   /** REAL nearest-neighbor resample: target pixel (x, y) takes source
     * pixel (⌊x·W/tw⌋, ⌊y·H/th⌋) — actual pixel movement, not the
     * r7 dimension-only arithmetic.
@@ -134,29 +312,80 @@ object Multimodal {
     RasterImage(tw, th, out)
   }
 
-  /** Decoder front door: a payload that parses as P6 decodes for REAL
-    * (true dimensions off the header — `MultimodalSpec` asserts
-    * pixels end-to-end via [[resampleImages]]); everything else takes
-    * the clearly-marked stub (deterministic fake dimensions from the
-    * byte stream, so the plumbing stays testable on synthetic
-    * payloads and the `x_multimodal_meta` oracle is unchanged).
+  /** Decoder front door: an image payload that parses as P6 PPM or
+    * 24-bit BMP decodes for REAL (true dimensions off the header —
+    * `MultimodalSpec` asserts pixels end-to-end via
+    * [[resampleImages]]); an audio payload that parses as RIFF/WAVE
+    * reports its REAL sample rate off the fmt chunk. Everything else
+    * takes the clearly-marked stub (deterministic fake dimensions
+    * from the byte stream, so the plumbing stays testable on
+    * synthetic payloads and the `x_multimodal_meta` oracle is
+    * unchanged — synthetic text bytes never parse as either
+    * container).
     */
   private def decode(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
     val checksum = byteRollingHash(r.payload, 0, r.payload.length)
     val b0 = if (n > 0) r.payload(0) & 0xff else 0
     val b1 = if (n > 1) r.payload(1) & 0xff else 0
-    (r.modality, tryDecodePpm(r.payload)) match {
-      case ("image", Some(img)) =>
-        MediaFeatures(r.doc_id, r.modality, n, img.width, img.height, 0, checksum)
-      // ??? remaining stubs: no JPEG/WAV/MP4 codecs in this container;
-      // fake header parse below keeps the batch plumbing exercised
-      case ("image", None) =>
-        MediaFeatures(r.doc_id, r.modality, n, 16 * (b0 % 40 + 1), 16 * (b1 % 30 + 1), 0, checksum)
-      case ("audio", _) =>
-        MediaFeatures(r.doc_id, r.modality, n, 0, 0, 8000 * (b0 % 6 + 1), checksum)
+    r.modality match {
+      case "image" => tryDecodeImage(r.payload) match {
+        case Some(img) =>
+          MediaFeatures(r.doc_id, r.modality, n, img.width, img.height, 0, checksum)
+        // ??? remaining stub: no JPEG/PNG codecs in this container;
+        // fake header parse keeps the batch plumbing exercised
+        case None =>
+          MediaFeatures(r.doc_id, r.modality, n, 16 * (b0 % 40 + 1), 16 * (b1 % 30 + 1), 0, checksum)
+      }
+      case "audio" => tryDecodeWav(r.payload) match {
+        case Some(wav) =>
+          MediaFeatures(r.doc_id, r.modality, n, 0, 0, wav.sampleRate, checksum)
+        // ??? remaining stub: no MP3/FLAC codecs in this container
+        case None =>
+          MediaFeatures(r.doc_id, r.modality, n, 0, 0, 8000 * (b0 % 6 + 1), checksum)
+      }
+      // ??? video remains a stub: no MP4 demuxer in this container
       case _ =>
         MediaFeatures(r.doc_id, r.modality, n, 16 * (b1 % 40 + 1), 16 * (b0 % 30 + 1), 0, checksum)
+    }
+  }
+
+  /** One fully-decoded media round-trip row (`x_media_decode`). */
+  final case class MediaDecoded(
+      doc_id: Long, kind: String, n_bytes: Long, width: Int, height: Int,
+      sample_rate: Int, payload_hash: Long, content_hash: Long)
+
+  /** Craft a REAL container payload deterministically from
+    * (doc_id, text), run the REAL decoder on it, and report both the
+    * payload bytes' hash and the DECODED content's hash. Even doc_ids
+    * build a 16-bit-mono WAV whose sample rate derives from the first
+    * text byte and whose data chunk is the text bytes; odd doc_ids
+    * build a bottom-up, stride-padded 24-bit BMP whose RGB pixels are
+    * the arithmetic sequence (doc_id·7 + i·13) mod 256. The DuckDB
+    * oracle constructs the SAME byte streams independently from the
+    * published BMP/WAV layouts and hashes them — so a hash match
+    * proves (a) the encoders emit the real on-disk formats
+    * byte-for-byte, and (b) the decoders invert them exactly
+    * (data-chunk location for WAV; BGR un-swap + bottom-up un-flip +
+    * padding strip for BMP). Map-side, one record in → one row out.
+    */
+  def craftAndDecode(docId: Long, text: String): MediaDecoded = {
+    val b0 = if (text.nonEmpty) text.charAt(0).toInt else 0
+    val b1 = if (text.length > 1) text.charAt(1).toInt else 0
+    if (docId % 2 == 0) {
+      val sr = (b0 % 6 + 1) * 8000
+      val payload = wavPayload(sr, text.getBytes("US-ASCII"))
+      val wav = decodeWav(payload) // REAL container walk
+      MediaDecoded(docId, "audio_wav", payload.length.toLong, 0, 0,
+        wav.sampleRate, rollingHash(payload), rollingHash(wav.data))
+    } else {
+      val w = b0 % 6 + 2
+      val h = b1 % 4 + 2
+      val rgb = Array.tabulate(w * h * 3)(i => ((docId * 7 + i * 13) % 256).toByte)
+      val payload = bmpPayload(w, h, rgb)
+      val img = decodeBmp(payload) // REAL parse + un-flip + un-swap
+      MediaDecoded(docId, "image_bmp", payload.length.toLong, img.width,
+        img.height, 0, rollingHash(payload), rollingHash(img.pixels))
     }
   }
 
@@ -174,17 +403,18 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int,
       orig_width: Int, orig_height: Int, pixels: Array[Byte])
 
-  /** End-to-end REAL image path: decode P6 payloads, aspect-clamp the
-    * longest side to `maxSide` (the [[resizeFeatures]] rule), and
-    * nearest-neighbor-resample the actual pixels. Non-PPM payloads
-    * drop out (flatMap) — the typed boundary a real multi-codec
-    * decoder would widen. Map-side; payloads never shuffle.
+  /** End-to-end REAL image path: decode P6 PPM / 24-bit BMP payloads,
+    * aspect-clamp the longest side to `maxSide` (the
+    * [[resizeFeatures]] rule), and nearest-neighbor-resample the
+    * actual pixels. Undecodable payloads drop out (flatMap) — the
+    * typed boundary a third codec would widen. Map-side; payloads
+    * never shuffle.
     */
   def resampleImages(
       spark: SparkSession, media: DataFrame, maxSide: Int): Dataset[ResampledImage] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.flatMap { r =>
-      tryDecodePpm(r.payload).map { img =>
+      tryDecodeImage(r.payload).map { img =>
         val longest = math.max(img.width, img.height)
         val scale = if (longest <= maxSide) 1.0 else maxSide.toDouble / longest
         val out = resampleNearest(img,

@@ -138,4 +138,93 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.tryDecodePpm("P6 oops".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.tryDecodePpm(header.dropRight(1) ++ Array[Byte]('0', '\n') ++ body).isEmpty)
   }
+
+  test("BMP decode: bottom-up BGR stride-padded bytes round-trip to top-down RGB pixels") {
+    // 3×2 image: stride = ((3*3+3)/4)*4 = 12, so each 9-byte row pads by 3
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 11 + 5).toByte)
+    val payload = Multimodal.bmpPayload(3, 2, rgb)
+    // encoder writes the real layout: BM magic, 54-byte offset, 24bpp
+    assert(payload(0) == 'B' && payload(1) == 'M' && payload.length == 54 + 12 * 2)
+    assert((payload(28) & 0xff) == 24 && (payload(10) & 0xff) == 54)
+    // stored first row is the BOTTOM image row, BGR: byte 54 is pixel
+    // (0, 1)'s blue = rgb[(1*3+0)*3 + 2]
+    assert(payload(54) == rgb(1 * 3 * 3 + 2))
+    val img = Multimodal.decodeBmp(payload)
+    assert(img.width == 3 && img.height == 2 && img.pixels.toSeq == rgb.toSeq)
+
+    // negative height = top-down layout; decoder handles both
+    val td = payload.clone()
+    td(22) = (-2 & 0xff).toByte; td(23) = 0xff.toByte
+    td(24) = 0xff.toByte; td(25) = 0xff.toByte
+    val imgTd = Multimodal.decodeBmp(td)
+    assert(imgTd.height == 2 &&
+      imgTd.pixels.toSeq == (rgb.slice(9, 18) ++ rgb.slice(0, 9)).toSeq)
+
+    // the image front door dispatches PPM first, then BMP
+    assert(Multimodal.tryDecodeImage(payload).map(_.pixels.toSeq).contains(rgb.toSeq))
+    // truncated / wrong-bpp payloads fall back to the stub path
+    assert(Multimodal.tryDecodeBmp(payload.dropRight(1)).isEmpty)
+    val bpp8 = payload.clone(); bpp8(28) = 8
+    assert(Multimodal.tryDecodeBmp(bpp8).isEmpty)
+    assert(Multimodal.tryDecodeBmp("BMnope".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("BMP feeds the real image pipeline: extractFeatures dims + resample pixels") {
+    import spark.implicits._
+    val rgb = Array.tabulate(4 * 2 * 3)(i => (7 * i).toByte)
+    val media = Seq((9L, "image", Multimodal.bmpPayload(4, 2, rgb)))
+      .toDF("doc_id", "modality", "payload")
+    val f = Multimodal.extractFeatures(spark, media).collect().head
+    assert(f.width == 4 && f.height == 2 && f.sample_rate == 0)
+    val r = Multimodal.resampleImages(spark, media, maxSide = 2).collect().head
+    // 4×2 clamps to 2×1; nearest-neighbor takes source pixels (0,0), (2,0)
+    def px(x: Int, y: Int) = (0 until 3).map(c => rgb((y * 4 + x) * 3 + c))
+    assert((r.width, r.height) == ((2, 1)) && r.pixels.toSeq == px(0, 0) ++ px(2, 0))
+  }
+
+  test("WAV decode: RIFF chunk walk recovers fmt fields and the exact data bytes") {
+    val data = "pcm sample payload".getBytes("US-ASCII")
+    val payload = Multimodal.wavPayload(22050, data)
+    assert(payload.length == 44 + data.length)
+    val wav = Multimodal.decodeWav(payload)
+    assert(wav.sampleRate == 22050 && wav.channels == 1 && wav.bitsPerSample == 16)
+    assert(wav.data.toSeq == data.toSeq)
+
+    // an unknown chunk BEFORE fmt/data is skipped by size (LIST here),
+    // including the RIFF pad byte for odd-sized chunks
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val withChunk = payload.take(12) ++ extra ++ payload.drop(12)
+    // outer RIFF size grows by the inserted chunk
+    val fixed = withChunk.clone()
+    val newSize = 36 + data.length + extra.length
+    fixed(4) = (newSize & 0xff).toByte; fixed(5) = ((newSize >> 8) & 0xff).toByte
+    val wav2 = Multimodal.decodeWav(fixed)
+    assert(wav2.sampleRate == 22050 && wav2.data.toSeq == data.toSeq)
+
+    // audio front door: WAV payloads report the REAL sample rate...
+    import spark.implicits._
+    val media = Seq((4L, "audio", payload)).toDF("doc_id", "modality", "payload")
+    assert(Multimodal.extractFeatures(spark, media).collect().head.sample_rate == 22050)
+    // ...while non-WAV audio stays on the deterministic stub
+    assert(Multimodal.tryDecodeWav("RIFFnope".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.tryDecodeWav(payload.dropRight(1)).isEmpty)
+  }
+
+  test("craftAndDecode: the x_media_decode row derives from the real codecs") {
+    // wav row (even doc_id): sample rate from the first text byte,
+    // content hash over exactly the text bytes
+    val w = Multimodal.craftAndDecode(8L, "abc")
+    assert(w.kind == "audio_wav" && w.n_bytes == 44 + 3)
+    assert(w.sample_rate == ('a'.toInt % 6 + 1) * 8000)
+    assert(w.content_hash == Multimodal.rollingHash("abc".getBytes("US-ASCII")))
+    // bmp row (odd doc_id): dims from the first two text bytes; the
+    // content hash equals the hash of the arithmetic pixel sequence —
+    // i.e. the decode round-trip reproduced the pre-encode pixels
+    val b = Multimodal.craftAndDecode(9L, "abc")
+    val (bw, bh) = ('a'.toInt % 6 + 2, 'b'.toInt % 4 + 2)
+    assert(b.kind == "image_bmp" && b.width == bw && b.height == bh)
+    val rgb = Array.tabulate(bw * bh * 3)(i => ((9L * 7 + i * 13) % 256).toByte)
+    assert(b.content_hash == Multimodal.rollingHash(rgb))
+    assert(b.n_bytes == 54 + Multimodal.bmpStride(bw) * bh)
+  }
 }
