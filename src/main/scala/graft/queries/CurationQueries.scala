@@ -1,0 +1,629 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.Tables
+import graft.ext.{BpeTrainer, Dedup, Graph, IvfIndex, IvfStore, Multimodal, PqIndex, RelationStore, Similarity, TextOps, TopK, ZOrder}
+
+/** Curation gate/funnel, data cards, posting skew, shard mixing, containment, IVF silhouette
+  * — split from the monolithic ExtQueries in r10; mixes into
+  * [[ExtQueries]] (self-typed), which carries the oracle-strategy
+  * contract and the `queries`/`oracleSql` registries.
+  */
+private[queries] trait CurationQueries { this: ExtQueries.type =>
+  def serveCurationGate(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val bench = spark.read.parquet(RelationStore.ensure(s"contam-bench:$dir") {
+      contamGrams(spark, dir).filter(col("bucket") >= 90).select(col("h")).distinct()
+    }).withColumn("hit", lit(1))
+    val base = docs.select(col("doc_id"), col("text"),
+      (TextOps.shingleHash(col("doc_id").cast(StringType)) % 100)
+        .cast(IntegerType).as("bucket"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("bg", TextOps.shingles(col("toks"), 2))
+      .withColumn("qk",
+        size(col("toks")) >= TextOps.MinTokens &&
+          size(col("toks")) <= TextOps.MaxTokens &&
+          size(array_distinct(col("toks"))).cast(DoubleType) /
+            size(col("toks")).cast(DoubleType) >= TextOps.MinUniqRatio &&
+          TextOps.stopwordCount(col("toks")).cast(DoubleType) /
+            size(col("toks")).cast(DoubleType) <= TextOps.MaxStopwordRatio)
+      .withColumn("dupf",
+        when(size(col("bg")) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(col("bg"))).cast(DoubleType) /
+            size(col("bg")).cast(DoubleType)))
+      .withColumn("ttf",
+        array_max(transform(array_distinct(col("toks")), u =>
+          size(filter(col("toks"), x => x === u)))).cast(DoubleType) /
+          size(col("toks")).cast(DoubleType))
+      .withColumn("rk",
+        coalesce(col("dupf") <= RepMaxDupBigram &&
+          col("ttf") <= RepMaxTopToken, lit(false)))
+    val hits = base
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("toks"), 4))).as("gram"))
+      .select(col("doc_id"), TextOps.shingleHash(col("gram")).as("h"))
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+    base.join(hits, Seq("doc_id"), "left")
+      .withColumn("ck",
+        col("bucket") < 90 && coalesce(col("n_overlap"), lit(0L)) === 0L)
+      .select(col("doc_id"), col("qk"), col("rk"), col("ck"),
+        when(col("qk") && col("rk") && col("ck"), "Y").otherwise("N").as("keep"))
+  }
+
+  /** THE CURATION FUNNEL — the per-stage survivor report every corpus
+    * release publishes: documents flowing through the pipeline's gates
+    * IN SEQUENCE (quality → repetition → decontamination → dedup
+    * canonical), each stage's input being the previous stage's
+    * survivors, emitted as (stage, n_in, n_kept, drop_rate) rows. The
+    * stage flags are THE SAME decision surfaces the individual gate
+    * queries emit — `xQualityFilter.keep`, `xRepetition.keep`, the
+    * contamination rule (which here also drops the benchmark-bucket
+    * docs themselves: the eval set must not be trained on), and
+    * `xDedupCanonical.is_kept` computed corpus-wide — joined per-doc,
+    * so the funnel cannot disagree with the gates it summarizes.
+    * Scale shape: four doc-sized flag joins + ONE aggregate; each
+    * flag costs what its gate costs (map-side stats, stored pair/
+    * label state); the reshape to rows is a 1-row fan-out.
+    */
+  def xCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    // qk/rk/ck in ONE corpus text pass through the shared gate entry
+    // (CurationSpec pins its flags equal to the standalone gate
+    // queries'); only the canonical stage joins a second relation
+    val d = xDedupCanonical(spark, dir)
+      .select(col("doc_id"), col("is_kept").as("dk"))
+    val flags = serveCurationGate(spark, dir, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("qk"), col("rk"), col("ck"))
+      .join(d, Seq("doc_id"))
+    val agg = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("qk"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("qk") && col("rk"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("qk") && col("rk") && col("ck"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("qk") && col("rk") && col("ck") && col("dk"), 1L).otherwise(0L)).as("n4"))
+    def stage(name: String, nIn: String, nKept: String): DataFrame =
+      agg.select(lit(name).as("stage"), col(nIn).as("n_in"), col(nKept).as("n_kept"),
+        ((col(nIn) - col(nKept)).cast(DoubleType) / col(nIn).cast(DoubleType))
+          .as("drop_rate"))
+    stage("1_quality", "n0", "n1")
+      .unionByName(stage("2_repetition", "n1", "n2"))
+      .unionByName(stage("3_decontamination", "n2", "n3"))
+      .unionByName(stage("4_dedup_canonical", "n3", "n4"))
+      .orderBy("stage")
+  }
+
+  /** The per-doc curation flag CTEs (quality qk, repetition rk,
+    * decontamination ck, dedup-canonical dk, joined as `fl`) —
+    * shared by the funnel oracle and the datacard-diff oracle.
+    * Expects [[componentsCtes]] (for `t` and `comp`) ahead of it.
+    */
+  private[queries] lazy val curationFlagsCtes = {
+    val cbucket = shingleHashSql("CAST(doc_id AS VARCHAR)") + " % 100"
+    s"""qf AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < ${TextOps.MinTokens} THEN 0
+       |         WHEN len(toks) > ${TextOps.MaxTokens} THEN 0
+       |         WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |           < ${TextOps.MinUniqRatio} THEN 0
+       |         WHEN CAST(len(list_filter(toks, x -> x IN ${inList(TextOps.Stopwords)})) AS DOUBLE)
+       |           / CAST(len(toks) AS DOUBLE) > ${TextOps.MaxStopwordRatio} THEN 0
+       |         ELSE 1 END AS qk
+       |  FROM t),
+       |rf AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (CASE WHEN len(bg) = 0 THEN 0.0
+       |          ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) END)
+       |            <= $RepMaxDupBigram
+       |      AND CAST(list_max(list_transform(list_distinct(toks), u ->
+       |            len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+       |          / CAST(len(toks) AS DOUBLE) <= $RepMaxTopToken
+       |      THEN 1 ELSE 0 END AS rk
+       |  FROM (SELECT doc_id, toks, ${shinglesSql("toks", 2)} AS bg FROM t)),
+       |cgr AS (SELECT doc_id, bucket, ${shingleHashSql("g")} AS h
+       |  FROM (SELECT doc_id, CAST($cbucket AS INT) AS bucket,
+       |    unnest(list_distinct(${shinglesSql("toks", 4)})) AS g FROM t)),
+       |cbench AS (SELECT DISTINCT h FROM cgr WHERE bucket >= 90),
+       |ctr AS (SELECT cgr.doc_id AS doc_id,
+       |    CAST(SUM(CASE WHEN cgr.h IN (SELECT h FROM cbench) THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |  FROM cgr WHERE cgr.bucket < 90 GROUP BY cgr.doc_id),
+       |cf AS (
+       |  SELECT db.doc_id,
+       |    CASE WHEN db.bucket >= 90 THEN 0
+       |         WHEN COALESCE(x.n_overlap, 0) > 0 THEN 0 ELSE 1 END AS ck
+       |  FROM (SELECT doc_id, CAST($cbucket AS INT) AS bucket FROM documents) db
+       |    LEFT JOIN ctr x ON db.doc_id = x.doc_id),
+       |clab AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+       |df AS (
+       |  SELECT doc_id, CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS dk FROM (
+       |    SELECT doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rnk
+       |    FROM clab)),
+       |fl AS (
+       |  SELECT q.doc_id, q.qk, r.rk, c.ck, d.dk
+       |  FROM qf q JOIN rf r USING (doc_id) JOIN cf c USING (doc_id) JOIN df d USING (doc_id))""".stripMargin
+  }
+
+  private[queries] lazy val xCurationFunnelSql =
+    s"""WITH RECURSIVE $componentsCtes,
+       |$curationFlagsCtes,
+       |fagg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+       |    CAST(SUM(qk) AS BIGINT) AS n1,
+       |    CAST(SUM(qk * rk) AS BIGINT) AS n2,
+       |    CAST(SUM(qk * rk * ck) AS BIGINT) AS n3,
+       |    CAST(SUM(qk * rk * ck * dk) AS BIGINT) AS n4
+       |  FROM fl)
+       |SELECT stage, n_in, n_kept,
+       |  CAST(n_in - n_kept AS DOUBLE) / CAST(n_in AS DOUBLE) AS drop_rate
+       |FROM (
+       |  SELECT '1_quality' AS stage, n0 AS n_in, n1 AS n_kept FROM fagg
+       |  UNION ALL SELECT '2_repetition', n1, n2 FROM fagg
+       |  UNION ALL SELECT '3_decontamination', n2, n3 FROM fagg
+       |  UNION ALL SELECT '4_dedup_canonical', n3, n4 FROM fagg)
+       |ORDER BY stage""".stripMargin
+
+  /** DATA CARD DIFF — the release-notes view: every core card metric
+    * computed for the RAW corpus beside the CURATED release (the
+    * curation funnel's full-survivor set: quality ∧ repetition ∧
+    * decontamination ∧ dedup-canonical) with the retained fraction —
+    * what a dataset registry shows between version N and N+1. The
+    * near-dup-pair and dup-doc-rate rows read EXACTLY ZERO on the
+    * curated side by construction (every candidate pair lies inside
+    * one dedup component and canonical keeps one doc per component) —
+    * that zero is the release PROPERTY this query exists to assert:
+    * a non-zero reading means the dedup stage broke (spec-pinned).
+    *
+    * Scale shape: survivor flags are the same map-side gate pass the
+    * funnel runs + the stored component labels; token stats for BOTH
+    * sides come from ONE corpus pass (kept-flag left join, conditional
+    * sums); pair metrics are pair-relation-sized semi-joins against
+    * the survivor set; the final assembly is five 1-row broadcast
+    * scalars.
+    */
+  /** The curated release's KEEP LIST as stored state — the manifest a
+    * dataset release actually ships (the funnel's full-survivor set:
+    * quality ∧ repetition ∧ decontamination ∧ dedup-canonical),
+    * materialized once per corpus snapshot so release-audit consumers
+    * join a survivor-sized scan instead of re-running the gate pass
+    * per metric leg.
+    */
+  private[queries] def curatedKeepset(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(RelationStore.ensure(s"curated-keepset:$dir") {
+      val dk = xDedupCanonical(spark, dir).select(col("doc_id"), col("is_kept"))
+      serveCurationGate(spark, dir, Tables.documents(spark, dir))
+        .select(col("doc_id"), col("qk"), col("rk"), col("ck"))
+        .join(dk, Seq("doc_id"))
+        .filter(col("qk") && col("rk") && col("ck") && col("is_kept"))
+        .select("doc_id")
+    })
+
+  def xDatacardDiff(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: String) = col(c).cast(DoubleType)
+    val keep = curatedKeepset(spark, dir)
+    val ts = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast(LongType).as("nt"))
+      .join(keep.withColumn("is_k", lit(1L)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("nd_raw"), sum(col("nt")).as("tt_raw"),
+        sum(coalesce(col("is_k"), lit(0L))).as("nd_cur"),
+        sum(when(col("is_k").isNotNull, col("nt")).otherwise(lit(0L))).as("tt_cur"))
+    val pRaw = candidatePairs(spark, dir).agg(count(lit(1)).as("p_raw"))
+    val pCur = candidatePairs(spark, dir)
+      .join(keep.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+      .join(keep.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+      .agg(count(lit(1)).as("p_cur"))
+    val clabAll = Tables.documents(spark, dir).select("doc_id")
+      .join(componentLabels(spark, dir), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+    val gr = clabAll.agg(count(lit(1)).as("n_r"),
+      countDistinct(col("component")).as("g_r"))
+    val gc = clabAll.join(keep, Seq("doc_id")).agg(count(lit(1)).as("n_c"),
+      countDistinct(col("component")).as("g_c"))
+    val all = ts.crossJoin(broadcast(pRaw)).crossJoin(broadcast(pCur))
+      .crossJoin(broadcast(gr)).crossJoin(broadcast(gc))
+    def metricRow(name: String, raw: Column, cur: Column): DataFrame =
+      all.select(lit(name).as("metric"), raw.cast(DoubleType).as("raw"),
+        cur.cast(DoubleType).as("curated"))
+    Seq(
+      metricRow("01_n_docs", col("nd_raw"), col("nd_cur")),
+      metricRow("02_total_tokens", col("tt_raw"), col("tt_cur")),
+      metricRow("03_mean_doc_tokens", d("tt_raw") / d("nd_raw"), d("tt_cur") / d("nd_cur")),
+      metricRow("04_near_dup_pairs", col("p_raw"), col("p_cur")),
+      metricRow("05_dup_doc_rate",
+        (d("n_r") - d("g_r")) / d("n_r"), (d("n_c") - d("g_c")) / d("n_c")))
+      .reduce(_ unionByName _)
+      .withColumn("retained", col("curated") / col("raw"))
+      .orderBy("metric")
+  }
+
+  private[queries] lazy val xDatacardDiffSql =
+    s"""WITH RECURSIVE $componentsCtes,
+       |$curationFlagsCtes,
+       |keepset AS (SELECT doc_id FROM fl WHERE qk * rk * ck * dk = 1),
+       |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM t),
+       |ts AS (
+       |  SELECT COUNT(*) AS nd_raw, CAST(SUM(nt) AS BIGINT) AS tt_raw,
+       |    CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nd_cur,
+       |    CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN nt ELSE 0 END) AS BIGINT) AS tt_cur
+       |  FROM tk LEFT JOIN keepset k USING (doc_id)),
+       |pr AS (SELECT COUNT(*) AS p_raw FROM cand),
+       |pc AS (SELECT COUNT(*) AS p_cur FROM cand c
+       |  JOIN keepset a ON c.doc_a = a.doc_id JOIN keepset b ON c.doc_b = b.doc_id),
+       |gr AS (SELECT COUNT(*) AS n_r, COUNT(DISTINCT component) AS g_r FROM clab),
+       |gc AS (SELECT COUNT(*) AS n_c, COUNT(DISTINCT component) AS g_c
+       |  FROM clab JOIN keepset USING (doc_id))
+       |SELECT metric, raw, curated, curated / raw AS retained FROM (
+       |  SELECT '01_n_docs' AS metric, CAST(nd_raw AS DOUBLE) AS raw, CAST(nd_cur AS DOUBLE) AS curated
+       |    FROM ts
+       |  UNION ALL SELECT '02_total_tokens', CAST(tt_raw AS DOUBLE), CAST(tt_cur AS DOUBLE) FROM ts
+       |  UNION ALL SELECT '03_mean_doc_tokens',
+       |    CAST(tt_raw AS DOUBLE) / CAST(nd_raw AS DOUBLE),
+       |    CAST(tt_cur AS DOUBLE) / CAST(nd_cur AS DOUBLE) FROM ts
+       |  UNION ALL SELECT '04_near_dup_pairs',
+       |    CAST((SELECT p_raw FROM pr) AS DOUBLE), CAST((SELECT p_cur FROM pc) AS DOUBLE)
+       |  UNION ALL SELECT '05_dup_doc_rate',
+       |    (SELECT (CAST(n_r AS DOUBLE) - CAST(g_r AS DOUBLE)) / CAST(n_r AS DOUBLE) FROM gr),
+       |    (SELECT (CAST(n_c AS DOUBLE) - CAST(g_c AS DOUBLE)) / CAST(n_c AS DOUBLE) FROM gc))
+       |ORDER BY metric""".stripMargin
+
+  /** Per-source retention of the curated release — the
+    * [[xDatacardDiff]] headline at SOURCE grain: how much of each
+    * feed survived the funnel. The release-notes row a data vendor
+    * reads first ("source X lost 80% to the quality gate") and the
+    * early-warning that one feed's collection broke upstream.
+    * Scale shape: one (doc_id, source)-pruned corpus scan left-joined
+    * to the STORED curated-keepset manifest (survivor-sized), then a
+    * map-side-combined source-cardinality aggregate.
+    */
+  def xRetainedBySource(spark: SparkSession, dir: String): DataFrame = {
+    val keep = curatedKeepset(spark, dir).withColumn("is_k", lit(1L))
+    Tables.documents(spark, dir).select("doc_id", "source")
+      .join(keep, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(coalesce(col("is_k"), lit(0L))).as("n_curated"))
+      .select(col("source"), col("n_raw"), col("n_curated"),
+        (col("n_curated").cast(DoubleType) / col("n_raw").cast(DoubleType))
+          .as("retained"))
+      .orderBy("source")
+  }
+
+  private[queries] lazy val xRetainedBySourceSql =
+    s"""WITH RECURSIVE $componentsCtes,
+       |$curationFlagsCtes,
+       |keepset AS (SELECT doc_id FROM fl WHERE qk * rk * ck * dk = 1)
+       |SELECT d.source, COUNT(*) AS n_raw,
+       |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_curated,
+       |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS retained
+       |FROM documents d LEFT JOIN keepset k USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** THE DATA CARD — the one-page corpus snapshot a dataset ships
+    * with (Gebru et al.'s datasheets, as a query): counts, language
+    * breadth, the dedup posture (near-dup pairs, groups, the dropped
+    * fraction a canonical pass would remove), token mass, embedding
+    * coverage, and the eval-leakage rate under the naive split rule —
+    * every number derived from the SAME stored relations the
+    * individual operators consume (pair graph, component labels), so
+    * the card is consistent-by-construction with the pipeline it
+    * describes. Emitted as ordered (metric, value) rows — the shape
+    * a registry ingests and diffs across snapshots. Scale: each row
+    * is one aggregate over a stored relation or one corpus pass;
+    * nothing here exceeds the cost of the operator it summarizes.
+    */
+  def xDatacard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def row(name: String, v: Column, src: DataFrame): DataFrame =
+      src.agg(v.cast(DoubleType).as("value")).select(lit(name).as("metric"), col("value"))
+    val comp = componentLabels(spark, dir)
+    val groups = docs.select("doc_id")
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("component"))
+    val out = Seq(
+      row("01_n_docs", count(lit(1)), docs),
+      row("02_n_langs", countDistinct(col("lang")), docs),
+      row("03_total_tokens", sum(size(TextOps.tokens(col("text"))).cast(LongType)), docs),
+      row("04_mean_doc_tokens",
+        sum(size(TextOps.tokens(col("text"))).cast(LongType)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), docs),
+      row("05_n_embeddings", count(lit(1)), Tables.embeddings(spark, dir)),
+      row("06_embedding_coverage",
+        count(lit(1)).cast(DoubleType), Tables.embeddings(spark, dir))
+        .crossJoin(docs.agg(count(lit(1)).cast(DoubleType).as("nd")))
+        .select(col("metric"), (col("value") / col("nd")).as("value")),
+      row("07_near_dup_pairs", count(lit(1)), candidatePairs(spark, dir)),
+      row("08_n_dedup_groups", countDistinct(col("component")), groups),
+      row("09_dup_doc_rate",
+        (count(lit(1)).cast(DoubleType) - countDistinct(col("component")).cast(DoubleType)) /
+          count(lit(1)).cast(DoubleType), groups),
+      row("10_split_leak_rate_naive", first(col("leak_rate_naive")),
+        xSplitLeakage(spark, dir)))
+    out.reduce(_ unionByName _).orderBy("metric")
+  }
+
+  private[queries] val xDatacardSql =
+    s"""WITH RECURSIVE $componentsCtes,
+       |$splitAsgCtes,
+       |dcg AS (
+       |  SELECT COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+       |dct AS (SELECT CAST(SUM(len($ToksSql)) AS BIGINT) AS tt, COUNT(*) AS nd FROM documents)
+       |SELECT metric, value FROM (
+       |  SELECT '01_n_docs' AS metric, CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS value
+       |  UNION ALL SELECT '02_n_langs', CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS DOUBLE)
+       |  UNION ALL SELECT '03_total_tokens', CAST((SELECT tt FROM dct) AS DOUBLE)
+       |  UNION ALL SELECT '04_mean_doc_tokens',
+       |    (SELECT CAST(tt AS DOUBLE) / CAST(nd AS DOUBLE) FROM dct)
+       |  UNION ALL SELECT '05_n_embeddings', CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE)
+       |  UNION ALL SELECT '06_embedding_coverage',
+       |    CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE)
+       |      / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+       |  UNION ALL SELECT '07_near_dup_pairs', CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
+       |  UNION ALL SELECT '08_n_dedup_groups',
+       |    CAST((SELECT COUNT(DISTINCT component) FROM dcg) AS DOUBLE)
+       |  UNION ALL SELECT '09_dup_doc_rate',
+       |    (SELECT (CAST(COUNT(*) AS DOUBLE) - CAST(COUNT(DISTINCT component) AS DOUBLE))
+       |       / CAST(COUNT(*) AS DOUBLE) FROM dcg)
+       |  UNION ALL SELECT '10_split_leak_rate_naive',
+       |    (SELECT CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS DOUBLE)
+       |       / CAST(COUNT(*) AS DOUBLE)
+       |     FROM cand p JOIN ssp sa ON p.doc_a = sa.doc_id
+       |       JOIN ssp sb ON p.doc_b = sb.doc_id))
+       |ORDER BY metric""".stripMargin
+
+  private[queries] val xShuffleShardSql = {
+    val k = shingleHashSql("'shuffle:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH k AS (SELECT doc_id, $k AS shuffle_key FROM documents)
+       |SELECT doc_id, shuffle_key,
+       |  CAST(shuffle_key % $ShuffleShards AS INT) AS shard,
+       |  row_number() OVER (PARTITION BY shuffle_key % $ShuffleShards
+       |    ORDER BY shuffle_key, doc_id) AS position
+       |FROM k
+       |ORDER BY shard, position""".stripMargin
+  }
+
+  /** Posting-list SKEW profile of the stored (doc,token) posting
+    * relation — document frequency deciles plus each decile's token
+    * and occurrence mass. This is the number that justifies every
+    * head-token decision downstream: BM25's pushed `In(token,…)`
+    * probe cost, the heavy-hitter stoplist, the collocation
+    * denominator, and (at 100 TB) whether the token shuffle behind
+    * the posting build needs head-key salting — a decile table whose
+    * top bucket holds most of `sum_tf` says yes before any job runs.
+    * Derived ENTIRELY from the stored posting relation (one
+    * vocab-sized aggregate — the corpus text is never rescanned);
+    * the NTILE window is a single-partition sort of the
+    * language-bounded vocabulary (~10^6 rows for web text), the same
+    * bounded-window contract as `w6_ntile` — vocab-sized, never
+    * corpus-sized.
+    */
+  def xPostingSkew(spark: SparkSession, dir: String): DataFrame = {
+    val df = postings(spark, dir)
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("cnt")).as("tf"))
+    df.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("df"), col("token"))).cast(LongType))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_tokens"), min(col("df")).as("min_df"),
+        max(col("df")).as("max_df"), sum(col("tf")).as("sum_tf"))
+      .orderBy("decile")
+  }
+
+  private[queries] val xPostingSkewSql =
+    s"""WITH po AS (
+       |  SELECT doc_id, token, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest($ToksSql) AS token FROM documents)
+       |  GROUP BY doc_id, token),
+       |d AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       |    CAST(SUM(cnt) AS BIGINT) AS tf
+       |  FROM po GROUP BY token),
+       |n AS (SELECT df, tf, NTILE(10) OVER (ORDER BY df, token) AS decile FROM d)
+       |SELECT decile, COUNT(*) AS n_tokens, MIN(df) AS min_df,
+       |  MAX(df) AS max_df, CAST(SUM(tf) AS BIGINT) AS sum_tf
+       |FROM n GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** MEASURED shard-mixing quality of the deterministic corpus
+    * shuffle — per-shard language diversity beside the corpus-wide
+    * number it should equal. A training export is only as good as its
+    * mixing: a shard that over-represents one language turns
+    * sequential training on that shard into a distribution-shift
+    * step ([[xShuffleShard]] asserts reproducibility; THIS query
+    * measures whether the reproducible order is also WELL-MIXED).
+    * Diversity = Gini-Simpson 1 − Σ p², chosen over Shannon entropy
+    * deliberately: it is RATIONAL in the group counts, so with the
+    * per-language share quantized to BIGINT at 1e-6 before the
+    * cross-language sum (the `x_mixture_temperature` order-free-
+    * exactness rule) the whole statistic is exact integer arithmetic
+    * + one final division — no transcendental whose last-ulp
+    * cross-engine drift could flip a hash ([[xBloomFilter]]'s pow is
+    * the documented exception, not the rule). The corpus-wide row
+    * rides as shard −1 from the same single text-free pass; the
+    * well-mixed law (every shard's simpson ≈ the corpus simpson) is
+    * spec-asserted. One (shard,lang)-cardinality shuffle — at 100 TB
+    * this is a few-KB aggregate no matter the corpus size.
+    */
+  def xShardMixing(spark: SparkSession, dir: String): DataFrame = {
+    val key = TextOps.shingleHash(
+      concat(lit("shuffle:"), col("doc_id").cast(StringType)))
+    val tagged = Tables.documents(spark, dir)
+      .select(col("lang"), (key % ShuffleShards).cast(IntegerType).as("shard"))
+    val withCorpus = tagged.unionByName(
+      tagged.select(col("lang"), lit(-1).as("shard")))
+    val perLang = withCorpus.groupBy("shard", "lang")
+      .agg(count(lit(1)).as("n_l"))
+    val totals = perLang.groupBy("shard").agg(sum(col("n_l")).as("n_docs"))
+    perLang.join(totals, Seq("shard"))
+      .select(col("shard"), col("n_docs"),
+        floor(col("n_l").cast(DoubleType) / col("n_docs").cast(DoubleType)
+          * lit(1000000.0) + lit(0.5)).cast(LongType).as("q"))
+      .groupBy("shard", "n_docs")
+      .agg(count(lit(1)).as("n_langs"), sum(col("q") * col("q")).as("sq"))
+      .select(col("shard"), col("n_docs"), col("n_langs"),
+        (lit(1.0) - col("sq").cast(DoubleType) / lit(1.0e12)).as("simpson"))
+      .orderBy("shard")
+  }
+
+  private[queries] val xShardMixingSql = {
+    val k = shingleHashSql("'shuffle:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT lang, CAST($k % $ShuffleShards AS INT) AS shard FROM documents
+       |  UNION ALL SELECT lang, -1 FROM documents),
+       |pl AS (SELECT shard, lang, COUNT(*) AS n_l FROM t GROUP BY shard, lang),
+       |tt AS (SELECT shard, CAST(SUM(n_l) AS BIGINT) AS n_docs FROM pl GROUP BY shard),
+       |qq AS (
+       |  SELECT pl.shard, tt.n_docs,
+       |    CAST(FLOOR(CAST(n_l AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS q
+       |  FROM pl JOIN tt USING (shard))
+       |SELECT shard, n_docs, COUNT(*) AS n_langs,
+       |  1.0 - CAST(SUM(q * q) AS DOUBLE) / 1000000000000.0 AS simpson
+       |FROM qq GROUP BY shard, n_docs ORDER BY shard""".stripMargin
+  }
+
+  /** ASYMMETRIC containment dedup — the near-dup class symmetric
+    * Jaccard is structurally blind to: a short document fully
+    * CONTAINED in a longer one (a quote, an excerpt, a truncated
+    * crawl of the same page) has jaccard ≈ |A|/|B| — far below any
+    * near-dup τ — while containment |A∩B|/min(|A|,|B|) is 1.0. The
+    * Broder (1997) resemblance/containment pair, as a query. Because
+    * the synthetic corpus has no natural truncations, the query
+    * INJECTS deterministic ones (the [[xPiiRedact]] precedent):
+    * every doc_id % 15 == 0 sample doc contributes a half-length
+    * prefix copy at doc_id + 10^9, whose 3-shingles are a strict
+    * subset of its source's by the prefix property — the output
+    * must contain exactly those (source, copy) rows at
+    * containment 1.0 with jaccard ≈ 0.5 (spec-asserted), plus any
+    * organic near-dup pairs (high on BOTH measures). Exact
+    * intersection counts come from the shingle-postings self-join on
+    * the doc_id % 3 measurement sample — the [[xDedupLshQuality]]
+    * Σ df² route; at 100 TB the candidate step blocks on LOW-df
+    * shingles (df ≤ cap bounds Σ df²; a shared rare shingle is what
+    * identifies containment) before this exact pair-bounded leg.
+    */
+  def xContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val injected = docs.filter(col("doc_id") % 15 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        slice(col("toks"), lit(1),
+          ((size(col("toks")) + lit(1)) / lit(2)).cast(IntegerType)).as("toks"))
+    val all = docs.unionByName(injected)
+    val sh = all.select(col("doc_id"),
+      array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"))
+    val posts = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    posts.as("a").join(posts.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("n_inter"),
+        (col("n_inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_inter")).cast(DoubleType)).as("jaccard"),
+        (col("n_inter").cast(DoubleType) /
+          least(col("na"), col("nb")).cast(DoubleType)).as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private[queries] val xContainmentSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, $ToksSql AS toks FROM documents WHERE doc_id % 3 = 0),
+       |inj AS (
+       |  SELECT doc_id + 1000000000 AS doc_id,
+       |    toks[1:((len(toks) + 1) // 2)] AS toks
+       |  FROM base WHERE doc_id % 15 = 0),
+       |alldocs AS (SELECT * FROM base UNION ALL SELECT * FROM inj),
+       |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks", 3)}) AS sh FROM alldocs),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+       |posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, sa.n_sh AS na, sb.n_sh AS nb, i.n_inter,
+       |  CAST(i.n_inter AS DOUBLE)
+       |    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard,
+       |  CAST(i.n_inter AS DOUBLE)
+       |    / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+       |FROM inter i
+       |JOIN sz sa ON i.doc_a = sa.doc_id
+       |JOIN sz sb ON i.doc_b = sb.doc_id
+       |WHERE CAST(i.n_inter AS DOUBLE)
+       |    / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MEASURED cluster coherence of the stored IVF index — per-cell
+    * simplified silhouette (Kaufman & Rousseeuw's silhouette with the
+    * centroid standing in for the cluster mean distance): for each
+    * vector, a = cosine distance to its rank-1 centroid, b = to its
+    * rank-2 centroid, s = (b − a)/max(a, b) ∈ [0, 1] (b ≥ a by the
+    * rank ordering). The index-health audit beside
+    * `x_ivf_retrain_drift`: drift says the corpus MOVED, silhouette
+    * says whether the partition is geometrically meaningful at all —
+    * on this uniform-sphere corpus the honest reading is s near 0
+    * (no real cluster structure; cells are Voronoi tiles of noise),
+    * and a REAL corpus's falling silhouette is the signal to retrain
+    * or re-k. Consumes ONLY the two stored index relations (the
+    * replicated rank-≤2 assignment already carries both cells —
+    * zero new assignment work, plan-guarded); per-vector s is
+    * quantized to BIGINT at 1e-6 before the per-cell mean (the
+    * order-free-exactness rule), so the audit hash-matches. One
+    * broadcast centroid join + one k-cell-cardinality shuffle;
+    * at 100 TB: map-side over the cell-bucketed index, k-row output.
+    */
+  def xIvfSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val scored = ivfAssigned(spark, dir)
+      .join(broadcast(ivfCentroids(spark, dir)), col("cell") === col("c_id"))
+      .select(col("vec_id"), col("cell"), col("cell_rank"),
+        (lit(1.0) - Similarity.cosineWithNorms(col("embedding"), col("c_emb"),
+          col("v_norm"), col("c_norm"))).as("d"))
+    val d1 = scored.filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("cell"), col("d").as("d1"))
+    val d2 = scored.filter(col("cell_rank") === 2)
+      .select(col("vec_id"), col("d").as("d2"))
+    d1.join(d2, Seq("vec_id"))
+      .select(col("cell"),
+        when(greatest(col("d1"), col("d2")) === lit(0.0), lit(0L))
+          .otherwise(floor((col("d2") - col("d1")) / greatest(col("d1"), col("d2"))
+            * lit(1000000.0) + lit(0.5)).cast(LongType)).as("s_q"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("s_q")).as("sum_q"))
+      .select(col("cell"), col("n_vecs"),
+        (col("sum_q").cast(DoubleType) / col("n_vecs").cast(DoubleType)
+          / lit(1000000.0)).as("mean_sil"))
+      .orderBy("cell")
+  }
+
+  private[queries] lazy val xIvfSilhouetteSql =
+    s"""WITH $ivfTrainCtes,
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell, rn AS cell_rank FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+       |    FROM embeddings e CROSS JOIN c$IvfIters c) WHERE rn <= $IvfAssign),
+       |sc AS (
+       |  SELECT a.vec_id, a.cell, a.cell_rank,
+       |    1.0 - ${cosSql("a.embedding", "c.c_emb")} AS d
+       |  FROM assigned a JOIN c$IvfIters c ON a.cell = c.c_id),
+       |p AS (
+       |  SELECT d1.cell,
+       |    CASE WHEN GREATEST(d1.d, d2.d) = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(FLOOR((d2.d - d1.d) / GREATEST(d1.d, d2.d)
+       |           * 1000000.0 + 0.5) AS BIGINT) END AS s_q
+       |  FROM (SELECT vec_id, cell, d FROM sc WHERE cell_rank = 1) d1
+       |  JOIN (SELECT vec_id, d FROM sc WHERE cell_rank = 2) d2 USING (vec_id))
+       |SELECT cell, COUNT(*) AS n_vecs,
+       |  CAST(SUM(s_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_sil
+       |FROM p GROUP BY cell ORDER BY cell""".stripMargin
+
+}

