@@ -40,6 +40,41 @@ import graft.ops.Transform.{CastSpec, ToDate, ToInt, ToRounded}
   */
 object CovidPipeline {
 
+  /** Ceiling for the incremental branch's deterministic surrogate-key
+    * window (a single-task global sort): ~10M rows ≈ hundreds of MB on
+    * one task — the same size class as
+    * `CoreQueries.ExactPercentileMaxGroupRows`. Real daily increments
+    * are orders of magnitude below this; a backfill is not, and gets a
+    * named error instead of a silent straggler.
+    */
+  private val IncrementalSkMaxRows = 10000000
+
+  /** Incremental-mode surrogate keys: deterministic (CodeISO, Date)
+    * row_number stacked on the warehouse's broadcast max — a GLOBAL-
+    * order window, i.e. one task holds the whole insert slice. That
+    * is the right trade for a daily increment (oracle-reproducible
+    * keys), but a bulk BACKFILL routed through incremental mode would
+    * silently single-partition here, so the slice size is guarded:
+    * past [[IncrementalSkMaxRows]] this refuses loudly (the
+    * `requireGroupsFitExactPercentile` convention) and points the
+    * operator at full mode's `SurrogateKey.scalable` path.
+    */
+  private[pipeline] def incrementalSk(insertBase: DataFrame, warehouse: DataFrame,
+      maxRows: Int = IncrementalSkMaxRows): DataFrame = {
+    val n = insertBase.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"incremental-mode insert slice exceeds $maxRows rows: " +
+        "the deterministic surrogate-key window would single-partition a " +
+        "backfill this large — run full mode (SurrogateKey.scalable) instead")
+    val maxSk = broadcast(
+      warehouse.agg(coalesce(max("_SK_METRICS_FACT"), lit(0L)).as("max_sk")))
+    insertBase
+      .crossJoin(maxSk)
+      .withColumn("_SK_METRICS_FACT",
+        col("max_sk") + row_number().over(Window.orderBy("CodeISO", "Date")).cast("long"))
+      .drop("max_sk")
+  }
+
   /** The five raw-zone frames, already projected to the consumed
     * columns (reference `main.py:75-79`): all-string, aliased
     * source-specific key names so the star assembly never sees an
@@ -406,15 +441,7 @@ object CovidPipeline {
         // (The incremental branch needs no barrier: its row_number
         // over (CodeISO, Date) is recomputation-stable.)
         SurrogateKey.scalable(insertBase, "_SK_METRICS_FACT", startAt = 0L).localCheckpoint()
-      else {
-        val maxSk = broadcast(
-          warehouse.agg(coalesce(max("_SK_METRICS_FACT"), lit(0L)).as("max_sk")))
-        insertBase
-          .crossJoin(maxSk)
-          .withColumn("_SK_METRICS_FACT",
-            col("max_sk") + row_number().over(Window.orderBy("CodeISO", "Date")).cast("long"))
-          .drop("max_sk")
-      }
+      else incrementalSk(insertBase, warehouse)
 
     // SET2 + P11 — canonical 25-column batch
     val batch = inserts.select(FinalColumns.map(col): _*)

@@ -396,4 +396,24 @@ class CovidPipelineSpec extends SparkSpec {
     assert(SnapshotPublish.readCurrent(spark, root, "curated")
       .select("t").as[String].collect().toSeq == Seq("c"))
   }
+
+  test("incrementalSk: deterministic keys stack on warehouse max; oversized slices refuse") {
+    import spark.implicits._
+    val wh = Seq((5L, "X")).toDF("_SK_METRICS_FACT", "CodeISO")
+    val slice = Seq(("B", "2021-01-02"), ("A", "2021-01-01"), ("A", "2021-01-02"))
+      .toDF("CodeISO", "Date")
+    val keyed = CovidPipeline.incrementalSk(slice, wh)
+      .orderBy("_SK_METRICS_FACT")
+      .select("CodeISO", "Date", "_SK_METRICS_FACT")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // (CodeISO, Date) order, starting at warehouse max + 1
+    assert(keyed.toSeq == Seq(("A", "2021-01-01", 6L), ("A", "2021-01-02", 7L),
+      ("B", "2021-01-02", 8L)))
+    // a backfill-sized slice through the incremental path refuses
+    // loudly instead of silently single-partitioning the key window
+    val e = intercept[IllegalArgumentException] {
+      CovidPipeline.incrementalSk(slice, wh, maxRows = 2)
+    }
+    assert(e.getMessage.contains("full mode"))
+  }
 }
