@@ -674,6 +674,81 @@ object EventStream {
       .start()
   }
 
+  /** One micro-batch's curation-funnel partial counters: the arriving
+    * documents run the SAME gate as the batch funnel
+    * ([[graft.queries.ExtQueries.serveCurationGate]]) and reduce to a
+    * single row of stage-survivor counts — n0 arrivals, n1 past
+    * quality, n2 past repetition, n3 past decontamination. Counts are
+    * a commutative monoid, so per-batch partials sum-merge into the
+    * stored funnel state exactly like [[aggState]]. The canonical-
+    * dedup stage is deliberately absent, same reasoning as
+    * [[runCurationGateStream]]: corpus-wide ranking belongs to the
+    * batch refresh, not ingest.
+    */
+  def funnelCounters(spark: SparkSession, corpusDir: String, docs: DataFrame): DataFrame =
+    graft.queries.ExtQueries.serveCurationGate(spark, corpusDir, docs)
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("qk"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("qk") && col("rk"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("qk") && col("rk") && col("ck"), 1L).otherwise(0L)).as("n3"))
+
+  def mergeFunnelState(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1"),
+        sum(col("n2")).as("n2"), sum(col("n3")).as("n3"))
+
+  /** Sum-merge is not idempotent → the same `_batchid` replay guard
+    * as [[mergeAggBatch]].
+    */
+  def mergeFunnelBatch(spark: SparkSession, stateDir: String, corpusDir: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!lastMergedBatch(spark, stateDir).contains(batchId)) {
+      val delta = funnelCounters(spark, corpusDir, batch)
+      mergeIntoTarget(spark, stateDir, delta, delta.schema, Some(batchId))(mergeFunnelState)
+    }
+
+  /** The stored funnel counters formatted as the batch data card's
+    * stage rows (stage, n_in, n_kept, drop_rate) — the LIVE view of
+    * `x_curation_funnel`'s first three stages, readable mid-stream at
+    * any point. Spec-pinned row-equal to the batch funnel over the
+    * same documents.
+    */
+  def funnelStages(state: DataFrame): DataFrame = {
+    def stage(name: String, nIn: String, nKept: String): DataFrame =
+      state.select(lit(name).as("stage"), col(nIn).as("n_in"), col(nKept).as("n_kept"),
+        ((col(nIn) - col(nKept)).cast(org.apache.spark.sql.types.DoubleType)
+          / col(nIn).cast(org.apache.spark.sql.types.DoubleType)).as("drop_rate"))
+    stage("1_quality", "n0", "n1")
+      .unionByName(stage("2_repetition", "n1", "n2"))
+      .unionByName(stage("3_decontamination", "n2", "n3"))
+      .orderBy("stage")
+  }
+
+  /** Streaming curation-funnel maintenance: the live data-card view.
+    * Each arriving micro-batch of documents reduces to its 1-row
+    * stage-counter partial (gate cost ∝ batch; the only reference
+    * state is the broadcast benchmark-gram relation), merged into the
+    * single-row stored funnel state. State stays one row forever;
+    * documents are never rescanned.
+    */
+  def runFunnelStream(
+      spark: SparkSession, inDir: String, corpusDir: String, stateDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeFunnelBatch(spark, stateDir, corpusDir, batch, batchId)
+      }
+      .start()
+  }
+
   /** Streaming COUNT-MIN SKETCH maintenance — the online form of
     * `x_countmin`, and the shape the sketch actually earns its keep
     * in at 100 TB: no vocabulary is ever materialized; each arriving

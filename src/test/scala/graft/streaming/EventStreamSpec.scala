@@ -166,6 +166,37 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
   }
 
+  test("funnel stream: live stage counters equal x_curation_funnel on the same documents") {
+    import graft.queries.ExtQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-funnel-stream").toString
+    val in = s"$dir/in"; val st = s"$dir/state"; val ck = s"$dir/ck"
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    // two files + maxFilesPerTrigger=1 forces multi-batch merging: the
+    // summed partials must make batch chopping invisible
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+    val sq = EventStream.runFunnelStream(spark, in, sfDir, st, ck,
+      maxFilesPerTrigger = Some(1))
+    assert(sq.awaitTermination(180000), "stream did not terminate within the timeout")
+
+    // the live view's three gate stages are row-equal to the batch
+    // data-card funnel over the same corpus (the canonical-dedup stage
+    // is batch-refresh-only by design — see runCurationGateStream)
+    val live = EventStream.funnelStages(spark.read.parquet(st))
+    val batch = ExtQueries.xCurationFunnel(spark, sfDir)
+      .filter(col("stage").isin("1_quality", "2_repetition", "3_decontamination"))
+    assert(live.exceptAll(batch).isEmpty && batch.exceptAll(live).isEmpty)
+    assert(live.count() == 3)
+
+    // replayed micro-batch is a no-op (sum-merge is not idempotent)
+    val b = docs.limit(10)
+    EventStream.mergeFunnelBatch(spark, st, sfDir, b, batchId = 99L)
+    val once = spark.read.parquet(st).collect()(0).getLong(0)
+    EventStream.mergeFunnelBatch(spark, st, sfDir, b, batchId = 99L)
+    assert(spark.read.parquet(st).collect()(0).getLong(0) == once)
+  }
+
   test("tombstone stream: streamed erasure requests gate serving row-equal to x_ann_delete") {
     import graft.queries.ExtQueries
     val sfDir = "/root/testdata/sf0.001"
