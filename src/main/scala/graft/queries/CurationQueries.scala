@@ -626,4 +626,146 @@ private[queries] trait CurationQueries { this: ExtQueries.type =>
        |  CAST(SUM(s_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_sil
        |FROM p GROUP BY cell ORDER BY cell""".stripMargin
 
+  /** Doc-level flags + final shard assignment for ONE corpus release —
+    * the end-to-end composition every stage query verifies alone:
+    * curation gate (quality ∧ repetition ∧ decontamination) ∧
+    * canonical dedup → group-keyed train split (leakage-free by
+    * construction) → temperature-mixture acceptance with rates
+    * computed over the SURVIVING train docs (a release mixes what it
+    * ships, not the raw crawl) → deterministic shuffle-shard. Returns
+    * (flags relation localCheckpoint'd — ONE materialization of the
+    * shared lineage instead of five recomputes for the five manifest
+    * legs — the `novelExactTop1` bounded-state precedent; it is
+    * doc-cardinality × 5 small columns), plus the mixed and sharded
+    * selections derived from it.
+    *
+    * Scale shape: every input is the stored-state serving path (bench
+    * grams broadcast, component labels stored, split is arithmetic);
+    * the joins are doc-cardinality equi-joins on doc_id; mixture
+    * rates are source-cardinality aggregates broadcast back; the
+    * shard key is map-side arithmetic — no corpus-wide window
+    * anywhere.
+    */
+  private[queries] def releaseSelection(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val gate = serveCurationGate(spark, dir, docs)
+      .select(col("doc_id"), (col("keep") === "Y").as("gk"))
+    val canon = xDedupCanonical(spark, dir)
+      .select(col("doc_id"), col("is_kept").as("dk"))
+    val split = serveSplitAssign(spark, dir, docs)
+      .select(col("doc_id"), col("split_group"))
+    val flags = docs.select(col("doc_id"), col("source"))
+      .join(gate, Seq("doc_id")).join(canon, Seq("doc_id")).join(split, Seq("doc_id"))
+      .withColumn("curated", col("gk") && col("dk"))
+      .withColumn("train", col("curated") && col("split_group") === "train")
+      .withColumn("bucket",
+        (TextOps.shingleHash(col("doc_id").cast(StringType)) % 10000)
+          .cast(IntegerType))
+      .localCheckpoint()
+    val surv = flags.filter(col("train"))
+    // mixture thresholds over the surviving train docs — the
+    // xMixtureSample formula (weights from the source id, cap at the
+    // scarcest source's budget, floor-quantized per-source threshold)
+    val w = (substring(col("source"), 4, 10).cast(IntegerType) % 3 + 1).cast(LongType)
+    val counts = surv.groupBy("source").agg(count(lit(1)).as("n")).withColumn("w", w)
+    val totals = counts.agg(sum(col("w")).as("wsum"))
+    val withScale = counts.crossJoin(broadcast(totals))
+      .withColumn("cap", col("n").cast(DoubleType) * col("wsum").cast(DoubleType)
+        / col("w").cast(DoubleType))
+    val tMin = withScale.agg(min(col("cap")).as("t"))
+    val rates = withScale.crossJoin(broadcast(tMin))
+      .withColumn("threshold",
+        floor((col("w").cast(DoubleType) * col("t") * lit(10000.0))
+          / (col("wsum").cast(DoubleType) * col("n").cast(DoubleType))).cast(IntegerType))
+      .select("source", "threshold")
+    val mixed = surv.join(broadcast(rates), "source")
+      .filter(col("bucket") < col("threshold"))
+    val sharded = mixed.withColumn("shard",
+      (TextOps.shingleHash(concat(lit("shuffle:"), col("doc_id").cast(StringType)))
+        % ShuffleShards).cast(IntegerType))
+    (flags, mixed, sharded)
+  }
+
+  /** The release MANIFEST as an oracle query: per-stage row accounting
+    * for the full funnel→dedup→split→mixture→shard composition, plus
+    * one row per final shard. The DuckDB twin recomposes the same
+    * chain from the shared CTE fragments (curation flags, component
+    * labels, split assignment, mixture rates over the survivors), so
+    * a hash match proves the STAGES COMPOSE — each keep-set feeding
+    * the next stage exactly — not just that each stage works alone.
+    */
+  def xReleasePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val (flags, mixed, sharded) = releaseSelection(spark, dir)
+    def c1(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"), col("n_rows"))
+    c1("1_corpus", flags)
+      .unionByName(c1("2_curated", flags.filter(col("curated"))))
+      .unionByName(c1("3_train", flags.filter(col("train"))))
+      .unionByName(c1("4_mixture", mixed))
+      .unionByName(sharded.groupBy("shard").agg(count(lit(1)).as("n_rows"))
+        .select(concat(lit("5_shard_"), col("shard").cast(StringType)).as("stage"),
+          col("n_rows")))
+      .orderBy("stage")
+  }
+
+  private[queries] lazy val xReleasePipelineSql = {
+    val mbucket = shingleHashSql("CAST(doc_id AS VARCHAR)") + " % 10000"
+    val shardKey = shingleHashSql("'shuffle:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH RECURSIVE $componentsCtes,
+       |$curationFlagsCtes,
+       |$splitAsgCtes,
+       |surv AS (
+       |  SELECT f.doc_id, d.source, CAST($mbucket AS INT) AS bucket
+       |  FROM fl f JOIN ssp s USING (doc_id) JOIN documents d USING (doc_id)
+       |  WHERE f.qk = 1 AND f.rk = 1 AND f.ck = 1 AND f.dk = 1
+       |    AND s.split_group = 'train'),
+       |mcnt AS (SELECT source, COUNT(*) AS n,
+       |    CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w
+       |  FROM surv GROUP BY source),
+       |mws AS (SELECT SUM(w) AS wsum FROM mcnt),
+       |msc AS (SELECT source, n, w, wsum,
+       |    CAST(n AS DOUBLE) * CAST(wsum AS DOUBLE) / CAST(w AS DOUBLE) AS cap
+       |  FROM mcnt CROSS JOIN mws),
+       |mmin AS (SELECT MIN(cap) AS t FROM msc),
+       |mr AS (SELECT source,
+       |    CAST(FLOOR((CAST(w AS DOUBLE) * t * 10000.0)
+       |      / (CAST(wsum AS DOUBLE) * CAST(n AS DOUBLE))) AS INT) AS threshold
+       |  FROM msc CROSS JOIN mmin),
+       |mixed AS (
+       |  SELECT surv.doc_id FROM surv JOIN mr ON surv.source = mr.source
+       |  WHERE surv.bucket < mr.threshold),
+       |shards AS (
+       |  SELECT doc_id, CAST($shardKey % $ShuffleShards AS INT) AS shard FROM mixed)
+       |SELECT stage, n_rows FROM (
+       |  SELECT '1_corpus' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents
+       |  UNION ALL
+       |  SELECT '2_curated', CAST(SUM(qk * rk * ck * dk) AS BIGINT) FROM fl
+       |  UNION ALL
+       |  SELECT '3_train', CAST(COUNT(*) AS BIGINT) FROM surv
+       |  UNION ALL
+       |  SELECT '4_mixture', CAST(COUNT(*) AS BIGINT) FROM mixed
+       |  UNION ALL
+       |  SELECT '5_shard_' || CAST(shard AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+       |  FROM shards GROUP BY shard)
+       |ORDER BY stage""".stripMargin
+  }
+
+  /** Materialize the release: JSONL shards under `outDir` (one
+    * directory per shard, rows sorted by shuffle key within each) plus
+    * the manifest. The write path a training job consumes; the spec
+    * pins written-row accounting equal to the manifest.
+    */
+  def exportRelease(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val (_, _, sharded) = releaseSelection(spark, dir)
+    val texts = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    sharded.select(col("doc_id"), col("source"), col("shard"))
+      .join(texts, Seq("doc_id"))
+      .withColumn("shuffle_key",
+        TextOps.shingleHash(concat(lit("shuffle:"), col("doc_id").cast(StringType))))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").json(outDir)
+    xReleasePipeline(spark, dir)
+  }
 }

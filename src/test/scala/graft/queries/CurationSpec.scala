@@ -776,4 +776,41 @@ class CurationSpec extends SparkSpec {
       assert(s >= 0.0 && s <= 1.0, r.toString)
     }
   }
+
+  test("x_release_pipeline: stages compose monotonically; exportRelease ships what the manifest counts") {
+    val t0 = System.nanoTime()
+    val manifest = ExtQueries.xReleasePipeline(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_rows")).toMap
+    val tManifest = (System.nanoTime() - t0) / 1e9
+    // the funnel narrows monotonically and every stage keeps something
+    // on this corpus
+    assert(manifest("1_corpus") >= manifest("2_curated"))
+    assert(manifest("2_curated") >= manifest("3_train"))
+    assert(manifest("3_train") >= manifest("4_mixture"))
+    assert(manifest("4_mixture") > 0)
+    // shard rows partition the final selection exactly
+    val shardTotal = manifest.collect {
+      case (k, v) if k.startsWith("5_shard_") => v
+    }.sum
+    assert(shardTotal == manifest("4_mixture"))
+    // each stage agrees with its standalone verified query where the
+    // input set matches: stage 2 = funnel's final survivor count
+    val funnel = ExtQueries.xCurationFunnel(spark, dir).collect()
+    assert(funnel.last.getAs[Long]("n_kept") == manifest("2_curated"))
+
+    // export: JSONL shards land under shard=<k> dirs, and the written
+    // row count equals the manifest's final selection
+    val out = java.nio.file.Files.createTempDirectory("graft-release").toString + "/rel"
+    val t1 = System.nanoTime()
+    ExtQueries.exportRelease(spark, dir, out)
+    val tExport = (System.nanoTime() - t1) / 1e9
+    val written = spark.read.json(out)
+    assert(written.count() == manifest("4_mixture"))
+    assert(written.select("shard").distinct().count() ==
+      manifest.keys.count(_.startsWith("5_shard_")))
+    // every written row carries the payload a trainer needs
+    assert(Set("doc_id", "source", "text", "shard", "shuffle_key")
+      .subsetOf(written.columns.toSet))
+    info(f"stage times: manifest $tManifest%.1fs, export $tExport%.1fs")
+  }
 }
