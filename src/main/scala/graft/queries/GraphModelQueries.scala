@@ -519,6 +519,280 @@ private[queries] trait GraphModelQueries { this: ExtQueries.type =>
        |    / CAST(COUNT(*) AS DOUBLE) AS majority_acc
        |FROM nbsc""".stripMargin
 
+  // ===================================================================
+  // Gate distillation: logistic regression on quantized features
+  // (train on the gate's own labels -> store weights -> score held-out
+  //  -> measure drop-recall, the metric a distilled gate deploys on)
+  // ===================================================================
+
+  /** Feature/weight quantization scale for the distilled gate — a
+    * power of two, so `least(n_tokens, S)` IS the saturating length
+    * feature at scale S with no division at all. Weights live at the
+    * same scale; z = w·x then sits at S², and the hard-sigmoid clamp
+    * and every update below stay in exact BIGINT/DECIMAL arithmetic
+    * that Spark and DuckDB compute bit-identically: both engines'
+    * integer `div`/`//` truncate toward zero and `%` carries the
+    * dividend's sign (verified, not assumed), so no floating point
+    * enters the training loop anywhere.
+    */
+  private[queries] val LrS = 1024L
+  private[queries] val LrS2 = LrS * LrS
+  private[queries] val LrIters = 24
+  private[queries] val LrWClamp = 8L * LrS
+
+  /** Per-document quantized features + label, the STORED input to both
+    * training and scoring (one tokenize pass per (JVM, corpus), the
+    * nb-model/substr-wins conversion). Features are the quality gate's
+    * own signals in integer form — saturating length `least(nt, S)`,
+    * distinct-token ratio `nd·S div nt`, stopword ratio `ns·S div nt`
+    * — and the label is the gate's keep decision itself, written as
+    * the EXACT-INTEGER twins of [[TextOps.MinUniqRatio]] /
+    * [[TextOps.MaxStopwordRatio]] (`10·nd ≥ 3·nt`, `2·ns ≤ nt`), so
+    * the label needs no double division on either engine. This is the
+    * classifier-distillation shape (the DCLM / FineWeb-Edu move:
+    * learn a cheap linear scorer from a gate's decisions so the
+    * deployed filter is one broadcast dot product, not the gate's
+    * full rule cascade).
+    */
+  private[queries] def lrFeats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(RelationStore.ensure(s"lr-feats:$dir") {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("nt"),
+          size(array_distinct(toks)).cast(LongType).as("nd"),
+          TextOps.stopwordCount(toks).cast(LongType).as("ns"))
+        .select(col("doc_id"),
+          (col("doc_id") % 5 =!= 0).as("train"),
+          when(col("nt") >= TextOps.MinTokens &&
+              col("nt") <= TextOps.MaxTokens &&
+              col("nd") * 10 >= col("nt") * 3 &&
+              col("ns") * 2 <= col("nt"), 1L).otherwise(0L).as("y"),
+          (least(col("nt"), lit(LrS)) - lit(LrS / 2)).as("x1"),
+          (expr(s"(nd * $LrS) div nt") - lit(LrS / 2)).as("x2"),
+          (expr(s"(ns * $LrS) div nt") - lit(LrS / 2)).as("x3"))
+    })
+
+  /** The TRAINED distilled gate as stored state: one row of quantized
+    * weights (bias w0 at feature x0 = S, then w1..w3) plus the
+    * training metadata that makes the artifact auditable. Batch
+    * gradient descent, [[LrIters]] iterations, hard-sigmoid
+    * σ̃(z) = clamp(½ + z/4, 0, 1) — POLYNOMIAL, so the whole training
+    * trajectory is exact integer arithmetic both engines replay
+    * identically (the NbScale ln-quantization question never arises).
+    * In quantized form: p4 = clamp(2S² + z, 0, 4S²) carries 4S²·σ̃,
+    * residual r = (p4 − 4S²·y)·cw, gradient g_j = Σ r·x_j summed in
+    * DECIMAL(38,0)/HUGEINT (the x_token_budget widening: BIGINT would
+    * wrap near ~2e9 weighted training rows), update
+    * w_j ← clamp(w_j − g_j div (S²·neff), ±8S) — the div IS η = 4
+    * folded into the scales. Class imbalance (the corpus keeps ~96%)
+    * is handled by integer class weights cw = clamp(n_maj div n_min,
+    * 1, 16) on the minority side, so the scorer cannot win by
+    * predicting the majority class.
+    *
+    * Scale shape: the corpus is read ONCE into the slim stored
+    * feature relation; each of the 12 iterations is one map-side-
+    * combined 4-column aggregate over it (the standard distributed-GD
+    * economics — MLlib's LBFGS does the same per-iteration pass), and
+    * the driver holds only the 4 weights between iterations (the
+    * pca_power bounded-driver-state precedent). At 100 TB the
+    * training split is a sample (the NB note) — the model is 4 longs
+    * regardless.
+    */
+  private[queries] def lrModel(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(RelationStore.ensure(s"lr-model:$dir") {
+      val f = lrFeats(spark, dir).filter(col("train"))
+      val cRow = f.agg(count(lit(1)).as("n"), sum(col("y")).as("npos")).head()
+      val (n, npos) = (cRow.getLong(0), cRow.getLong(1))
+      val nneg = n - npos
+      // single-class training labels give the scorer nothing to
+      // separate and make the class weights degenerate — refuse
+      // loudly (the NB single-class-prior guard)
+      require(npos > 0 && nneg > 0,
+        s"LR training split is single-class (npos=$npos, nneg=$nneg): " +
+          "a distilled gate trained on one class is the constant " +
+          "function; refusing to train")
+      def clampCw(v: Long) = math.min(math.max(v, 1L), 16L)
+      val cwp = clampCw(nneg / npos)
+      val cwn = clampCw(npos / nneg)
+      val neff = npos * cwp + nneg * cwn
+      val dec = DecimalType(38, 0)
+      var w = Array(0L, 0L, 0L, 0L) // bias, x1, x2, x3
+      for (_ <- 1 to LrIters) {
+        val z = lit(w(0)) * lit(LrS) + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+        val p4 = greatest(least(z + lit(2L * LrS2), lit(4L * LrS2)), lit(0L))
+        val r = (p4 - lit(4L * LrS2) * col("y")) *
+          when(col("y") === 1L, lit(cwp)).otherwise(lit(cwn))
+        // every r·x product fits a long (|r| ≤ 4S²·16 ≈ 6.7e7, |x| ≤ S
+        // → ≤ 6.9e10); only the SUM needs the decimal widening
+        val g = f.agg(
+          sum((r * lit(LrS)).cast(dec)).as("g0"),
+          sum((r * col("x1")).cast(dec)).as("g1"),
+          sum((r * col("x2")).cast(dec)).as("g2"),
+          sum((r * col("x3")).cast(dec)).as("g3")).head()
+        val div = BigInt(LrS2) * BigInt(neff)
+        w = w.indices.map { j =>
+          val gj = g.getDecimal(j).toBigInteger
+          // BigInteger.divide truncates toward zero — the same
+          // function as Spark `div` / DuckDB `//`, so the oracle's
+          // unrolled replay lands on the identical longs
+          val upd = BigInt(w(j)) - (BigInt(gj) / div)
+          upd.max(BigInt(-LrWClamp)).min(BigInt(LrWClamp)).toLong
+        }.toArray
+      }
+      spark.range(1).select(
+        lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+        lit(w(2)).as("w2"), lit(w(3)).as("w3"),
+        lit(n).as("n_train"), lit(npos).as("n_pos"), lit(nneg).as("n_neg"),
+        lit(cwp).as("cw_pos"), lit(cwn).as("cw_neg"))
+    })
+
+  /** The stored distilled-gate model, readable — the deployable
+    * artifact is the query result (the x_nb_model contract).
+    */
+  def xLrModel(spark: SparkSession, dir: String): DataFrame =
+    lrModel(spark, dir)
+
+  /** Score the HELD-OUT split with the stored weights: score_q = w·x
+    * at scale S², predict keep iff score_q > 0 (σ̃ > ½; tie → drop,
+    * deterministic). One broadcast of the 1-row model; the corpus-
+    * sized side is a map-side projection over the stored features —
+    * the deployed filter really is this cheap, which is the point of
+    * distilling.
+    */
+  def xLrScore(spark: SparkSession, dir: String): DataFrame =
+    lrFeats(spark, dir).filter(!col("train"))
+      .crossJoin(broadcast(lrModel(spark, dir).select("w0", "w1", "w2", "w3")))
+      .select(col("doc_id"),
+        (col("w0") * lit(LrS) + col("w1") * col("x1") +
+          col("w2") * col("x2") + col("w3") * col("x3")).as("score_q"),
+        when(col("w0") * lit(LrS) + col("w1") * col("x1") +
+          col("w2") * col("x2") + col("w3") * col("x3") > 0, "keep")
+          .otherwise("drop").as("pred"),
+        when(col("y") === 1L, "keep").otherwise("drop").as("label"))
+      .orderBy("doc_id")
+
+  /** MEASURED held-out quality of the distilled gate, beside the
+    * majority baseline AND the minority-class numbers the deploy
+    * decision actually turns on: a 96%-keep corpus makes plain
+    * accuracy nearly meaningless (predicting all-keep scores 0.96),
+    * so the row reports drop_recall / drop_precision — how much of
+    * what the real gate drops the distilled scorer also drops, and
+    * how much it over-drops. Degenerate eval splits (no drops at all)
+    * emit NULL for the undefined ratios rather than NaN (the
+    * x_source_stats convention).
+    */
+  def xLrEval(spark: SparkSession, dir: String): DataFrame =
+    xLrScore(spark, dir)
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("label") === "keep", 1L).otherwise(0L)).as("n_true_keep"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("label") === "drop" && col("pred") === "drop", 1L)
+          .otherwise(0L)).as("n_drop_hit"),
+        sum(when(col("pred") === "drop", 1L).otherwise(0L)).as("n_pred_drop"))
+      .select(col("n_eval"), col("n_true_keep"), col("n_correct"),
+        col("n_drop_hit"), col("n_pred_drop"),
+        (col("n_correct").cast(DoubleType) / col("n_eval").cast(DoubleType))
+          .as("accuracy"),
+        (greatest(col("n_true_keep"), col("n_eval") - col("n_true_keep"))
+          .cast(DoubleType) / col("n_eval").cast(DoubleType)).as("majority_acc"),
+        (col("n_drop_hit").cast(DoubleType) /
+          nullif((col("n_eval") - col("n_true_keep")).cast(DoubleType), lit(0.0)))
+          .as("drop_recall"),
+        (col("n_drop_hit").cast(DoubleType) /
+          nullif(col("n_pred_drop").cast(DoubleType), lit(0.0)))
+          .as("drop_precision"))
+
+  /** LR training replayed as oracle CTEs: the feature relation
+    * materialized once, then [[LrIters]] unrolled gradient+update CTE
+    * pairs (`AS MATERIALIZED` on the features — the r9 DuckDB
+    * plain-CTE-inlining lesson would otherwise re-tokenize the corpus
+    * per iteration), landing on `lrw`, the weight row the stored
+    * model must equal exactly.
+    */
+  private[queries] lazy val lrCtes: String = {
+    val s = LrS; val s2 = LrS2
+    val head =
+      s"""lrf AS MATERIALIZED (
+         |  SELECT doc_id, (doc_id % 5 <> 0) AS train,
+         |    CASE WHEN nt >= ${TextOps.MinTokens} AND nt <= ${TextOps.MaxTokens}
+         |      AND nd * 10 >= nt * 3 AND ns * 2 <= nt THEN 1 ELSE 0 END AS y,
+         |    LEAST(nt, $s) - ${s / 2} AS x1, (nd * $s) // nt - ${s / 2} AS x2,
+         |    (ns * $s) // nt - ${s / 2} AS x3
+         |  FROM (SELECT doc_id, len(toks) AS nt,
+         |      len(list_distinct(toks)) AS nd,
+         |      len(list_filter(toks, t -> t IN ${inList(TextOps.Stopwords)})) AS ns
+         |    FROM (SELECT doc_id, $ToksSql AS toks FROM documents))),
+         |lrsc AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos,
+         |    COUNT(*) - CAST(SUM(y) AS BIGINT) AS nneg
+         |  FROM lrf WHERE train),
+         |lrcw AS (SELECT n, npos, nneg,
+         |    LEAST(GREATEST(nneg // GREATEST(npos, 1), 1), 16) AS cwp,
+         |    LEAST(GREATEST(npos // GREATEST(nneg, 1), 1), 16) AS cwn
+         |  FROM lrsc),
+         |lrn AS (SELECT n, npos, nneg, cwp, cwn, npos * cwp + nneg * cwn AS neff FROM lrcw),
+         |lrw0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
+    val iters = (1 to LrIters).map { k =>
+      val p = k - 1
+      s"""lrg$k AS (SELECT
+         |    SUM(CAST(r * $s AS HUGEINT)) AS g0, SUM(CAST(r * x1 AS HUGEINT)) AS g1,
+         |    SUM(CAST(r * x2 AS HUGEINT)) AS g2, SUM(CAST(r * x3 AS HUGEINT)) AS g3
+         |  FROM (SELECT x1, x2, x3,
+         |      (LEAST(GREATEST(w0 * $s + w1 * x1 + w2 * x2 + w3 * x3 + ${2 * s2}, 0), ${4 * s2})
+         |        - ${4 * s2} * y) * (CASE WHEN y = 1 THEN cwp ELSE cwn END) AS r
+         |    FROM lrf CROSS JOIN lrw$p CROSS JOIN lrn WHERE train)),
+         |lrw$k AS (SELECT
+         |    LEAST(GREATEST(w0 - CAST(g0 // ($s2 * neff) AS BIGINT), -$LrWClamp), $LrWClamp) AS w0,
+         |    LEAST(GREATEST(w1 - CAST(g1 // ($s2 * neff) AS BIGINT), -$LrWClamp), $LrWClamp) AS w1,
+         |    LEAST(GREATEST(w2 - CAST(g2 // ($s2 * neff) AS BIGINT), -$LrWClamp), $LrWClamp) AS w2,
+         |    LEAST(GREATEST(w3 - CAST(g3 // ($s2 * neff) AS BIGINT), -$LrWClamp), $LrWClamp) AS w3
+         |  FROM lrw$p CROSS JOIN lrg$k CROSS JOIN lrn)""".stripMargin
+    }
+    val score =
+      s"""lrw AS (SELECT * FROM lrw$LrIters),
+         |lrsco AS (
+         |  SELECT f.doc_id,
+         |    w.w0 * $s + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS score_q,
+         |    CASE WHEN w.w0 * $s + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 > 0
+         |      THEN 'keep' ELSE 'drop' END AS pred,
+         |    CASE WHEN f.y = 1 THEN 'keep' ELSE 'drop' END AS label
+         |  FROM lrf f CROSS JOIN lrw w WHERE NOT f.train)""".stripMargin
+    (Seq(head) ++ iters :+ score).mkString(",\n")
+  }
+
+  private[queries] lazy val xLrModelSql =
+    s"""WITH $lrCtes
+       |SELECT w.w0, w.w1, w.w2, w.w3, n.n AS n_train, n.npos AS n_pos,
+       |  n.nneg AS n_neg, n.cwp AS cw_pos, n.cwn AS cw_neg
+       |FROM lrw w CROSS JOIN lrn n""".stripMargin
+
+  private[queries] lazy val xLrScoreSql =
+    s"""WITH $lrCtes
+       |SELECT doc_id, score_q, pred, label FROM lrsco ORDER BY doc_id""".stripMargin
+
+  private[queries] lazy val xLrEvalSql =
+    s"""WITH $lrCtes
+       |SELECT COUNT(*) AS n_eval,
+       |  CAST(SUM(CASE WHEN label = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_true_keep,
+       |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(SUM(CASE WHEN label = 'drop' AND pred = 'drop' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_hit,
+       |  CAST(SUM(CASE WHEN pred = 'drop' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_drop,
+       |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS accuracy,
+       |  CAST(GREATEST(SUM(CASE WHEN label = 'keep' THEN 1 ELSE 0 END),
+       |      COUNT(*) - SUM(CASE WHEN label = 'keep' THEN 1 ELSE 0 END)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS majority_acc,
+       |  CAST(SUM(CASE WHEN label = 'drop' AND pred = 'drop' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / NULLIF(CAST(COUNT(*) - SUM(CASE WHEN label = 'keep' THEN 1 ELSE 0 END) AS DOUBLE), 0.0)
+       |    AS drop_recall,
+       |  CAST(SUM(CASE WHEN label = 'drop' AND pred = 'drop' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / NULLIF(CAST(SUM(CASE WHEN pred = 'drop' THEN 1 ELSE 0 END) AS DOUBLE), 0.0)
+       |    AS drop_precision
+       |FROM lrsco""".stripMargin
+
   /** Mergeable-sketch distinct counting: per-day HLL sketches of the
     * user set, UNIONED into a corpus total instead of rescanning the
     * raw events — the approximate twin of `a10_incremental`'s exact

@@ -356,6 +356,50 @@ class CurationSpec extends SparkSpec {
     assert(m("der") < 0 && m("und") < 0, m.toString)
   }
 
+  test("LR gate distillation learns the gate on a separable corpus; class weights balance") {
+    import spark.implicits._
+    // on the testdata corpus the gate keeps ~96% and the honest eval
+    // reads drop_recall 1.0 / drop_precision ~0.36 (the measurement is
+    // the product). This fixture is BALANCED and separable — half the
+    // docs are one token repeated 40x (uniq 0.025, far under the 0.3
+    // gate), half are 20 distinct tokens — so the distilled scorer
+    // must recover the gate nearly perfectly or the machinery is wrong
+    val diverse = (1 to 20).map(i => s"w$i").mkString(" ")
+    val junk = Seq.fill(40)("junk").mkString(" ")
+    val docs = (0L until 60L).map { i =>
+      val good = i % 2 == 0
+      val text = if (good) diverse else junk
+      (i, text, "en", s"src${i % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val e = ExtQueries.xLrEval(spark, tmp).collect().head
+    assert(e.getAs[Long]("n_eval") == 12L, e.toString)
+    assert(e.getAs[Double]("accuracy") >= 0.9, e.toString)
+    assert(e.getAs[Double]("drop_recall") >= 0.9, e.toString)
+    assert(e.getAs[Double]("drop_precision") >= 0.9, e.toString)
+    // balanced classes -> both class weights collapse to 1
+    val m = ExtQueries.xLrModel(spark, tmp).collect().head
+    assert(m.getAs[Long]("cw_pos") == 1L && m.getAs[Long]("cw_neg") == 1L, m.toString)
+    // and the learned separator leans on the diversity feature the
+    // gate actually thresholds: positive weight on uniq-ratio
+    assert(m.getAs[Long]("w2") > 0, m.toString)
+  }
+
+  test("LR training refuses a single-class split (constant-function guard)") {
+    import spark.implicits._
+    val diverse = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 30L).map(i =>
+      (i, diverse, "en", "src0", diverse.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lr1c").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      ExtQueries.xLrModel(spark, tmp).collect()
+    }
+    assert(e.getMessage.contains("single-class"), e.getMessage)
+  }
+
   test("x_dsir_select enriches the target language when the tokens carry it (crafted corpus)") {
     import spark.implicits._
     // same separable fixture as the NB lifecycle test: on the real
