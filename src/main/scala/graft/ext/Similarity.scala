@@ -125,6 +125,25 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine >= `minCos` among pairs
     * sharing an LSH bucket (blocking keeps the pair count linear-ish).
     */
+  /** Data-scaled plane count for near-dup LSH blocking: smallest
+    * p in [6, 24] with 2^p >= ceil(n/256), i.e. the bucket COUNT
+    * grows with the corpus so the EXPECTED bucket size stays ~256.
+    * The IVF k = sqrt(N) lesson applied to LSH blocking: a FIXED
+    * plane count makes the pair work (sum of bucket^2) quadratic in
+    * n — measured 16x on the 10x sf0.1 -> sf1 step before this —
+    * while a scaled count holds per-bucket pair work constant, so
+    * total pair work grows ~linearly. Bit j of a bucket id depends
+    * only on plane j, so the p-plane bucket IS the low p bits of the
+    * 24-plane bucket — which is how the SQL twin computes it (one
+    * static 24-plane expression masked by a scalar modulus CTE).
+    */
+  def planesFor(n: Long): Int = {
+    val target = (n + 255L) / 256L
+    var p = 6
+    while (p < 24 && (1L << p) < target) p += 1
+    p
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, planes: Int, minCos: Double): DataFrame = {
     val bucketed = emb.select(
       col("vec_id"), col("embedding"),

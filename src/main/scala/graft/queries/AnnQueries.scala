@@ -321,7 +321,8 @@ private[queries] trait AnnQueries { this: ExtQueries.type =>
     val cells = ivfAssigned(spark, dir).filter(col("cell_rank") === 1)
       .select(col("vec_id"), col("cell"))
     val pairs = Similarity.embeddingNearDupPairs(
-        Tables.embeddings(spark, dir), planes = 6, minCos = 0.25)
+        Tables.embeddings(spark, dir),
+        planes = neardupPlanes(spark, dir), minCos = 0.25)
       .select(col("vec_a"), col("vec_b"))
     pairs
       .join(cells.select(col("vec_id").as("vec_a"), col("cell").as("cell_a")), Seq("vec_a"))
@@ -337,7 +338,7 @@ private[queries] trait AnnQueries { this: ExtQueries.type =>
   private[queries] val xSemdedupCoverageSql =
     s"""WITH $ivfTrainCtes,
        |asg AS (${ivfAssignSql(s"c$IvfIters")}),
-       |bucketed AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 6)} AS bucket FROM embeddings),
+       |$neardupBucketedSql,
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -433,7 +434,8 @@ private[queries] trait AnnQueries { this: ExtQueries.type =>
   def xSemdedupCoverageR2(spark: SparkSession, dir: String): DataFrame = {
     val asg = ivfAssigned(spark, dir)
     val pairs = Similarity.embeddingNearDupPairs(
-        Tables.embeddings(spark, dir), planes = 6, minCos = 0.25)
+        Tables.embeddings(spark, dir),
+        planes = neardupPlanes(spark, dir), minCos = 0.25)
       .select(col("vec_a"), col("vec_b"))
     pairs
       .join(asg.filter(col("cell_rank") === 1)
@@ -453,7 +455,7 @@ private[queries] trait AnnQueries { this: ExtQueries.type =>
     s"""WITH $ivfTrainCtes,
        |asg AS (${ivfAssignSql(s"c$IvfIters")}),
        |asg2 AS (${ivfAssign2Sql(s"c$IvfIters")}),
-       |bucketed AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 6)} AS bucket FROM embeddings),
+       |$neardupBucketedSql,
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -88,4 +88,20 @@ private[queries] trait ExtFragments { this: ExtQueries.type =>
 
   private[queries] def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** Bucketed-embeddings CTE pair with the DATA-SCALED near-dup plane
+    * count (mirrors Similarity.planesFor): `nbp` computes the bucket
+    * modulus 2^p from COUNT(*), and `bucketed` masks the static
+    * 24-plane bucket down to its low p bits (bit j depends only on
+    * plane j, so the masked value IS the p-plane bucket id).
+    */
+  private[queries] lazy val neardupBucketedSql: String = {
+    val whens = (6 to 23)
+      .map(p => s"WHEN (COUNT(*) + 255) // 256 <= ${1L << p} THEN ${1L << p}")
+      .mkString(" ")
+    s"""nbp AS (SELECT CASE $whens ELSE ${1L << 24} END AS nb FROM embeddings),
+       |bucketed AS (SELECT vec_id, embedding,
+       |  (${lshBucketSql("embedding", 24)}) % nb AS bucket
+       |  FROM embeddings CROSS JOIN nbp)""".stripMargin
+  }
+
 }

@@ -335,15 +335,30 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
        |SELECT query_id, bucket, bucket_size, vec_id, cos FROM ranked
        |WHERE rn = 1 ORDER BY query_id""".stripMargin
 
-  /** Embedding near-dup pairs: cosine >= 0.25 within 6-plane LSH
-    * buckets.
+  /** The near-dup blocking plane count for this corpus, memoized on
+    * the IvfStore lifecycle (the ivfK rationale: reset() must
+    * invalidate the count and any index built from it together).
+    */
+  private[queries] def neardupPlanes(spark: SparkSession, dir: String): Int =
+    IvfStore.kFor(s"neardup-planes:$dir")(
+      Similarity.planesFor(Tables.embeddings(spark, dir).count()))
+
+  /** Embedding near-dup pairs: cosine >= 0.25 within LSH buckets at
+    * the DATA-SCALED plane count ([[Similarity.planesFor]]): 6 planes
+    * up to ~16k vectors, then one more per doubling, so the pair work
+    * (sum of bucket^2) stays ~linear in the corpus instead of
+    * quadratic — the measured sf0.1 -> sf1 step was 16x on the old
+    * fixed-6-plane blocking. Recall cost of the finer blocking is a
+    * measured number, not a guess: `x_semdedup_coverage` and the LSH
+    * quality queries audit the same pair relation.
     */
   def xEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDupPairs(Tables.embeddings(spark, dir), planes = 6, minCos = 0.25)
+    Similarity.embeddingNearDupPairs(Tables.embeddings(spark, dir),
+        planes = neardupPlanes(spark, dir), minCos = 0.25)
       .orderBy("vec_a", "vec_b")
 
   private[queries] val xEmbedNearDupSql =
-    s"""WITH bucketed AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 6)} AS bucket FROM embeddings)
+    s"""WITH $neardupBucketedSql
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
        |  ${cosSql("a.embedding", "b.embedding")} AS cos
        |FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

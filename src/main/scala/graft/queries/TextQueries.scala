@@ -287,4 +287,71 @@ private[queries] trait TextQueries { this: ExtQueries.type =>
        |  array_to_string(toks[(chunk_idx * 64 + 1):(chunk_idx * 64 + 64)], ' ') AS chunk_text
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ===================================================================
+  // Encoding quality: mojibake / control-char / replacement-char audit
+  // ===================================================================
+
+  /** Per-source encoding-health audit — the ftfy-shaped gate a crawl
+    * pipeline runs before any text op: U+FFFD replacement characters
+    * (a decoder already gave up), raw control characters outside
+    * tab/newline/CR (binary junk or charset confusion), and the
+    * classic UTF-8-read-as-Latin-1 mojibake markers ('\u00C3' from
+    * mis-decoded 2-byte leads, '\u00E2\u20AC' from the E2-80-xx
+    * punctuation family). All three are counted by exact character
+    * arithmetic both engines share — occurrence count = (len −
+    * len(replace(text, marker, ''))) div marker_len, control chars
+    * via one regexp_replace character class (the p12 cross-engine
+    * precedent; DuckDB needs the 'g' flag Spark implies) — then
+    * aggregated per source with a quantized parts-per-million bad-
+    * character rate, BIGINT div (no float in the rate). Map-side
+    * gates + one source-cardinality aggregate: nothing corpus-sized
+    * shuffles, the 100 TB shape of every other per-source audit. The
+    * synthetic corpus is clean ASCII, so every source reads zero —
+    * the honest answer — and the spec proves detection on crafted
+    * mojibake/control/replacement fixtures.
+    */
+  def xEncodingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    // literal-substring counts via replace(), not regex: exact char
+    // arithmetic with no cross-engine regex-dialect surface at all
+    Tables.documents(spark, dir)
+      .select(col("source"), length(t).cast(LongType).as("chars"),
+        (length(t) - length(replace(t, lit("�"), lit(""))))
+          .cast(LongType).as("repl"),
+        (length(t) - length(regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")))
+          .cast(LongType).as("ctrl"),
+        ((length(t) - length(replace(t, lit("Ã"), lit("")))).cast(LongType) +
+          expr("CAST((length(text) - length(replace(text, 'â€', ''))) AS BIGINT) div 2"))
+          .as("moji"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("repl") + col("ctrl") + col("moji") > 0, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum(col("repl")).as("repl_chars"),
+        sum(col("ctrl")).as("ctrl_chars"),
+        sum(col("moji")).as("moji_hits"),
+        sum(col("chars")).as("n_chars_total"))
+      .withColumn("bad_ppm",
+        expr("((repl_chars + ctrl_chars + moji_hits) * 1000000) div n_chars_total"))
+      .orderBy("source")
+  }
+
+  private[queries] val xEncodingQualitySql =
+    s"""WITH s AS (SELECT source, CAST(length(text) AS BIGINT) AS chars,
+       |    CAST(length(text) - length(replace(text, '�', '')) AS BIGINT) AS repl,
+       |    CAST(length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS BIGINT) AS ctrl,
+       |    CAST(length(text) - length(replace(text, 'Ã', '')) AS BIGINT)
+       |      + (CAST(length(text) - length(replace(text, 'â€', '')) AS BIGINT) // 2) AS moji
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN repl + ctrl + moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(SUM(repl) AS BIGINT) AS repl_chars,
+       |  CAST(SUM(ctrl) AS BIGINT) AS ctrl_chars,
+       |  CAST(SUM(moji) AS BIGINT) AS moji_hits,
+       |  CAST(SUM(chars) AS BIGINT) AS n_chars_total,
+       |  ((CAST(SUM(repl) AS BIGINT) + CAST(SUM(ctrl) AS BIGINT) + CAST(SUM(moji) AS BIGINT)) * 1000000)
+       |    // CAST(SUM(chars) AS BIGINT) AS bad_ppm
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
+
 }

@@ -386,6 +386,31 @@ class CurationSpec extends SparkSpec {
     assert(m.getAs[Long]("w2") > 0, m.toString)
   }
 
+  test("x_encoding_quality detects mojibake, control chars and U+FFFD on crafted docs") {
+    import spark.implicits._
+    // the testdata corpus is clean ASCII (every source reads zero —
+    // the honest answer); this fixture plants each defect class in
+    // its own source and asserts the audit isolates them
+    val docs = Seq(
+      (0L, "clean text here ok", "en", "clean", 18L),
+      (1L, "bad � twice � here", "en", "repl", 20L),
+      (2L, "ctrl\u0001and\u0002chars", "en", "ctrl", 14L),
+      // classic UTF-8-as-Latin-1: 'Ã©' (é) and 'â€™' (right quote)
+      (3L, "cafÃ© and â€™quoted", "en", "moji", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-enc").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ExtQueries.xEncodingQuality(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("clean").getAs[Long]("n_flagged") == 0L, rows("clean").toString)
+    assert(rows("clean").getAs[Long]("bad_ppm") == 0L)
+    assert(rows("repl").getAs[Long]("repl_chars") == 2L, rows("repl").toString)
+    assert(rows("repl").getAs[Long]("n_flagged") == 1L)
+    assert(rows("ctrl").getAs[Long]("ctrl_chars") == 2L, rows("ctrl").toString)
+    assert(rows("moji").getAs[Long]("moji_hits") == 2L, rows("moji").toString)
+    assert(rows("moji").getAs[Long]("bad_ppm") > 0L)
+  }
+
   test("LR training refuses a single-class split (constant-function guard)") {
     import spark.implicits._
     val diverse = (1 to 20).map(i => s"w$i").mkString(" ")
