@@ -98,6 +98,30 @@ object Bench {
     }
   }
 
+  /** Fixed CPU-bound calibration microbenchmark — the r10 verdict's
+    * cross-session comparability fix: within-session passes are tight
+    * (±5%) but whole sessions drift a uniform ~1.2× with host weather
+    * (GC, CPU contention, thermal state), drowning plan-quality signal
+    * in the round-over-round compare. This workload is PINNED — 20M
+    * rows of `spark.range`, md5 + concat + length per row, 32 fixed
+    * partitions, no I/O, no data dependence on SF — so its time moves
+    * ONLY with host speed. Reported as `calibration_s`; a reader
+    * divides two rounds' totals by their calibrations to compare plan
+    * quality across sessions. Min of 3 after one untimed JIT pass
+    * (the skewBench noise-robust statistic).
+    */
+  private def calibration(spark: SparkSession): Double = {
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .select(sum(length(md5(concat_ws(",", col("id"), col("id") * 7)))))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // JIT/codegen warmup of this exact plan
+    Seq.fill(3)(run()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
@@ -119,6 +143,13 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     dropCheckpoints()
+    // calibration AFTER the warmup pass (JVM already hot, measuring
+    // host speed not JIT state) and BEFORE the heavy target-SF work
+    val calibrationS = calibration(spark)
+    // the warmup pass at sf0.001 built that SF's stores — those build
+    // times are not this session's target-SF story; clear the ledger
+    // so store_builds reports ONLY the sfDir builds below
+    graft.ext.StoreTimer.reset()
     // Pre-build the TARGET-SF stored state (RelationStore sketch
     // tables, IVF/PQ indexes, tombstones, ...) BEFORE any timed pass:
     // r9's pass 1 read 157.7 s against 74.0/86.7 for passes 2/3
@@ -169,8 +200,14 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val medianPassTotal = passTotals.sorted.apply(passTotals.length / 2)
     val storeBuild = math.max(0.0, prebuildPass - medianPassTotal)
+    // per-store build seconds (recorded by StoreTimer inside
+    // RelationStore/IvfStore during the prebuild pass): the breakdown
+    // that turns the aggregate store_build_s into per-store growth
+    // exponents when read at two SFs
+    val storeBuilds = graft.ext.StoreTimer.snapshot.toSeq.sortBy(-_._2)
     val band = s""""value_min":$minTotal,"pass_totals":[${passTotals.mkString(",")}],""" +
-      s""""prebuild_pass_s":$prebuildPass,"store_build_s":$storeBuild"""
+      s""""prebuild_pass_s":$prebuildPass,"store_build_s":$storeBuild,""" +
+      s""""calibration_s":$calibrationS,"store_builds":${json(storeBuilds)}"""
     // `skew` is reported OUTSIDE queries/total: it is a controlled
     // A/B measurement (broadcast + AQE rescue disabled), not a
     // round-over-round query timing.
@@ -193,7 +230,8 @@ object Bench {
     // full map.
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val topK = results.toSeq.sortBy(-_._2).take(15).map { case (k, v) => k -> r3(v) }
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_min":${r3(minTotal)},"pass_totals":[${passTotals.map(r3).mkString(",")}],"prebuild_pass_s":${r3(prebuildPass)},"store_build_s":${r3(storeBuild)},"n_queries":${results.size},"queries":${json(topK)},"skew":${json(skew.map { case (k, v) => k -> r3(v) })},"sf":"$sfDir","queries_full":"target/bench.json"}"""
+    val topStores = storeBuilds.take(6).map { case (k, v) => k -> r3(v) }
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_min":${r3(minTotal)},"pass_totals":[${passTotals.map(r3).mkString(",")}],"prebuild_pass_s":${r3(prebuildPass)},"store_build_s":${r3(storeBuild)},"calibration_s":${r3(calibrationS)},"store_builds_top":${json(topStores)},"n_queries":${results.size},"queries":${json(topK)},"skew":${json(skew.map { case (k, v) => k -> r3(v) })},"sf":"$sfDir","queries_full":"target/bench.json"}"""
     println(compact)
     spark.stop()
   }

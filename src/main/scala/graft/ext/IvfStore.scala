@@ -76,7 +76,7 @@ object IvfStore {
   def ensure(emb: DataFrame, key: String, k: Int, iters: Int,
       nassign: Int, dim: Int): StoredIndex = {
     val thunk = built.computeIfAbsent(key, _ => {
-      lazy val idx: StoredIndex = {
+      lazy val idx: StoredIndex = StoreTimer.time(s"ivf:$key") {
         val sub = s"$root/" + key.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
         val stage = new File(sub + ".build")
         FileUtils.deleteQuietly(new File(sub))

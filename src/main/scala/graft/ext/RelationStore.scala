@@ -63,7 +63,7 @@ object RelationStore {
     // monitor is what same-key callers then serialize on — the build
     // job itself never runs inside the shared map lock
     val thunk = built.computeIfAbsent(key, _ => {
-      lazy val path: String = {
+      lazy val path: String = StoreTimer.time(key) {
         val sub = s"$root/" + key.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("^_+", "")
         val stage = new File(sub + ".build")
         FileUtils.deleteQuietly(new File(sub))

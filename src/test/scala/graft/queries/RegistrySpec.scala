@@ -58,6 +58,7 @@ class RegistrySpec extends AnyFunSuite {
     "x_pagerank", "x_pca_power", "x_pii_redact", "x_posting_skew",
     "x_pq_encode", "x_pq_quality", "x_pq_serve", "x_pq_serve_agreement",
     "x_psi_drift", "x_quality_filter", "x_range_join", "x_repetition",
+    "x_release_pipeline",
     "x_reshard_rendezvous", "x_retained_by_source", "x_retention",
     "x_retrieval_eval", "x_semantic_dedup", "x_semantic_dedup_incr",
     "x_semantic_dedup_r2", "x_semdedup_coverage", "x_semdedup_coverage_r2",
@@ -78,5 +79,15 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
     assert(ExtQueries.queries.keySet == ExtQueries.oracleSql.keySet)
     assert(SparkEntry.queries.size >= Pinned.size)
+  }
+
+  test("every registered query is pinned (additions must update Pinned)") {
+    // the r10 verdict's one-line hardening: the pin list used to catch
+    // only DELETIONS; a new query added to the maps but not to Pinned
+    // sailed through on `size >= Pinned.size`. Both directions now
+    // fail by name, so the sync is self-enforcing.
+    val unpinned = SparkEntry.queries.keySet -- Pinned
+    assert(unpinned.isEmpty,
+      s"new queries not in RegistrySpec.Pinned — pin your new query: $unpinned")
   }
 }
