@@ -705,6 +705,85 @@ private[queries] trait GraphModelQueries { this: ExtQueries.type =>
           nullif(col("n_pred_drop").cast(DoubleType), lit(0.0)))
           .as("drop_precision"))
 
+  /** The distilled gate's OPERATING CURVE — the deploy decision's
+    * missing axis (the r10 verdict: `x_lr_eval` honestly reports
+    * drop_precision 0.36 at the trained threshold, but choosing a
+    * deployment cutoff needs the precision/recall trade ACROSS
+    * thresholds). Sweep 11 integer thresholds spanning the held-out
+    * score range — t_i = smin + ((smax−smin)·i) div 10, exact BIGINT
+    * arithmetic both engines replay identically — predict drop iff
+    * score_q ≤ t_i, and emit (threshold, n_pred_drop, n_drop_hit,
+    * drop_recall, drop_precision) per point. The predicted-drop set
+    * grows monotonically with i, so drop_recall is nondecreasing
+    * (CurationSpec pins this) and i=10 always reads recall 1.0 —
+    * the curve's anchors are structural, the interior is the product.
+    *
+    * Scale shape: the scored relation is one broadcast-model
+    * projection over the stored features (the `x_lr_score` plan); the
+    * bounds row is a 1-row broadcast; the 11-threshold spine
+    * broadcasts and fans out map-side; the aggregate is 11 groups
+    * with map-side combine. Nothing corpus-sized shuffles, no window,
+    * no sort of raw scores anywhere (the binned-KS lesson: a
+    * fixed-grid sweep is scale-computable where an exact PR curve —
+    * one point per distinct score — would need a corpus-wide
+    * order-by).
+    */
+  def xLrPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lrFeats(spark, dir).filter(!col("train"))
+      .crossJoin(broadcast(lrModel(spark, dir).select("w0", "w1", "w2", "w3")))
+      .select(
+        (col("w0") * lit(LrS) + col("w1") * col("x1") +
+          col("w2") * col("x2") + col("w3") * col("x3")).as("score_q"),
+        col("y"))
+    val bounds = scored.agg(
+      min(col("score_q")).as("smin"), max(col("score_q")).as("smax"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n_drop_true"))
+    val spine = spark.range(0, 11).select(col("id").as("i"))
+    scored
+      .crossJoin(broadcast(bounds)) // 1-row scalar, in-plan
+      .crossJoin(broadcast(spine)) // 11 rows — the threshold grid
+      .select(col("i"),
+        (col("smin") + expr("((smax - smin) * i) div 10")).as("threshold"),
+        col("n_drop_true"), col("score_q"), col("y"))
+      .groupBy("i", "threshold", "n_drop_true")
+      .agg(
+        sum(when(col("score_q") <= col("threshold"), 1L).otherwise(0L))
+          .as("n_pred_drop"),
+        sum(when(col("score_q") <= col("threshold") && col("y") === 0L, 1L)
+          .otherwise(0L)).as("n_drop_hit"))
+      .select(col("i"), col("threshold"), col("n_pred_drop"), col("n_drop_hit"),
+        col("n_drop_true"),
+        (col("n_drop_hit").cast(DoubleType) /
+          nullif(col("n_drop_true").cast(DoubleType), lit(0.0))).as("drop_recall"),
+        (col("n_drop_hit").cast(DoubleType) /
+          nullif(col("n_pred_drop").cast(DoubleType), lit(0.0))).as("drop_precision"))
+      .orderBy("i")
+  }
+
+  private[queries] lazy val xLrPrCurveSql =
+    s"""WITH $lrCtes,
+       |lrsb AS (SELECT MIN(score_q) AS smin, MAX(score_q) AS smax,
+       |    CAST(SUM(CASE WHEN label = 'drop' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_true
+       |  FROM lrsco),
+       |lrthr AS (SELECT i, smin + ((smax - smin) * i) // 10 AS threshold, n_drop_true
+       |  FROM (SELECT unnest(range(0, 11)) AS i) CROSS JOIN lrsb)
+       |SELECT t.i, t.threshold,
+       |  CAST(SUM(CASE WHEN s.score_q <= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pred_drop,
+       |  CAST(SUM(CASE WHEN s.score_q <= t.threshold AND s.label = 'drop'
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_hit,
+       |  t.n_drop_true,
+       |  CAST(SUM(CASE WHEN s.score_q <= t.threshold AND s.label = 'drop'
+       |      THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / NULLIF(CAST(t.n_drop_true AS DOUBLE), 0.0) AS drop_recall,
+       |  CAST(SUM(CASE WHEN s.score_q <= t.threshold AND s.label = 'drop'
+       |      THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / NULLIF(CAST(SUM(CASE WHEN s.score_q <= t.threshold THEN 1 ELSE 0 END)
+       |      AS DOUBLE), 0.0) AS drop_precision
+       |FROM lrsco s CROSS JOIN lrthr t
+       |GROUP BY t.i, t.threshold, t.n_drop_true
+       |ORDER BY i""".stripMargin
+
   /** LR training replayed as oracle CTEs: the feature relation
     * materialized once, then [[LrIters]] unrolled gradient+update CTE
     * pairs (`AS MATERIALIZED` on the features — the r9 DuckDB

@@ -386,6 +386,38 @@ class CurationSpec extends SparkSpec {
     assert(m.getAs[Long]("w2") > 0, m.toString)
   }
 
+  test("LR operating curve: recall monotone nondecreasing, anchored at 1.0, counts consistent") {
+    import spark.implicits._
+    // same separable fixture as the distillation test: the curve's
+    // STRUCTURE is what this pins — the threshold grid covers the
+    // score range, the predicted-drop set grows with i (so recall is
+    // monotone and ends at 1.0), and hit counts can never exceed
+    // predicted or true drops. The interior trade is the product.
+    val diverse = (1 to 20).map(i => s"w$i").mkString(" ")
+    val junk = Seq.fill(40)("junk").mkString(" ")
+    val docs = (0L until 60L).map { i =>
+      (i, if (i % 2 == 0) diverse else junk, "en", s"src${i % 3}",
+        (if (i % 2 == 0) diverse else junk).length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lrpr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ExtQueries.xLrPrCurve(spark, tmp).collect()
+    assert(rows.length == 11, rows.mkString(","))
+    val recalls = rows.map(_.getAs[Double]("drop_recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"drop_recall not monotone: ${recalls.mkString(",")}")
+    assert(recalls.last == 1.0, s"i=10 (threshold=smax) must catch every drop: ${recalls.last}")
+    rows.foreach { r =>
+      val (hit, pred, truth) = (r.getAs[Long]("n_drop_hit"),
+        r.getAs[Long]("n_pred_drop"), r.getAs[Long]("n_drop_true"))
+      assert(hit <= pred && hit <= truth, r.toString)
+    }
+    // thresholds span the score range and are strictly ordered unless
+    // the range collapses
+    val thr = rows.map(_.getAs[Long]("threshold"))
+    assert(thr.zip(thr.tail).forall { case (a, b) => a <= b }, thr.mkString(","))
+  }
+
   test("x_encoding_quality detects mojibake, control chars and U+FFFD on crafted docs") {
     import spark.implicits._
     // the testdata corpus is clean ASCII (every source reads zero —

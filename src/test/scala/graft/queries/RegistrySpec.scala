@@ -52,7 +52,8 @@ class RegistrySpec extends AnyFunSuite {
     "x_ivfpq_recall", "x_ivfpq_serve", "x_join_size_est", "x_knn_bulk",
     "x_knn_bulk_agreement", "x_knn_classify", "x_ks_drift", "x_lang_id",
     "x_lm_score", "x_media_decode", "x_mixture_sample",
-    "x_encoding_quality", "x_lr_eval", "x_lr_model", "x_lr_score",
+    "x_encoding_quality", "x_lr_eval", "x_lr_model", "x_lr_pr_curve",
+    "x_lr_score",
     "x_mixture_temperature", "x_multimodal_meta", "x_nb_eval",
     "x_nb_model", "x_nb_score", "x_pack_sequences", "x_pack_stats",
     "x_pagerank", "x_pca_power", "x_pii_redact", "x_posting_skew",
