@@ -751,6 +751,109 @@ private[queries] trait CurationQueries { this: ExtQueries.type =>
        |ORDER BY stage""".stripMargin
   }
 
+  /** ONE micro-batch's release-ledger partial — the streaming
+    * decomposition of [[xReleasePipeline]] (the r10 verdict's "stream
+    * the release manifest"): arriving docs run the SAME serving paths
+    * the batch release uses (curation gate against broadcast bench
+    * grams; canonical-dedup keep flag JOINED from the stored
+    * component-label relation — the `x_dedup_incremental` pattern,
+    * corpus-wide ranking stays a batch refresh; split and shard
+    * assignment are pure hash arithmetic) and reduce to: three scalar
+    * stage counters plus a (source, bucket, shard) → n count ledger
+    * over the train survivors. Everything here is a commutative
+    * monoid, so per-batch partials sum-merge into stored state and
+    * batch chopping is invisible (spec-pinned).
+    *
+    * Why ledger rows carry `bucket`: the mixture THRESHOLD is a
+    * function of the full surviving-train source counts, unknowable
+    * mid-stream — so the state stores the per-(source, bucket, shard)
+    * sufficient statistic and [[releaseManifestFromLedger]] applies
+    * the threshold at read time. State cardinality is bounded by
+    * |sources| × 10000 buckets × shard count — CORPUS-INDEPENDENT,
+    * the CMS-sink economics: a 100 TB ingest year keeps the same
+    * few-million-row ceiling.
+    */
+  def releaseLedgerDelta(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val gate = serveCurationGate(spark, dir, docs)
+      .select(col("doc_id"), (col("keep") === "Y").as("gk"))
+    val canon = xDedupCanonical(spark, dir)
+      .select(col("doc_id"), col("is_kept").as("dk"))
+    val split = serveSplitAssign(spark, dir, docs)
+      .select(col("doc_id"), col("split_group"))
+    val flags = docs.select(col("doc_id"), col("source"))
+      .join(gate, Seq("doc_id")).join(canon, Seq("doc_id")).join(split, Seq("doc_id"))
+      .withColumn("curated", col("gk") && col("dk"))
+      .withColumn("train", col("curated") && (col("split_group") === "train"))
+    val nullS = lit(null).cast(StringType)
+    val nullI = lit(null).cast(IntegerType)
+    val scalarRows = flags
+      .agg(
+        count(lit(1)).as("n_corpus"),
+        sum(when(col("curated"), 1L).otherwise(0L)).as("n_curated"),
+        sum(when(col("train"), 1L).otherwise(0L)).as("n_train"))
+      .select(explode(array(
+        struct(lit("corpus").as("kind"), col("n_corpus").as("n")),
+        struct(lit("curated").as("kind"), col("n_curated").as("n")),
+        struct(lit("train").as("kind"), col("n_train").as("n")))).as("s"))
+      .select(col("s.kind").as("kind"), nullS.as("source"),
+        nullI.as("bucket"), nullI.as("shard"), col("s.n").as("n"))
+    val ledger = flags.filter(col("train"))
+      .withColumn("bucket",
+        (TextOps.shingleHash(col("doc_id").cast(StringType)) % 10000)
+          .cast(IntegerType))
+      .withColumn("shard",
+        (TextOps.shingleHash(concat(lit("shuffle:"), col("doc_id").cast(StringType)))
+          % ShuffleShards).cast(IntegerType))
+      .groupBy("source", "bucket", "shard").agg(count(lit(1)).as("n"))
+      .select(lit("ledger").as("kind"), col("source"), col("bucket"),
+        col("shard"), col("n"))
+    scalarRows.unionByName(ledger)
+  }
+
+  /** The release MANIFEST read off the streamed ledger state — the
+    * ingest-time view of [[xReleasePipeline]], readable mid-stream at
+    * any point: scalar stages come straight from their counters;
+    * mixture thresholds are recomputed from the ledger's per-source
+    * train counts with the batch release's EXACT formula (same
+    * double-arithmetic chain on the same integers → identical
+    * thresholds), then 4_mixture / per-shard rows are threshold-
+    * filtered ledger sums. `EventStreamSpec` pins this row-equal to
+    * the batch `x_release_pipeline` over the same documents. All
+    * aggregates run on the bounded-cardinality state relation — never
+    * the corpus.
+    */
+  def releaseManifestFromLedger(state: DataFrame): DataFrame = {
+    def scalarRow(kind: String, stage: String) =
+      state.filter(col("kind") === kind)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"))
+        .select(lit(stage).as("stage"), col("n_rows"))
+    val led = state.filter(col("kind") === "ledger")
+    val w = (substring(col("source"), 4, 10).cast(IntegerType) % 3 + 1).cast(LongType)
+    val counts = led.groupBy("source").agg(sum(col("n")).as("n")).withColumn("w", w)
+    val totals = counts.agg(sum(col("w")).as("wsum"))
+    val withScale = counts.crossJoin(broadcast(totals))
+      .withColumn("cap", col("n").cast(DoubleType) * col("wsum").cast(DoubleType)
+        / col("w").cast(DoubleType))
+    val tMin = withScale.agg(min(col("cap")).as("t"))
+    val rates = withScale.crossJoin(broadcast(tMin))
+      .withColumn("threshold",
+        floor((col("w").cast(DoubleType) * col("t") * lit(10000.0))
+          / (col("wsum").cast(DoubleType) * col("n").cast(DoubleType))).cast(IntegerType))
+      .select("source", "threshold")
+    val mixedLed = led.join(broadcast(rates), "source")
+      .filter(col("bucket") < col("threshold"))
+    scalarRow("corpus", "1_corpus")
+      .unionByName(scalarRow("curated", "2_curated"))
+      .unionByName(scalarRow("train", "3_train"))
+      .unionByName(mixedLed
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"))
+        .select(lit("4_mixture").as("stage"), col("n_rows")))
+      .unionByName(mixedLed.groupBy("shard").agg(sum(col("n")).as("n_rows"))
+        .select(concat(lit("5_shard_"), col("shard").cast(StringType)).as("stage"),
+          col("n_rows")))
+      .orderBy("stage")
+  }
+
   /** Materialize the release: JSONL shards under `outDir` (one
     * directory per shard, rows sorted by shuffle key within each) plus
     * the manifest. The write path a training job consumes; the spec

@@ -749,6 +749,52 @@ object EventStream {
       .start()
   }
 
+  def mergeReleaseLedgerState(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy("kind", "source", "bucket", "shard")
+      .agg(sum(col("n")).as("n"))
+
+  /** Sum-merge is not idempotent → the same `_batchid` replay guard
+    * as [[mergeAggBatch]].
+    */
+  def mergeReleaseLedgerBatch(spark: SparkSession, stateDir: String, corpusDir: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!lastMergedBatch(spark, stateDir).contains(batchId)) {
+      val delta = graft.queries.ExtQueries.releaseLedgerDelta(spark, corpusDir, batch)
+      mergeIntoTarget(spark, stateDir, delta, delta.schema, Some(batchId))(mergeReleaseLedgerState)
+    }
+
+  /** Streaming RELEASE LEDGER maintenance — the ingest-time release
+    * manifest (the r10 verdict's item 6, extending [[runFunnelStream]]
+    * past the gate): each arriving micro-batch of documents runs the
+    * batch release's own serving paths and merges its
+    * mixture/shard-sufficient partials (three scalar stage counters +
+    * the (source, bucket, shard) train-survivor count ledger) into
+    * stored state, so `ExtQueries.releaseManifestFromLedger` can
+    * render the full x_release_pipeline manifest — including mixture
+    * and per-shard accounting — at ANY point mid-ingest, without
+    * rescanning a single document. State cardinality is bounded by
+    * |sources|×10000×shards, corpus-independent (the CMS-sink
+    * economics). Spec-pinned row-equal to the batch manifest over the
+    * same documents, with batch chopping invisible.
+    */
+  def runReleaseLedgerStream(
+      spark: SparkSession, inDir: String, corpusDir: String, stateDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeReleaseLedgerBatch(spark, stateDir, corpusDir, batch, batchId)
+      }
+      .start()
+  }
+
   /** Streaming COUNT-MIN SKETCH maintenance — the online form of
     * `x_countmin`, and the shape the sketch actually earns its keep
     * in at 100 TB: no vocabulary is ever materialized; each arriving

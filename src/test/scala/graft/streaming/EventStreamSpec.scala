@@ -197,6 +197,41 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(st).collect()(0).getLong(0) == once)
   }
 
+  test("release-ledger stream: mid-ingest manifest equals x_release_pipeline on the same documents") {
+    import graft.queries.ExtQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-release-stream").toString
+    val in = s"$dir/in"; val st = s"$dir/state"; val ck = s"$dir/ck"
+    // FULL document rows (the ledger needs source for mixture rates),
+    // chopped into two files + maxFilesPerTrigger=1: the summed
+    // partials must make batch chopping invisible — including the
+    // mixture thresholds, which are only correct if the ledger carries
+    // the right per-(source, bucket) sufficient statistics
+    val docs = graft.Tables.documents(spark, sfDir)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(in)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+    val sq = EventStream.runReleaseLedgerStream(spark, in, sfDir, st, ck,
+      maxFilesPerTrigger = Some(1))
+    assert(sq.awaitTermination(180000), "stream did not terminate within the timeout")
+
+    val live = ExtQueries.releaseManifestFromLedger(spark.read.parquet(st))
+    val batch = ExtQueries.xReleasePipeline(spark, sfDir)
+    assert(live.exceptAll(batch).isEmpty && batch.exceptAll(live).isEmpty,
+      s"stream manifest != batch manifest:\nlive=${live.collect().mkString(",")}\n" +
+        s"batch=${batch.collect().mkString(",")}")
+    assert(live.count() == batch.count())
+
+    // replayed micro-batch is a no-op (sum-merge is not idempotent)
+    val b = docs.limit(10)
+    EventStream.mergeReleaseLedgerBatch(spark, st, sfDir, b, batchId = 99L)
+    val once = ExtQueries.releaseManifestFromLedger(spark.read.parquet(st))
+      .collect().map(_.toString).toSeq
+    EventStream.mergeReleaseLedgerBatch(spark, st, sfDir, b, batchId = 99L)
+    val twice = ExtQueries.releaseManifestFromLedger(spark.read.parquet(st))
+      .collect().map(_.toString).toSeq
+    assert(once == twice)
+  }
+
   test("tombstone stream: streamed erasure requests gate serving row-equal to x_ann_delete") {
     import graft.queries.ExtQueries
     val sfDir = "/root/testdata/sf0.001"
