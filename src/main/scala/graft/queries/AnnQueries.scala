@@ -66,6 +66,35 @@ private[queries] trait AnnQueries { this: ExtQueries.type =>
   private[queries] val ivfKSql =
     s"GREATEST($IvfKFloor, CAST(FLOOR(SQRT(CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE)) + 0.5) AS BIGINT))"
 
+  /** Data-scaled QUERY-SAMPLE modulus for the evaluation legs that
+    * brute-force the corpus (exact top-k ground truth, exact-kNN
+    * agreement): mod = max(base, N div targetQ), so the sampled query
+    * count PINS at ~targetQ as the corpus grows instead of growing
+    * with it. The r11 sf1 matrix measured why this matters — with the
+    * r10 FIXED moduli the exact legs' cost was |Q|·N = N²/mod:
+    * `x_ann_recall` hit 56× and `x_knn_bulk_agreement` 38× on the 10×
+    * sf0.1→sf1 step. This is the same fixed-parameter-vs-data-scaled
+    * lesson as r8's IVF k=√N and r10's LSH planesFor, applied to the
+    * third family: evaluation sample sizes. (The SERVING paths were
+    * already fine — the same matrix read every stored-index probe
+    * query at ≤2×.) At small N the max() floor keeps the historical
+    * sample (base) so low-SF results are unchanged. Memoized through
+    * [[IvfStore.kFor]] — an eval sample must stay fixed against one
+    * corpus snapshot, and `reset()` invalidates it with the index.
+    */
+  private[queries] def evalQueryMod(
+      spark: SparkSession, dir: String, base: Int, targetQ: Int): Int =
+    IvfStore.kFor(s"qmod:$base:$targetQ:$dir") {
+      val n = Tables.embeddings(spark, dir).count()
+      math.max(base.toLong, n / targetQ).toInt
+    }
+
+  /** The oracle's modulus — same integer chain (BIGINT count,
+    * truncating div, greatest), as a scalar subquery.
+    */
+  private[queries] def evalQueryModSql(base: Int, targetQ: Int): String =
+    s"GREATEST($base, (SELECT COUNT(*) FROM embeddings) // $targetQ)"
+
   /** The stored index's replicated-assignment relation for a corpus —
     * built at most once per (JVM, corpus) by [[graft.ext.IvfStore]],
     * then consumed as a parquet scan by every probe query.
@@ -180,7 +209,7 @@ private[queries] trait AnnQueries { this: ExtQueries.type =>
        |$steps""".stripMargin
   }
 
-  private[queries] def annIvfSql(nprobe: Int, queryMod: Int = 100) =
+  private[queries] def annIvfSql(nprobe: Int, queryMod: String = "100") =
     s"""WITH $ivfTrainCtes,
        |assigned AS (
        |  SELECT vec_id, embedding, cell, rn AS cell_rank FROM (
@@ -190,7 +219,7 @@ private[queries] trait AnnQueries { this: ExtQueries.type =>
        |    FROM embeddings e CROSS JOIN c$IvfIters c) WHERE rn <= $IvfAssign),
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, cell FROM assigned
-       |  WHERE vec_id % $queryMod = 0 AND cell_rank <= $nprobe),
+       |  WHERE vec_id % ($queryMod) = 0 AND cell_rank <= $nprobe),
        |scored AS (
        |  SELECT q.query_id, a.cell, a.vec_id, ${cosSql("q.q_emb", "a.embedding")} AS cos
        |  FROM assigned a JOIN q USING (cell) WHERE q.query_id <> a.vec_id)
@@ -208,15 +237,19 @@ private[queries] trait AnnQueries { this: ExtQueries.type =>
     * back in recall). Deterministic end to end — both the index and
     * the exact ranking are oracle-mirrored, so even this META-query
     * hash-matches. Cost = the brute-force scan + two probe passes
-    * over the shared trained index; at corpus scale recall is
-    * estimated on a query SAMPLE exactly like this one (|Q| ≪ corpus),
-    * so the brute-force leg stays |Q|·corpus, never corpus².
+    * over the shared trained index; recall is estimated on a
+    * DATA-SCALED query sample ([[evalQueryMod]]: ~25 queries at every
+    * corpus size, base 20 preserved at small SFs), so the brute-force
+    * leg stays |Q|·corpus with |Q| pinned — never corpus². The r11
+    * sf1 matrix measured the fixed-mod form at 56× per 10× data; this
+    * form is ~linear.
     */
   def xAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val qmod = evalQueryMod(spark, dir, base = 20, targetQ = 25)
     // materialized: both probe legs consume the brute-force ranking,
-    // and the 25-row result pins one |Q|·corpus scan instead of two
+    // and the ~25-row result pins one |Q|·corpus scan instead of two
     val exact = Similarity.cosineTopK(
-        Tables.embeddings(spark, dir), col("vec_id") % 20 === 0, k = 1)
+        Tables.embeddings(spark, dir), col("vec_id") % qmod === 0, k = 1)
       .select(col("query_id"), col("vec_id").as("exact_id"))
       .localCheckpoint()
     // both probe legs consume the SAME stored index — offline state,
@@ -226,7 +259,7 @@ private[queries] trait AnnQueries { this: ExtQueries.type =>
     // no candidate must count as a MISS in the denominator — an inner
     // join would silently drop it and overstate recall
     def leg(nprobe: Int) = exact
-      .join(annIvfProbe(assigned, nprobe, queryMod = 20)
+      .join(annIvfProbe(assigned, nprobe, queryMod = qmod)
         .select(col("query_id"), col("vec_id").as("ann_id")), Seq("query_id"), "left")
       .agg(
         count(lit(1)).as("n_queries"),
@@ -236,14 +269,14 @@ private[queries] trait AnnQueries { this: ExtQueries.type =>
     leg(1).unionByName(leg(2)).orderBy("nprobe")
   }
 
-  private[queries] val xAnnRecallSql = {
+  private[queries] lazy val xAnnRecallSql = {
+    val qmod = evalQueryModSql(base = 20, targetQ = 25)
     def leg(nprobe: Int) =
       s"""SELECT $nprobe AS nprobe, COUNT(*) AS n_queries,
          |  CAST(SUM(CASE WHEN a.vec_id = ex.exact_id THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
          |FROM (SELECT query_id, vec_id AS exact_id
-         |      FROM (${xCosineTopKSql.replace("rank <= 5", "rank <= 1")
-                        .replace("vec_id % 100 = 0", "vec_id % 20 = 0")}) e) ex
-         |LEFT JOIN (${annIvfSql(nprobe, queryMod = 20)}) a
+         |      FROM (${cosineTopKSqlFor(qmod, k = 1)}) e) ex
+         |LEFT JOIN (${annIvfSql(nprobe, queryMod = qmod)}) a
          |  USING (query_id)""".stripMargin
     s"""SELECT nprobe, n_queries, n_matched,
        |  CAST(n_matched AS DOUBLE) / CAST(n_queries AS DOUBLE) AS recall

@@ -487,6 +487,14 @@ private[queries] trait CurationQueries { this: ExtQueries.type =>
        |FROM qq GROUP BY shard, n_docs ORDER BY shard""".stripMargin
   }
 
+  /** Candidate-generation document-frequency cap for [[xContainment]]:
+    * only shingles shared by ≤ this many docs generate candidate
+    * pairs, bounding pair work by cap·|postings| (linear). 16 is far
+    * above the organic df of content shingles on random-text corpora
+    * (overwhelmingly 1-2) while excluding corpus boilerplate.
+    */
+  private[queries] val ContainDfCap = 16L
+
   /** ASYMMETRIC containment dedup — the near-dup class symmetric
     * Jaccard is structurally blind to: a short document fully
     * CONTAINED in a longer one (a quote, an excerpt, a truncated
@@ -500,12 +508,24 @@ private[queries] trait CurationQueries { this: ExtQueries.type =>
     * subset of its source's by the prefix property — the output
     * must contain exactly those (source, copy) rows at
     * containment 1.0 with jaccard ≈ 0.5 (spec-asserted), plus any
-    * organic near-dup pairs (high on BOTH measures). Exact
-    * intersection counts come from the shingle-postings self-join on
-    * the doc_id % 3 measurement sample — the [[xDedupLshQuality]]
-    * Σ df² route; at 100 TB the candidate step blocks on LOW-df
-    * shingles (df ≤ cap bounds Σ df²; a shared rare shingle is what
-    * identifies containment) before this exact pair-bounded leg.
+    * organic near-dup pairs (high on BOTH measures).
+    *
+    * Candidate generation is DF-CAPPED (r11): the naive postings
+    * self-join costs Σ df² over ALL shingles, which the sf1 matrix
+    * measured at 19.5× per 10× data (df grows with the corpus, so the
+    * sum is quadratic even on the doc_id % 3 sample). Candidates now
+    * come only from shingles with df ≤ [[ContainDfCap]], bounding the
+    * pair-generation join by cap·|postings| — LINEAR in the corpus —
+    * and the intersection count is then computed EXACTLY over the
+    * full shingle sets of the surviving candidate pairs (pair-bounded
+    * fan-out, the two-stage filter-verify shape of every dedup path
+    * here). The semantic trade is explicit and the right one for
+    * containment: a contained doc shares ~all its shingles with its
+    * container, so SOME shared shingle is rare unless the doc is made
+    * entirely of corpus-boilerplate shingles — exactly the pairs a
+    * containment audit should not surface anyway (CurationSpec pins
+    * both directions: injected prefix-copies still found at 1.0, and
+    * an all-boilerplate pair is excluded by the cap).
     */
   def xContainment(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)
@@ -519,9 +539,18 @@ private[queries] trait CurationQueries { this: ExtQueries.type =>
       array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"))
     val posts = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    posts.as("a").join(posts.as("b"),
+    val rareShingles = posts.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(ContainDfCap)).select("shingle")
+    val rare = posts.join(rareShingles, Seq("shingle"))
+    val cand = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(posts.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(posts.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
@@ -545,9 +574,18 @@ private[queries] trait CurationQueries { this: ExtQueries.type =>
        |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks", 3)}) AS sh FROM alldocs),
        |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
        |posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+       |rare AS (
+       |  SELECT p.doc_id, p.shingle FROM posts p
+       |  JOIN (SELECT shingle FROM posts GROUP BY shingle
+       |        HAVING COUNT(*) <= $ContainDfCap) r USING (shingle)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
        |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-       |  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN posts pa ON pa.doc_id = c.doc_a
+       |  JOIN posts pb ON pb.doc_id = c.doc_b AND pb.shingle = pa.shingle
        |  GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b, sa.n_sh AS na, sb.n_sh AS nb, i.n_inter,
        |  CAST(i.n_inter AS DOUBLE)

@@ -18,20 +18,35 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
   // Similarity search
   // ===================================================================
 
-  /** Brute-force cosine top-5 for query vectors (vec_id % 100 == 0). */
-  def xCosineTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineTopK(Tables.embeddings(spark, dir), col("vec_id") % 100 === 0, k = 5)
+  /** Brute-force cosine top-5 for a DATA-SCALED query sample
+    * ([[evalQueryMod]]: ~5 queries at every corpus size, the r11
+    * fixed-mod→N² fix; base 100 preserves the historical sample at
+    * small SFs). The baseline leg every ANN query measures against —
+    * its cost is |Q|·corpus with |Q| pinned, i.e. a constant number
+    * of corpus scans at any scale.
+    */
+  def xCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val m = evalQueryMod(spark, dir, base = 100, targetQ = 5)
+    Similarity.cosineTopK(Tables.embeddings(spark, dir), col("vec_id") % m === 0, k = 5)
       .orderBy("query_id", "rank")
+  }
 
-  private[queries] val xCosineTopKSql =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+  /** The brute-force top-k oracle over an arbitrary query-modulus
+    * expression — shared by [[xCosineTopKSql]] and `xAnnRecallSql`'s
+    * exact leg (which re-parameterizes modulus and k).
+    */
+  private[queries] def cosineTopKSqlFor(modExpr: String, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % ($modExpr) = 0),
        |scored AS (
        |  SELECT q.query_id, e.vec_id, e.label, ${cosSql("q.q_emb", "e.embedding")} AS cos
        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
        |  FROM scored)
        |SELECT query_id, vec_id, label, cos, rank FROM ranked
-       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  private[queries] lazy val xCosineTopKSql =
+    cosineTopKSqlFor(evalQueryModSql(base = 100, targetQ = 5), k = 5)
 
   /** kNN label propagation — the embedding-space weak-supervision /
     * classifier-eval primitive: each query vector takes the MAJORITY
@@ -50,14 +65,15 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
     */
   def xKnnClassify(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val votes = Similarity.cosineTopK(emb, col("vec_id") % 100 === 0, k = 5)
+    val m = evalQueryMod(spark, dir, base = 100, targetQ = 5)
+    val votes = Similarity.cosineTopK(emb, col("vec_id") % m === 0, k = 5)
       .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("votes").desc, col("label"))
     votes.withColumn("rn", row_number().over(byQuery))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
-      .join(emb.filter(col("vec_id") % 100 === 0)
+      .join(emb.filter(col("vec_id") % m === 0)
         .select(col("vec_id").as("query_id"), col("label").as("true_label")),
         Seq("query_id"))
       .select(col("query_id"), col("pred_label"), col("votes"), col("true_label"),
@@ -65,8 +81,9 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
       .orderBy("query_id")
   }
 
-  private[queries] val xKnnClassifySql =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+  private[queries] lazy val xKnnClassifySql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % (${evalQueryModSql(base = 100, targetQ = 5)}) = 0),
        |scored AS (
        |  SELECT q.query_id, e.vec_id, e.label, ${cosSql("q.q_emb", "e.embedding")} AS cos
        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
@@ -163,11 +180,12 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
     * exact |Q|·corpus labeler — the `x_ann_recall` honesty contract
     * applied to classification: how often does probing the stored
     * cells give the SAME majority label as exact top-5 kNN? The eval
-    * sample is vec_id % 25 = 0 (20/20/80 queries at
-    * sf0.001/0.01/0.1 — `xKnnClassify`'s % 100 sample is 5 queries
-    * at the small SFs, too few for the fraction to mean anything, so
-    * this query carries its own wider exact leg with the same vote
-    * rule). r8 measurement: 0.50/0.35/0.225 at sf0.001/0.01/0.1 — on
+    * sample is data-scaled ([[evalQueryMod]], ~20 queries at every
+    * corpus size; 20/20 at sf0.001/0.01 under the base-25 floor —
+    * `xKnnClassify`'s sample is 5 queries, too few for the fraction
+    * to mean anything, so this query carries its own wider exact leg
+    * with the same vote rule).
+    * r8 measurement: 0.50/0.35/0.225 at sf0.001/0.01/0.1 — on
     * THIS uniform-sphere corpus a 5-vote majority from the two probed
     * cells' ~4N/k candidates (9% of the corpus at sf0.1) agrees with
     * the full-corpus majority only a quarter to half the time: with
@@ -184,7 +202,12 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
     */
   def xKnnBulkAgreement(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val evotes = Similarity.cosineTopK(emb, col("vec_id") % 25 === 0, k = 5)
+    // data-scaled eval sample (~20 queries at any corpus size; base 25
+    // preserves the historical sample at small SFs) — the exact leg is
+    // |Q|·corpus, and the r11 sf1 matrix measured the fixed-mod form
+    // at 38× per 10× data
+    val m = evalQueryMod(spark, dir, base = 25, targetQ = 20)
+    val evotes = Similarity.cosineTopK(emb, col("vec_id") % m === 0, k = 5)
       .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("votes").desc, col("label"))
@@ -192,7 +215,7 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
       .filter(col("rn") === 1)
       .select(col("query_id"), col("label").as("exact_label"))
     val bulk = xKnnBulk(spark, dir)
-      .filter(col("query_id") % 25 === 0)
+      .filter(col("query_id") % m === 0)
       .select(col("query_id"), col("pred_label").as("bulk_label"))
     exact.join(bulk, Seq("query_id"))
       .agg(
@@ -207,7 +230,8 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
   private[queries] lazy val xKnnBulkAgreementSql =
     s"""WITH $ivfTrainCtes,
        |$knnBulkCtes,
-       |eq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
+       |eq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % (${evalQueryModSql(base = 25, targetQ = 20)}) = 0),
        |escored AS (
        |  SELECT eq.query_id, e.vec_id, e.label, ${cosSql("eq.q_emb", "e.embedding")} AS cos
        |  FROM eq CROSS JOIN embeddings e WHERE e.vec_id <> eq.query_id),
@@ -221,7 +245,8 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
        |  CAST(SUM(CASE WHEN pb.pred_label = pe.exact_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
        |  CAST(SUM(CASE WHEN pb.pred_label = pe.exact_label THEN 1 ELSE 0 END) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE) AS agreement
-       |FROM pe JOIN pb ON pb.query_id = pe.query_id AND pb.query_id % 25 = 0""".stripMargin
+       |FROM pe JOIN pb ON pb.query_id = pe.query_id
+       |  AND pb.query_id % (${evalQueryModSql(base = 25, targetQ = 20)}) = 0""".stripMargin
 
   /** Hard negatives per anchor — the contrastive-training fan-out. */
   private[queries] val HardNegK = 3
@@ -313,9 +338,11 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
     * row-identical to [[xCosineTopK]] (same oracle), but the per-key
     * state is capped at k rows instead of a full window sort.
     */
-  def xCosineTopKAgg(spark: SparkSession, dir: String): DataFrame =
-    TopK.cosineTopKAgg(Tables.embeddings(spark, dir), col("vec_id") % 100 === 0, k = 5)
+  def xCosineTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    val m = evalQueryMod(spark, dir, base = 100, targetQ = 5)
+    TopK.cosineTopKAgg(Tables.embeddings(spark, dir), col("vec_id") % m === 0, k = 5)
       .orderBy("query_id", "rank")
+  }
 
   /** LSH-bucketed ANN: top-1 in-bucket neighbor per query vector. */
   def xAnnLsh(spark: SparkSession, dir: String): DataFrame =

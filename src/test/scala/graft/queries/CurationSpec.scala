@@ -808,6 +808,38 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Double]("containment") >= r.getAs[Double]("jaccard"), r.toString))
   }
 
+  test("x_containment: df-capped candidate generation keeps rare-shingle pairs, drops all-boilerplate pairs") {
+    import spark.implicits._
+    // the r11 reshape's semantic trade, pinned in both directions: a
+    // contained pair sharing RARE shingles surfaces; a pair whose
+    // EVERY shared shingle is corpus boilerplate (df > ContainDfCap)
+    // generates no candidate and is excluded — the pairs a
+    // containment audit should not surface anyway. doc_ids are % 3 ==
+    // 0 (the sample) and % 15 != 0 (no injected copies muddying it).
+    val boiler = "common words repeated all over this corpus boilerplate chunk"
+    // 20 docs made ENTIRELY of the same boilerplate (df = 20 > 16 for
+    // every shingle), so e.g. (3, 6) share only high-df shingles
+    val boilerDocs = (0 until 20).map(i => (3L + 3 * i, boiler))
+    // one rare containment pair: doc 63's text contained in doc 66's
+    val rareA = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (boilerDocs ++ Seq((63L, rareA), (66L, rareA + " iota kappa lambda mu")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ExtQueries.xContainment(spark, tmp).collect()
+    // the rare pair is found at containment 1.0 (subset by construction)
+    val rare = rows.filter(r => r.getAs[Long]("doc_a") == 63L && r.getAs[Long]("doc_b") == 66L)
+    assert(rare.length == 1, rows.mkString(","))
+    assert(rare.head.getAs[Double]("containment") == 1.0, rare.head.toString)
+    // identical boilerplate docs have containment 1.0 — but every
+    // shared shingle has df 20 > cap, so NO boiler pair surfaces
+    val boilerPairs = rows.filter(r => r.getAs[Long]("doc_a") != 63L)
+    assert(boilerPairs.isEmpty,
+      s"all-boilerplate pairs must be excluded by the df cap: ${boilerPairs.mkString(",")}")
+  }
+
   test("x_shard_mixing: every shard's diversity tracks the corpus; counts are complete") {
     val rows = ExtQueries.xShardMixing(spark, dir).collect()
       .map(r => r.getAs[Int]("shard") -> r).toMap
