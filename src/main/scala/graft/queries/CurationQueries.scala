@@ -789,6 +789,111 @@ private[queries] trait CurationQueries { this: ExtQueries.type =>
        |ORDER BY stage""".stripMargin
   }
 
+  /** MEASURED blocking recall of [[xContainment]]'s df-capped
+    * candidate generation — the honesty query the r11 reshape owes
+    * (the `x_dedup_lsh_quality` contract applied to containment): on
+    * a BOUNDED doc subsample, compute the EXACT containment-pair
+    * truth via the full postings self-join (affordable because the
+    * subsample is pinned ~500 docs by a data-scaled modulus, Σ df²
+    * over 500 docs regardless of corpus size), then report how many
+    * true pairs the df ≤ [[ContainDfCap]] blocking also generates as
+    * candidates. A recall below 1.0 is the measured size of the
+    * cap's semantic trade (pairs whose EVERY shared shingle is
+    * corpus boilerplate), not an assertion.
+    *
+    * Subsample modulus = 3·max(1, n_docs div 1500) — a multiple of 3
+    * so the audit universe nests inside the query's own doc_id % 3
+    * sample (injected prefix copies included, same construction); at
+    * small SFs the floor keeps modulus 3, i.e. the audit covers the
+    * full x_containment universe.
+    */
+  def xContainmentQuality(spark: SparkSession, dir: String): DataFrame = {
+    val qm = IvfStore.kFor(s"containq-mod:$dir") {
+      val n = Tables.documents(spark, dir).count()
+      (3L * math.max(1L, n / 1500L)).toInt
+    }
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % qm === 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val injected = docs.filter(col("doc_id") % 15 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        slice(col("toks"), lit(1),
+          ((size(col("toks")) + lit(1)) / lit(2)).cast(IntegerType)).as("toks"))
+    val all = docs.unionByName(injected)
+    val sh = all.select(col("doc_id"),
+      array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"))
+    val posts = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // exact truth: full self-join — bounded by the pinned subsample
+    val truth = posts.as("a").join(posts.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .filter(col("n_inter").cast(DoubleType) /
+        least(col("na"), col("nb")).cast(DoubleType) >= 0.8)
+      .select("doc_a", "doc_b")
+    // the blocking under audit: same df-cap rule as x_containment
+    val rare = posts.join(
+      posts.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= lit(ContainDfCap)).select("shingle"), Seq("shingle"))
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nDocs = all.agg(count(lit(1)).as("n_docs"))
+    truth.join(cand.withColumn("_found", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(when(col("_found").isNotNull, 1L).otherwise(0L)).as("n_found"))
+      .crossJoin(broadcast(nDocs)) // 1-row scalar
+      .select(col("n_docs"),
+        coalesce(col("n_true_pairs"), lit(0L)).as("n_true_pairs"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        (col("n_found").cast(DoubleType) /
+          nullif(col("n_true_pairs").cast(DoubleType), lit(0.0)))
+          .as("blocking_recall"))
+  }
+
+  private[queries] lazy val xContainmentQualitySql = {
+    val qm = "3 * GREATEST(1, (SELECT COUNT(*) FROM documents) // 1500)"
+    s"""WITH base AS (
+       |  SELECT doc_id, $ToksSql AS toks FROM documents WHERE doc_id % ($qm) = 0),
+       |inj AS (
+       |  SELECT doc_id + 1000000000 AS doc_id,
+       |    toks[1:((len(toks) + 1) // 2)] AS toks
+       |  FROM base WHERE doc_id % 15 = 0),
+       |alldocs AS (SELECT * FROM base UNION ALL SELECT * FROM inj),
+       |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks", 3)}) AS sh FROM alldocs),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+       |posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+       |truth AS (
+       |  SELECT i.doc_a, i.doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |    FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) i
+       |  JOIN sz sa ON i.doc_a = sa.doc_id
+       |  JOIN sz sb ON i.doc_b = sb.doc_id
+       |  WHERE CAST(i.n_inter AS DOUBLE)
+       |      / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.8),
+       |rare AS (
+       |  SELECT p.doc_id, p.shingle FROM posts p
+       |  JOIN (SELECT shingle FROM posts GROUP BY shingle
+       |        HAVING COUNT(*) <= $ContainDfCap) r USING (shingle)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM alldocs),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_true_pairs,
+       |    CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+       |  FROM truth t LEFT JOIN cand c
+       |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+       |SELECT nd.n_docs, agg.n_true_pairs, agg.n_found,
+       |  CAST(agg.n_found AS DOUBLE)
+       |    / NULLIF(CAST(agg.n_true_pairs AS DOUBLE), 0.0) AS blocking_recall
+       |FROM agg CROSS JOIN nd""".stripMargin
+  }
+
   /** ONE micro-batch's release-ledger partial — the streaming
     * decomposition of [[xReleasePipeline]] (the r10 verdict's "stream
     * the release manifest"): arriving docs run the SAME serving paths

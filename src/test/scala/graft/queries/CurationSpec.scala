@@ -838,6 +838,18 @@ class CurationSpec extends SparkSpec {
     val boilerPairs = rows.filter(r => r.getAs[Long]("doc_a") != 63L)
     assert(boilerPairs.isEmpty,
       s"all-boilerplate pairs must be excluded by the df cap: ${boilerPairs.mkString(",")}")
+    // and the honesty audit MEASURES exactly that trade. Exact truth
+    // at containment >= 0.8 on this fixture: C(20,2) = 190
+    // boiler-boiler pairs, 4 injected half-prefix copies (of the
+    // % 15 boilers) x 20 boilers = 80 copy-boiler pairs, C(4,2) = 6
+    // copy-copy pairs, + the rare pair = 277. Every boiler shingle
+    // has df 20 or 24 > cap, so the capped blocking finds ONLY the
+    // rare pair and the reported recall is the honest fraction.
+    val q = ExtQueries.xContainmentQuality(spark, tmp).collect().head
+    assert(q.getAs[Long]("n_docs") == 26L, q.toString)
+    assert(q.getAs[Long]("n_true_pairs") == 277L, q.toString)
+    assert(q.getAs[Long]("n_found") == 1L, q.toString)
+    assert(math.abs(q.getAs[Double]("blocking_recall") - 1.0 / 277.0) < 1e-12, q.toString)
   }
 
   test("x_shard_mixing: every shard's diversity tracks the corpus; counts are complete") {

@@ -37,7 +37,8 @@ class RegistrySpec extends AnyFunSuite {
     "x_bpe_corpus_tokens", "x_bpe_drift", "x_bpe_encode",
     "x_bpe_fertility", "x_bpe_merges", "x_bpe_merges_local",
     "x_chunk_tokens", "x_cluster_labels", "x_collocations",
-    "x_containment", "x_contamination", "x_contamination_incr",
+    "x_containment", "x_containment_quality", "x_contamination",
+    "x_contamination_incr",
     "x_cosine_topk", "x_cosine_topk_agg", "x_countmin",
     "x_curation_funnel", "x_curriculum", "x_datacard", "x_datacard_diff",
     "x_dedup_canonical", "x_dedup_components", "x_dedup_edit",
