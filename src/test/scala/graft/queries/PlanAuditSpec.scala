@@ -25,6 +25,24 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     planOf(graft.SparkEntry.queries(name)(spark, dir))
 
+  test("x_lr_pr_curve: scores from the stored feature relation, grid broadcast, no window") {
+    val p = plan("x_lr_pr_curve")
+    // the corpus is tokenized ONCE into the stored lr-feats relation —
+    // the curve must consume it, never re-scan documents
+    assert(!p.contains("documents.parquet"), p)
+    // 1-row bounds + 11-row threshold spine arrive as broadcasts
+    assert(p.contains("BroadcastExchange"), p)
+    // the sweep is a fixed-grid aggregate — no per-score ranking
+    // window anywhere (that would be a corpus-wide sort at scale)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("x_containment: df-capped pair generation — no cartesian product, no window") {
+    val p = plan("x_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q1_agg: shipdate predicate reaches the parquet scan as a raw-timestamp range") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
