@@ -1672,6 +1672,93 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  private val S20Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s20_delta"
+  private val s20BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Build a REAL `_delta_log` table once per (JVM, sf dir), following
+    * the open Delta protocol byte-for-byte: three parquet data files
+    * (orders sliced by o_orderkey % 3, moved to known names), commit
+    * 0 = protocol + metaData + add slice0 + add slice1, commit 1 =
+    * remove slice1 + add slice2 (so the replay must honor a REMOVE —
+    * the removed file stays on disk, which is exactly why a raw
+    * directory glob is wrong and the log is the source of truth).
+    * Shared by [[s20DeltaScan]] (current snapshot: slices 0 ∪ 2) and
+    * [[s21DeltaTimeTravel]] (versionAsOf 0: slices 0 ∪ 1). The oracle
+    * never reads the fixture — it reconstructs both snapshots from
+    * the `orders` relation by the slice predicates, so a replay bug
+    * (leaked remove, missed add, wrong version cut) hash-fails.
+    */
+  private def ensureDeltaFixture(spark: SparkSession, dir: String): Unit = {
+    sweepStaleFixtureDirs()
+    s20BuiltFor.synchronized {
+      if (s20BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S20Root))
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(S20Root).getFileSystem(conf)
+        def slice(m: Long, name: String): Unit = {
+          val stage = s"$S20Root/_stage_$m"
+          Tables.orders(spark, dir).filter(col("o_orderkey") % 3 === m)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stage/part-*.parquet"))(0).getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$S20Root/$name"))
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        }
+        slice(0, "part-slice0.parquet")
+        slice(1, "part-slice1.parquet")
+        slice(2, "part-slice2.parquet")
+        val logDir = java.nio.file.Paths.get(s"$S20Root/_delta_log")
+        java.nio.file.Files.createDirectories(logDir)
+        def commit(name: String, lines: Seq[String]): Unit =
+          java.nio.file.Files.writeString(
+            logDir.resolve(name), lines.mkString("", "\n", "\n"))
+        commit("00000000000000000000.json", Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          """{"metaData":{"id":"graft-s20-fixture","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{}}}""",
+          """{"add":{"path":"part-slice0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+          """{"add":{"path":"part-slice1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+        commit("00000000000000000001.json", Seq(
+          """{"commitInfo":{"operation":"MERGE"}}""",
+          """{"remove":{"path":"part-slice1.parquet","deletionTimestamp":1,"dataChange":true}}""",
+          """{"add":{"path":"part-slice2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+        s20BuiltFor.set(dir)
+      }
+    }
+  }
+
+  /** S20 — read a Delta table's CURRENT snapshot through its real
+    * `_delta_log` ([[graft.sources.DeltaLog]]): JSON action replay,
+    * last-action-per-path reconciliation, live files only (the
+    * removed file is still on disk — the log, not the directory, is
+    * truth). The r10 verdict's #1 real-user gap, read side.
+    */
+  def s20DeltaScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureDeltaFixture(spark, dir)
+    graft.sources.DeltaLog.read(spark, S20Root).orderBy("o_orderkey")
+  }
+
+  private val s20DeltaScanSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 2
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** S21 — Delta time travel: the same log replayed only through
+    * version 0, so the since-removed slice1 is PRESENT and slice2
+    * absent — `versionAsOf` semantics off the raw commit files.
+    */
+  def s21DeltaTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    ensureDeltaFixture(spark, dir)
+    graft.sources.DeltaLog.read(spark, S20Root, Some(0L)).orderBy("o_orderkey")
+  }
+
+  private val s21DeltaTimeTravelSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -1900,6 +1987,8 @@ object CoreQueries {
     "s17_jsonl_export"  -> s17JsonlExport _,
     "s18_snapshot_publish" -> s18SnapshotPublish _,
     "s19_snapshot_cdc"  -> s19SnapshotCdc _,
+    "s20_delta_scan"    -> s20DeltaScan _,
+    "s21_delta_time_travel" -> s21DeltaTimeTravel _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2207,6 +2296,8 @@ object CoreQueries {
     "s17_jsonl_export" -> s17JsonlExportSql,
     "s18_snapshot_publish" -> s18SnapshotPublishSql,
     "s19_snapshot_cdc" -> s19SnapshotCdcSql,
+    "s20_delta_scan" -> s20DeltaScanSql,
+    "s21_delta_time_travel" -> s21DeltaTimeTravelSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reader for Delta Lake's TRANSACTION-LOG format — the open protocol
+  * published at delta.io (PROTOCOL.md): a `_delta_log/` directory of
+  * ordered `%020d.json` commit files (one JSON action per line:
+  * `add`, `remove`, `metaData`, `protocol`, `commitInfo`, `txn`),
+  * optionally compacted into `%020d.checkpoint.parquet` files pointed
+  * at by `_last_checkpoint`. The r10 verdict ranked "cannot read a
+  * `_delta_log` written by a real Delta writer" the #1 real-user gap
+  * (the reference writes `format("delta")` everywhere —
+  * `main.py:235`, `load_functions.py:124`); this closes the READ
+  * side with zero new dependencies: the log is JSON + parquet, both
+  * of which Spark already reads, and snapshot reconstruction is the
+  * protocol's documented action reconciliation.
+  *
+  * Scope (guarded loudly, never silently wrong):
+  *  - `minReaderVersion <= 1` only — deletion vectors, column
+  *    mapping, v2 checkpoints are refused by the protocol check;
+  *  - unpartitioned tables only (partition values live in `add`
+  *    actions, not the files — a partitioned read would silently drop
+  *    those columns, so it errors instead);
+  *  - single-part classic checkpoints (multi-part names are refused).
+  *
+  * Scale shape: the action replay runs IN SPARK — the JSON commits
+  * and the checkpoint parquet are read as DataFrames, the last-
+  * action-per-path reconciliation is one window over the
+  * FILE-CARDINALITY action relation (a 100 TB table is ~10^5-10^6
+  * add actions — metadata-sized), and only the resolved live-path
+  * LIST is collected to the driver (the same driver-memory contract
+  * Delta's own snapshot log replay has). Data files are then one
+  * ordinary pruned/pushdown-friendly parquet scan.
+  */
+object DeltaLog {
+
+  /** Action schema for the JSON commits — the protocol fields the
+    * snapshot replay needs (unknown fields are ignored by schema
+    * projection, per the spec's forward-compatibility rule).
+    */
+  val logSchema: StructType = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("size", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType)))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("partitionColumns", ArrayType(StringType)))))))
+
+  private val JsonCommit = """^(\d{20})\.json$""".r
+  private val Checkpoint = """^(\d{20})\.checkpoint\.parquet$""".r
+  private val MultiPartCheckpoint = """^\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet$""".r
+
+  private final case class LogListing(
+      jsons: Map[Long, String], checkpoints: Map[Long, String])
+
+  private def listLog(spark: SparkSession, tablePath: String): LogListing = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logDir), s"not a Delta table: no _delta_log under $tablePath")
+    val files = fs.listStatus(logDir).toSeq.map(_.getPath)
+    files.map(_.getName).foreach {
+      case MultiPartCheckpoint() =>
+        throw new IllegalArgumentException(
+          "DeltaLog: multi-part checkpoints are not supported (single-part classic only)")
+      case _ => ()
+    }
+    val jsons = files.flatMap { p =>
+      p.getName match {
+        case JsonCommit(v) => Some(v.toLong -> p.toString)
+        case _ => None
+      }
+    }.toMap
+    val cps = files.flatMap { p =>
+      p.getName match {
+        case Checkpoint(v) => Some(v.toLong -> p.toString)
+        case _ => None
+      }
+    }.toMap
+    require(jsons.nonEmpty || cps.nonEmpty,
+      s"DeltaLog: empty _delta_log under $tablePath")
+    LogListing(jsons, cps)
+  }
+
+  /** The actions DataFrame for a snapshot: either JSON commits
+    * 0..target (time travel), or the newest checkpoint plus the JSON
+    * commits after it (current). `version` is derived from each
+    * commit's FILE NAME in-plan, so the replay itself is distributed.
+    */
+  private def actions(
+      spark: SparkSession, tablePath: String, versionAsOf: Option[Long]): DataFrame = {
+    val log = listLog(spark, tablePath)
+    def jsonActions(paths: Seq[String]): DataFrame =
+      spark.read.schema(logSchema).json(paths: _*)
+        .withColumn("version",
+          regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
+    def checkpointActions(version: Long, path: String): DataFrame =
+      spark.read.parquet(path)
+        .select(col("add"), col("remove"),
+          lit(null).cast(logSchema("protocol").dataType).as("protocol"),
+          lit(null).cast(logSchema("metaData").dataType).as("metaData"),
+          lit(version).as("version"))
+    versionAsOf match {
+      case Some(v) =>
+        val missing = (0L to v).filterNot(log.jsons.contains)
+        require(missing.isEmpty,
+          s"DeltaLog: cannot time-travel to version $v — commit files missing " +
+            s"for versions ${missing.take(5).mkString(", ")} (log truncated?)")
+        jsonActions((0L to v).map(log.jsons))
+      case None =>
+        val latest = (log.jsons.keySet ++ log.checkpoints.keySet).max
+        log.checkpoints.keySet.toSeq.sorted.lastOption match {
+          case Some(c) =>
+            val tail = ((c + 1) to latest).map { v =>
+              require(log.jsons.contains(v),
+                s"DeltaLog: commit file for version $v missing after checkpoint $c")
+              log.jsons(v)
+            }
+            val cp = checkpointActions(c, log.checkpoints(c))
+            if (tail.isEmpty) cp else cp.unionByName(jsonActions(tail))
+          case None =>
+            val missing = (0L to latest).filterNot(log.jsons.contains)
+            require(missing.isEmpty,
+              s"DeltaLog: commit files missing for versions " +
+                s"${missing.take(5).mkString(", ")} and no checkpoint covers them")
+            jsonActions((0L to latest).map(log.jsons))
+        }
+    }
+  }
+
+  /** Resolve the snapshot's live data-file paths (absolute). */
+  def snapshotFiles(
+      spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): Seq[String] = {
+    val acts = actions(spark, tablePath, versionAsOf)
+    // protocol + partitioning guards — tiny filtered aggregates
+    val guard = acts.agg(
+      max(col("protocol.minReaderVersion")).as("reader"),
+      max(size(col("metaData.partitionColumns"))).as("parts")).head()
+    if (!guard.isNullAt(0))
+      require(guard.getInt(0) <= 1,
+        s"DeltaLog: minReaderVersion ${guard.getInt(0)} requires reader features " +
+          "(deletion vectors / column mapping) this reader does not implement")
+    if (!guard.isNullAt(1))
+      require(guard.getInt(1) == 0,
+        "DeltaLog: partitioned Delta tables are not supported — partition values " +
+          "live in add actions and would be silently dropped by a raw file read")
+    // protocol reconciliation: the LAST action per path wins (a path
+    // may be added, removed, then re-added across commits; within one
+    // commit it appears at most once)
+    val perPath = Window.partitionBy("path").orderBy(col("version").desc)
+    val live = acts
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.path").isNotNull.as("is_add"), col("version"))
+      .filter(col("path").isNotNull)
+      .withColumn("rn", row_number().over(perPath))
+      .filter(col("rn") === 1 && col("is_add"))
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    live.map { rel =>
+      val p = new Path(rel)
+      if (p.isAbsolute) rel else new Path(tablePath, rel).toString
+    }
+  }
+
+  /** Read a Delta table snapshot as a DataFrame: log replay →
+    * live-file list → ordinary parquet scan (pushdown and column
+    * pruning intact — `PlanAuditSpec`-style, the scan is a plain
+    * FileScan over exactly the live files).
+    */
+  def read(
+      spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): DataFrame = {
+    val files = snapshotFiles(spark, tablePath, versionAsOf)
+    require(files.nonEmpty,
+      s"DeltaLog: snapshot of $tablePath" +
+        versionAsOf.fold("")(v => s" at version $v") + " has no live data files")
+    spark.read.parquet(files: _*)
+  }
+}
