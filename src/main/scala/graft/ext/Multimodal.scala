@@ -198,8 +198,8 @@ object Multimodal {
   private val PngSig: Array[Byte] =
     Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
 
-  /** REAL image decoder #3: PNG — non-interlaced, 8-bit RGB (color
-    * type 2) or RGBA (type 6). The whole format is reachable with
+  /** REAL image decoder #3: PNG — non-interlaced, 8-bit grayscale
+    * (color type 0), RGB (2) or RGBA (6). The whole format is reachable with
     * zero native deps because DEFLATE ships in the JDK
     * (`java.util.zip.Inflater`): signature check, chunk walk with
     * per-chunk CRC32 verification (`java.util.zip.CRC32`), IHDR
@@ -241,8 +241,8 @@ object Multimodal {
           require(w > 0 && w <= 100000 && h > 0 && h <= 100000,
             s"PNG: bad dimensions ${w}x$h")
           require(depth == 8, s"PNG: only 8-bit depth supported, got $depth")
-          require(colorType == 2 || colorType == 6,
-            s"PNG: only RGB (2) / RGBA (6) supported, got $colorType")
+          require(colorType == 0 || colorType == 2 || colorType == 6,
+            s"PNG: only grayscale (0) / RGB (2) / RGBA (6) supported, got $colorType")
           require((bytes(i + 18) & 0xff) == 0, "PNG: unknown compression method")
           require((bytes(i + 19) & 0xff) == 0, "PNG: unknown filter method")
           require((bytes(i + 20) & 0xff) == 0, "PNG: only non-interlaced supported")
@@ -258,7 +258,7 @@ object Multimodal {
     require(seenIhdr, "PNG: no IHDR chunk")
     require(seenIend, "PNG: no IEND chunk")
     require(idat.size > 0, "PNG: no IDAT data")
-    val bpp = if (colorType == 6) 4 else 3
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
     val stride = w * bpp
     val rawLen = h * (stride + 1) // +1: per-scanline filter byte
     val raw = new Array[Byte](rawLen)
@@ -312,16 +312,25 @@ object Multimodal {
       }
       r += 1
     }
-    if (bpp == 3) RasterImage(w, h, recon)
-    else { // RGBA -> RGB (alpha dropped; the RasterImage contract is RGB)
-      val out = new Array[Byte](w * h * 3)
-      var p = 0
-      while (p < w * h) {
-        out(p * 3) = recon(p * 4); out(p * 3 + 1) = recon(p * 4 + 1)
-        out(p * 3 + 2) = recon(p * 4 + 2)
-        p += 1
-      }
-      RasterImage(w, h, out)
+    bpp match {
+      case 3 => RasterImage(w, h, recon)
+      case 1 => // grayscale -> RGB (replicate; the RasterImage contract is RGB)
+        val out = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          out(p * 3) = recon(p); out(p * 3 + 1) = recon(p); out(p * 3 + 2) = recon(p)
+          p += 1
+        }
+        RasterImage(w, h, out)
+      case _ => // RGBA -> RGB (alpha dropped)
+        val out = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          out(p * 3) = recon(p * 4); out(p * 3 + 1) = recon(p * 4 + 1)
+          out(p * 3 + 2) = recon(p * 4 + 2)
+          p += 1
+        }
+        RasterImage(w, h, out)
     }
   }
 

@@ -290,7 +290,8 @@ class MultimodalSpec extends SparkSpec {
       val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
       out.write(be4(crc.getValue.toInt), 0, 4)
     }
-    val ihdr = be4(w) ++ be4(h) ++ Array[Byte](8, if (bpp == 4) 6 else 2, 0, 0, 0)
+    val colorType: Byte = bpp match { case 1 => 0; case 3 => 2; case _ => 6 }
+    val ihdr = be4(w) ++ be4(h) ++ Array[Byte](8, colorType, 0, 0, 0)
     chunk("IHDR", ihdr)
     chunk("IDAT", java.util.Arrays.copyOf(buf, zn))
     chunk("IEND", Array.emptyByteArray)
@@ -323,6 +324,15 @@ class MultimodalSpec extends SparkSpec {
     val expected = Array.tabulate(w * h * 3) { i =>
       rgba((i / 3) * 4 + i % 3)
     }
+    assert(img.pixels.sameElements(expected))
+  }
+
+  test("PNG decode: 8-bit grayscale replicates into the RGB RasterImage contract") {
+    val (w, h) = (5, 3)
+    val gray = Array.tabulate(w * h)(i => ((i * 29 + 3) % 256).toByte)
+    val img = Multimodal.decodePng(pngWith(w, h, 1, gray, Seq(0, 1, 4)))
+    assert(img.width == w && img.height == h)
+    val expected = Array.tabulate(w * h * 3)(i => gray(i / 3))
     assert(img.pixels.sameElements(expected))
   }
 
