@@ -1759,6 +1759,40 @@ object CoreQueries {
       |FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S22Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s22_delta_append"
+  private val s22BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S22 — full writer→reader Delta ROUND TRIP: two
+    * [[graft.sources.DeltaLog.append]] commits (orders split
+    * two-ways), read back through the log replay. The oracle is the
+    * whole `orders` relation, so a writer bug (missed part file,
+    * malformed action line, wrong version numbering) hash-fails; the
+    * spec additionally time-travels to version 0 and exercises the
+    * commit-conflict retry.
+    */
+  def s22DeltaAppend(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s22BuiltFor.synchronized {
+      if (s22BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S22Root))
+        def slice(second: Boolean) = Tables.orders(spark, dir)
+          .filter(if (second) col("o_orderkey") % 3 === 2
+                  else col("o_orderkey") % 3 =!= 2)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.DeltaLog.append(spark, S22Root, slice(second = false))
+        graft.sources.DeltaLog.append(spark, S22Root, slice(second = true))
+        s22BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S22Root).orderBy("o_orderkey")
+  }
+
+  private val s22DeltaAppendSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -1989,6 +2023,7 @@ object CoreQueries {
     "s19_snapshot_cdc"  -> s19SnapshotCdc _,
     "s20_delta_scan"    -> s20DeltaScan _,
     "s21_delta_time_travel" -> s21DeltaTimeTravel _,
+    "s22_delta_append"  -> s22DeltaAppend _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2298,6 +2333,7 @@ object CoreQueries {
     "s19_snapshot_cdc" -> s19SnapshotCdcSql,
     "s20_delta_scan" -> s20DeltaScanSql,
     "s21_delta_time_travel" -> s21DeltaTimeTravelSql,
+    "s22_delta_append" -> s22DeltaAppendSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -184,4 +184,61 @@ object DeltaLog {
         versionAsOf.fold("")(v => s" at version $v") + " has no live data files")
     spark.read.parquet(files: _*)
   }
+
+  /** APPEND-ONLY writer twin: land `df` as one new protocol commit.
+    * Data files are written through a staging dir and moved into the
+    * table under version-stamped names; the commit file is then
+    * created with `FileSystem.create(overwrite = false)` — the
+    * put-if-absent that makes the commit ATOMIC on filesystems with
+    * atomic create (local, HDFS; object stores need a coordination
+    * service, exactly as the Delta protocol itself documents — out of
+    * scope here and guarded only by documentation). A lost race
+    * (version file already exists) retries at the next version: the
+    * already-moved data files are referenced only by OUR commit line,
+    * so retrying the commit alone is safe. Version 0 carries the
+    * `protocol` and `metaData` actions. Returns the committed
+    * version. Unpartitioned, append-only — the MERGE/overwrite
+    * surfaces stay with `ops.Upsert`/`SnapshotPublish` per the
+    * parquet-first contract; this writer exists so a graft pipeline
+    * can hand a table to a real Delta READER (and [[read]] can
+    * re-ingest it).
+    */
+  def append(spark: SparkSession, tablePath: String, df: DataFrame): Long = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, "_delta_log")
+    fs.mkdirs(logDir)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(table, s"_commit_stage_$stamp")
+    df.write.parquet(stage.toString)
+    val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq.map(_.getPath)
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"part-$stamp-$i.parquet"
+      require(fs.rename(p, new Path(table, name)), s"DeltaLog: move failed for $p")
+      name
+    }
+    fs.delete(stage, true)
+    def tryCommit(version: Long): Boolean = {
+      val head =
+        if (version == 0L) Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"graft-${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{}}}""")
+        else Seq.empty
+      val adds = names.map(n =>
+        s"""{"add":{"path":"$n","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+      val bytes = (head ++ adds).mkString("", "\n", "\n").getBytes("UTF-8")
+      val target = new Path(logDir, f"$version%020d.json")
+      try {
+        val out = fs.create(target, /* overwrite = */ false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false } // lost the race; retry
+    }
+    val existing = fs.listStatus(logDir).toSeq.map(_.getPath.getName).collect {
+      case JsonCommit(v) => v.toLong
+    }
+    var version = if (existing.isEmpty) 0L else existing.max + 1
+    while (!tryCommit(version)) version += 1
+    version
+  }
 }

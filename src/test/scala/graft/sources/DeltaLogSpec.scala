@@ -106,6 +106,27 @@ class DeltaLogSpec extends SparkSpec {
     assert(tagCounts(t) == Set("a" -> 2L, "c" -> 5L))
   }
 
+  test("append writer: round trip, contiguous versions, time travel, conflict retry") {
+    import spark.implicits._
+    val t = newTable()
+    val v0 = DeltaLog.append(spark, t,
+      Seq(("a", 1L), ("a", 2L)).toDF("tag", "i"))
+    assert(v0 == 0L)
+    // a concurrent writer takes version 1 (commitInfo-only commit is
+    // protocol-legal) — the next append must RETRY past it, not
+    // overwrite it
+    commit(t, 1, Seq("""{"commitInfo":{"operation":"OPTIMIZE"}}"""))
+    val v2 = DeltaLog.append(spark, t, Seq(("b", 3L)).toDF("tag", "i"))
+    assert(v2 == 2L, s"conflict retry should land at version 2, got $v2")
+    assert(tagCounts(t) == Set("a" -> 2L, "b" -> 1L))
+    // time travel cuts back to the first append
+    assert(tagCounts(t, Some(0L)) == Set("a" -> 2L))
+    // and version numbering on disk is exactly 0, 1, 2
+    val names = new java.io.File(s"$t/_delta_log").list().toSeq
+      .filter(_.endsWith(".json")).sorted
+    assert(names == Seq(f"${0L}%020d.json", f"${1L}%020d.json", f"${2L}%020d.json"), names)
+  }
+
   test("guards: unsupported reader version, partitioned table, log gap, no live files") {
     val t1 = newTable()
     dataFile(t1, "a.parquet", "a", 1)
