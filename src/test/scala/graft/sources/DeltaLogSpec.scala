@@ -4,15 +4,19 @@ import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** [[DeltaLog]] against hand-authored protocol-conformant logs: the
   * spec crafts `_delta_log` contents exactly as the published Delta
   * protocol lays them out (20-digit JSON commits, one action per
   * line, classic checkpoint parquet + `_last_checkpoint`) and asserts
   * snapshot reconstruction — including the cases a naive directory
-  * glob gets wrong (removes, re-adds, time travel) and the loud-fail
-  * guards (unsupported reader features, partitioned tables, log
-  * gaps).
+  * glob gets wrong (removes, re-adds, time travel), partitioned
+  * tables (values live in `add.partitionValues`, NOT the data files),
+  * checkpoint-carried `protocol`/`metaData` (the r11 guard-bypass
+  * fix), the checkpoint writer + `_last_checkpoint` resume, and the
+  * loud-fail guards (unsupported reader features, malformed
+  * checkpoints, log gaps).
   */
 class DeltaLogSpec extends SparkSpec {
 
@@ -29,7 +33,9 @@ class DeltaLogSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val part = fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$stage/part-*.parquet"))(0).getPath
-    fs.rename(part, new org.apache.hadoop.fs.Path(s"$table/$name"))
+    val dest = new org.apache.hadoop.fs.Path(s"$table/$name")
+    fs.mkdirs(dest.getParent)
+    fs.rename(part, dest)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
@@ -43,10 +49,70 @@ class DeltaLogSpec extends SparkSpec {
   private val Protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
   private val Meta =
     """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{}","partitionColumns":[]}}"""
-  private def add(p: String) =
-    s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+  private def add(p: String, pvals: String = "{}") =
+    s"""{"add":{"path":"$p","partitionValues":$pvals,"size":1,"modificationTime":0,"dataChange":true}}"""
   private def remove(p: String) =
     s"""{"remove":{"path":"$p","deletionTimestamp":1,"dataChange":true}}"""
+
+  /** Craft a spec-compliant classic checkpoint: protocol + metaData
+    * rows plus one `add` per live path — the exact compaction a real
+    * writer produces (and what makes the JSON prefix disposable).
+    */
+  private def writeCraftedCheckpoint(
+      table: String, version: Long, livePaths: Seq[String],
+      minReader: Int = 1, partitionCols: Seq[String] = Seq.empty,
+      pvals: Map[String, Map[String, String]] = Map.empty,
+      withPointer: Boolean = true): Unit = {
+    import spark.implicits._
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val removeType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType)))
+    val head = spark.range(1).select(
+      lit(null).cast(addType).as("add"),
+      lit(null).cast(removeType).as("remove"),
+      struct(lit(minReader).as("minReaderVersion"),
+        lit(2).as("minWriterVersion")).as("protocol"),
+      struct(lit("t").as("id"), lit("{}").as("schemaString"),
+        (if (partitionCols.isEmpty) array().cast(ArrayType(StringType))
+         else array(partitionCols.map(lit): _*)).as("partitionColumns")).as("metaData"))
+    val adds = livePaths.toDF("p").select(
+      struct(col("p").as("path"),
+        typedLit[Map[String, String]](Map.empty).as("partitionValues"),
+        lit(1L).as("size"), lit(0L).as("modificationTime"),
+        lit(true).as("dataChange")).as("add"),
+      lit(null).cast(removeType).as("remove"),
+      lit(null).cast(head.schema("protocol").dataType).as("protocol"),
+      lit(null).cast(head.schema("metaData").dataType).as("metaData"))
+      // partitionValues per live path, when supplied
+      .withColumn("add", when(col("add").isNotNull, struct(
+        col("add.path").as("path"),
+        coalesce(
+          typedLit(pvals).getItem(col("add.path")),
+          col("add.partitionValues")).as("partitionValues"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("modificationTime"),
+        col("add.dataChange").as("dataChange"))))
+    val cpDf = head.unionByName(adds)
+    val stage = s"$table/_cpstage"
+    cpDf.coalesce(1).write.mode("overwrite").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$stage/part-*.parquet"))(0).getPath
+    Files.createDirectories(Paths.get(s"$table/_delta_log"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(
+      s"$table/_delta_log/" + f"$version%020d" + ".checkpoint.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    if (withPointer)
+      Files.writeString(Paths.get(s"$table/_delta_log/_last_checkpoint"),
+        s"""{"version":$version,"size":${livePaths.size + 1}}""")
+  }
 
   private def tagCounts(table: String, v: Option[Long] = None): Set[(String, Long)] = {
     val df = DeltaLog.read(spark, table, v)
@@ -78,32 +144,113 @@ class DeltaLogSpec extends SparkSpec {
   }
 
   test("checkpoint: snapshot resumes from the checkpoint parquet plus later commits") {
-    import spark.implicits._
     val t = newTable()
     dataFile(t, "a.parquet", "a", 2)
     dataFile(t, "b.parquet", "b", 3)
     dataFile(t, "c.parquet", "c", 5)
     // versions 0-1 are COMPACTED AWAY: only the checkpoint at v1 and
     // the v2 commit exist (the post-cleanup shape of a real table)
-    val cpState = Seq(("a.parquet", true), ("b.parquet", true)).toDF("p", "isAdd")
-      .select(
-        when(col("isAdd"), struct(col("p").as("path"), lit(1L).as("size"),
-          lit(true).as("dataChange"))).as("add"),
-        when(!col("isAdd"), struct(col("p").as("path"),
-          lit(1L).as("deletionTimestamp"))).as("remove"))
-    cpState.coalesce(1).write.parquet(s"$t/_cpstage")
+    writeCraftedCheckpoint(t, 1, Seq("a.parquet", "b.parquet"))
+    commit(t, 2, Seq(remove("b.parquet"), add("c.parquet")))
+    assert(tagCounts(t) == Set("a" -> 2L, "c" -> 5L))
+  }
+
+  test("checkpoint guards fire even when protocol/metaData live ONLY in the checkpoint") {
+    // r11 verdict #1: the old reader nulled protocol/metaData out of
+    // the checkpoint, so a reader-v3 table whose refusing actions were
+    // compacted away was read silently wrong. Now the checkpoint's own
+    // protocol row trips the guard.
+    val t = newTable()
+    dataFile(t, "a.parquet", "a", 2)
+    writeCraftedCheckpoint(t, 0, Seq("a.parquet"), minReader = 3)
+    val e = intercept[IllegalArgumentException](DeltaLog.read(spark, t))
+    assert(e.getMessage.contains("minReaderVersion"), e.getMessage)
+  }
+
+  test("checkpoint-carried partitionColumns are honored, not dropped") {
+    // the other half of the r11 guard bypass: partition columns known
+    // only to the checkpoint's metaData must surface on the scan
+    val t = newTable()
+    dataFile(t, "day=1/a.parquet", "a", 2)
+    dataFile(t, "day=2/b.parquet", "b", 3)
+    writeCraftedCheckpoint(t, 0, Seq("day=1/a.parquet", "day=2/b.parquet"),
+      partitionCols = Seq("day"),
+      pvals = Map(
+        "day=1/a.parquet" -> Map("day" -> "1"),
+        "day=2/b.parquet" -> Map("day" -> "2")))
+    val rows = DeltaLog.read(spark, t)
+      .groupBy("day").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("n")).toSet
+    assert(rows == Set("1" -> 2L, "2" -> 3L))
+  }
+
+  test("malformed checkpoint (no protocol/metaData columns) is refused, not guessed") {
+    import spark.implicits._
+    val t = newTable()
+    dataFile(t, "a.parquet", "a", 1)
+    // a checkpoint parquet carrying ONLY add rows — protocol forbids it
+    Seq("a.parquet").toDF("p")
+      .select(struct(col("p").as("path"), lit(1L).as("size")).as("add"))
+      .coalesce(1).write.parquet(s"$t/_cpstage")
     val fs = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val part = fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$t/_cpstage/part-*.parquet"))(0).getPath
     Files.createDirectories(Paths.get(s"$t/_delta_log"))
     fs.rename(part, new org.apache.hadoop.fs.Path(
-      s"$t/_delta_log/" + f"${1L}%020d" + ".checkpoint.parquet"))
+      s"$t/_delta_log/" + f"${0L}%020d" + ".checkpoint.parquet"))
     fs.delete(new org.apache.hadoop.fs.Path(s"$t/_cpstage"), true)
-    Files.writeString(Paths.get(s"$t/_delta_log/_last_checkpoint"),
-      """{"version":1,"size":2}""")
-    commit(t, 2, Seq(remove("b.parquet"), add("c.parquet")))
-    assert(tagCounts(t) == Set("a" -> 2L, "c" -> 5L))
+    val e = intercept[IllegalArgumentException](DeltaLog.read(spark, t))
+    assert(e.getMessage.contains("malformed checkpoint"), e.getMessage)
+  }
+
+  test("partitioned table: values come from add.partitionValues, cast per schemaString") {
+    import spark.implicits._
+    // data files do NOT contain the partition column — the protocol
+    // stores its value per-file in the add action; the declared schema
+    // types it (year INT), and a null partition value round-trips
+    val t = newTable()
+    dataFile(t, "year=2020/a.parquet", "a", 2)
+    dataFile(t, "year=2021/b.parquet", "b", 3)
+    dataFile(t, "other/c.parquet", "c", 1)
+    val schemaString = StructType(Seq(
+      StructField("tag", StringType), StructField("i", LongType),
+      StructField("year", IntegerType))).json
+    val metaP =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder.build.writeValueAsString(schemaString)},"partitionColumns":["year"]}}"""
+    commit(t, 0, Seq(Protocol, metaP,
+      add("year=2020/a.parquet", """{"year":"2020"}"""),
+      add("year=2021/b.parquet", """{"year":"2021"}"""),
+      add("other/c.parquet", """{"year":null}""")))
+    val df = DeltaLog.read(spark, t)
+    assert(df.schema.fieldNames.toSeq == Seq("tag", "i", "year"))
+    assert(df.schema("year").dataType == IntegerType)
+    val got = df.groupBy("year").agg(count(lit(1)).as("n")).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getLong(1)).toSet
+    assert(got == Set(2020 -> 2L, 2021 -> 3L, -1 -> 1L))
+    // a filter on the partition column prunes whole BRANCHES in the
+    // OPTIMIZER (the non-matching branches' literal filters fold to
+    // false and the relations vanish): only the matching year's file
+    // survives in the optimized plan — file pruning, not row pruning
+    val pruned = df.filter(col("year") === 2020)
+    val survivingFiles = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(survivingFiles.length == 1 && survivingFiles.head.contains("year=2020"),
+      s"partition filter should prune to one file, scanned: $survivingFiles")
+    assert(pruned.count() == 2L)
+  }
+
+  test("percent-encoded add paths resolve to the on-disk file") {
+    val t = newTable()
+    dataFile(t, "part a.parquet", "a", 2) // space in the data-file name
+    commit(t, 0, Seq(Protocol, Meta, add("part%20a.parquet")))
+    assert(tagCounts(t) == Set("a" -> 2L))
   }
 
   test("append writer: round trip, contiguous versions, time travel, conflict retry") {
@@ -127,7 +274,74 @@ class DeltaLogSpec extends SparkSpec {
     assert(names == Seq(f"${0L}%020d.json", f"${1L}%020d.json", f"${2L}%020d.json"), names)
   }
 
-  test("guards: unsupported reader version, partitioned table, log gap, no live files") {
+  test("append writes a REAL schemaString and real file sizes (reader-interop fields)") {
+    import spark.implicits._
+    val t = newTable()
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("tag", "i")
+    DeltaLog.append(spark, t, df)
+    val lines = Files.readAllLines(
+      Paths.get(s"$t/_delta_log/" + f"${0L}%020d.json")).toArray(Array.empty[String])
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaLine = lines.find(_.contains("\"metaData\"")).get
+    val schemaString = mapper.readTree(metaLine).get("metaData").get("schemaString").asText()
+    // what delta-spark/delta-rs parse at snapshot load: a serialized
+    // StructType that round-trips to the written DataFrame's schema
+    assert(DataType.fromJson(schemaString) == df.schema,
+      s"schemaString must round-trip the schema, got: $schemaString")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lines.filter(_.contains("\"add\"")).foreach { l =>
+      val addNode = mapper.readTree(l).get("add")
+      val p = new org.apache.hadoop.fs.Path(t, addNode.get("path").asText())
+      assert(addNode.get("size").asLong() == fs.getFileStatus(p).getLen,
+        s"add.size must be the real file length for $p")
+    }
+    // the read side now DECLARES that schema (no inference): column
+    // names and types match the written frame exactly (file sources
+    // force nullable, so nullability is excluded by design)
+    assert(DeltaLog.read(spark, t).schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("append refuses a mismatched schema instead of corrupting the table") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq(("a", 1L)).toDF("tag", "i"))
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.append(spark, t, Seq((1L, "a")).toDF("i", "tag")))
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+  }
+
+  test("checkpoint writer: 25 commits read identically via checkpoint resume after log cleanup") {
+    import spark.implicits._
+    val t = newTable()
+    (0 until 25).foreach { i =>
+      DeltaLog.append(spark, t, Seq((s"t$i", i.toLong)).toDF("tag", "i"))
+    }
+    // appends auto-checkpoint every 10 commits → checkpoints at 9 and
+    // 19, _last_checkpoint → 19
+    val logDir = new java.io.File(s"$t/_delta_log")
+    val cps = logDir.list().toSeq.filter(_.endsWith(".checkpoint.parquet")).sorted
+    assert(cps == Seq(f"${9L}%020d.checkpoint.parquet", f"${19L}%020d.checkpoint.parquet"), cps)
+    val full = DeltaLog.read(spark, t).orderBy("i").collect().toSeq
+    assert(full.size == 25)
+    // CLEAN UP the JSON prefix the newest checkpoint covers — reads
+    // must not notice (checkpoint + commits 20..24)
+    (0L to 19L).foreach { v =>
+      Files.delete(Paths.get(s"$t/_delta_log/" + f"$v%020d.json"))
+    }
+    val resumed = DeltaLog.read(spark, t).orderBy("i").collect().toSeq
+    assert(resumed == full, "checkpoint resume must equal the pre-cleanup read")
+    // time travel BETWEEN checkpoint and head anchors on the checkpoint
+    assert(DeltaLog.read(spark, t, Some(21L)).count() == 22L)
+    // time travel to the checkpoint version itself works
+    assert(DeltaLog.read(spark, t, Some(19L)).count() == 20L)
+    // time travel BEFORE every surviving checkpoint refuses loudly
+    val e = intercept[IllegalArgumentException](DeltaLog.read(spark, t, Some(3L)))
+    assert(e.getMessage.contains("cannot time-travel"), e.getMessage)
+  }
+
+  test("guards: unsupported reader version, log gap, no live files") {
     val t1 = newTable()
     dataFile(t1, "a.parquet", "a", 1)
     commit(t1, 0, Seq(
@@ -135,14 +349,6 @@ class DeltaLogSpec extends SparkSpec {
       Meta, add("a.parquet")))
     val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark, t1))
     assert(e1.getMessage.contains("minReaderVersion"), e1.getMessage)
-
-    val t2 = newTable()
-    dataFile(t2, "a.parquet", "a", 1)
-    commit(t2, 0, Seq(Protocol,
-      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{}","partitionColumns":["day"]}}""",
-      add("a.parquet")))
-    val e2 = intercept[IllegalArgumentException](DeltaLog.read(spark, t2))
-    assert(e2.getMessage.contains("partitioned"), e2.getMessage)
 
     val t3 = newTable()
     dataFile(t3, "a.parquet", "a", 1)
@@ -157,5 +363,18 @@ class DeltaLogSpec extends SparkSpec {
     commit(t4, 1, Seq(remove("a.parquet")))
     val e4 = intercept[IllegalArgumentException](DeltaLog.read(spark, t4))
     assert(e4.getMessage.contains("no live data files"), e4.getMessage)
+  }
+
+  test("commit retry advances past an occupied version slot without overwriting it") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq(("a", 1L)).toDF("tag", "i"))
+    // an IOException whose target EXISTS is a lost race → advance; the
+    // occupied slot is left untouched (here a directory squats on the
+    // version-1 name, which fs.create cannot replace)
+    Files.createDirectories(Paths.get(s"$t/_delta_log/" + f"${1L}%020d.json"))
+    val v = DeltaLog.append(spark, t, Seq(("b", 2L)).toDF("tag", "i"))
+    assert(v == 2L, s"append should skip the occupied slot, landed at $v")
+    assert(Files.isDirectory(Paths.get(s"$t/_delta_log/" + f"${1L}%020d.json")))
   }
 }
