@@ -1793,6 +1793,108 @@ object CoreQueries {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  private val S23Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s23_delta_partitioned"
+  private val s23BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Build a PARTITIONED Delta table once per (JVM, sf dir) — the
+    * reference's own curated layout (`main.py:235` writes
+    * `partitionBy("Year","Month").format("delta")`): orders projected
+    * to (o_orderkey, o_custkey, o_totalprice, Year, Month), written
+    * Hive-style in ONE partitioned parquet job, then committed with
+    * per-file `add.partitionValues` and a real `schemaString` that
+    * types the partition columns (Year int, Month string — the
+    * zero-padded "03" is exactly the value directory-name inference
+    * would corrupt to 3, which is why the reader trusts the LOG, not
+    * the layout). Data files do NOT contain the partition columns.
+    */
+  private def ensureDeltaPartitionedFixture(spark: SparkSession, dir: String): Unit = {
+    sweepStaleFixtureDirs()
+    s23BuiltFor.synchronized {
+      if (s23BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S23Root))
+        val src = Tables.orders(spark, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("Year"),
+          date_format(col("o_orderdate"), "MM").as("Month"))
+        val stage = s"$S23Root/_stage"
+        src.write.partitionBy("Year", "Month").parquet(stage)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(S23Root).getFileSystem(conf)
+        val parts = fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$stage/Year=*/Month=*/part-*.parquet")).toSeq.map(_.getPath)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val adds = parts.sortBy(_.toString).map { p =>
+          val monthDir = p.getParent.getName
+          val yearDir = p.getParent.getParent.getName
+          val rel = s"$yearDir/$monthDir/${p.getName}"
+          val dest = new org.apache.hadoop.fs.Path(S23Root, rel)
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(p, dest), s"s23 fixture: move failed for $p")
+          val st = fs.getFileStatus(dest)
+          val root = mapper.createObjectNode()
+          val a = root.putObject("add")
+          a.put("path", rel)
+          val pv = a.putObject("partitionValues")
+          pv.put("Year", yearDir.stripPrefix("Year="))
+          pv.put("Month", monthDir.stripPrefix("Month="))
+          a.put("size", st.getLen)
+          a.put("modificationTime", st.getModificationTime)
+          a.put("dataChange", true)
+          mapper.writeValueAsString(root)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        val metaLine = {
+          val root = mapper.createObjectNode()
+          val m = root.putObject("metaData")
+          m.put("id", "graft-s23-fixture")
+          val f = m.putObject("format"); f.put("provider", "parquet"); f.putObject("options")
+          m.put("schemaString", src.schema.json)
+          val pc = m.putArray("partitionColumns"); pc.add("Year"); pc.add("Month")
+          m.putObject("configuration")
+          mapper.writeValueAsString(root)
+        }
+        val logDir = java.nio.file.Paths.get(s"$S23Root/_delta_log")
+        java.nio.file.Files.createDirectories(logDir)
+        java.nio.file.Files.writeString(
+          logDir.resolve("00000000000000000000.json"),
+          (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+            metaLine) ++ adds).mkString("", "\n", "\n"))
+        s23BuiltFor.set(dir)
+      }
+    }
+  }
+
+  /** S23 — read the reference's own curated layout: a PARTITIONED
+    * Delta table ([[ensureDeltaPartitionedFixture]]), partition values
+    * surfaced from `add.partitionValues` as typed literal columns.
+    * The Year filter prunes whole partition BRANCHES in the optimizer
+    * (files, not rows — `PlanAuditSpec`-pinned); the month aggregate
+    * then runs over one year's files only. The oracle reconstructs
+    * both partition columns from `orders`, so a value dropped, typed
+    * wrong (Month "03" vs 3), or routed to the wrong file hash-fails.
+    */
+  def s23DeltaPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    ensureDeltaPartitionedFixture(spark, dir)
+    graft.sources.DeltaLog.read(spark, S23Root)
+      .filter(col("Year") === 1995)
+      .groupBy(col("Year"), col("Month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(20, 2))).cast(DoubleType).as("sum_price"))
+      .orderBy("Year", "Month")
+  }
+
+  private val s23DeltaPartitionedSql =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS Year,
+      |  LPAD(CAST(EXTRACT(MONTH FROM o_orderdate) AS VARCHAR), 2, '0') AS Month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+      |GROUP BY 1, 2 ORDER BY Year, Month""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2024,6 +2126,7 @@ object CoreQueries {
     "s20_delta_scan"    -> s20DeltaScan _,
     "s21_delta_time_travel" -> s21DeltaTimeTravel _,
     "s22_delta_append"  -> s22DeltaAppend _,
+    "s23_delta_partitioned" -> s23DeltaPartitioned _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2334,6 +2437,7 @@ object CoreQueries {
     "s20_delta_scan" -> s20DeltaScanSql,
     "s21_delta_time_travel" -> s21DeltaTimeTravelSql,
     "s22_delta_append" -> s22DeltaAppendSql,
+    "s23_delta_partitioned" -> s23DeltaPartitionedSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

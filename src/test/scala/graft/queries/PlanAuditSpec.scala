@@ -37,6 +37,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("s23_delta_partitioned: Year filter prunes partition FILES, not just rows") {
+    // partition values are branch-level literals — the optimizer folds
+    // the Year predicate to false on every non-1995 branch and drops
+    // the relation, so only 1995's files survive in the plan at all
+    val df = graft.SparkEntry.queries("s23_delta_partitioned")(spark, dir)
+    val surviving = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(surviving.nonEmpty, "expected at least one surviving scan")
+    assert(surviving.forall(_.contains("Year=1995")),
+      s"non-1995 partition files survived the optimizer: " +
+        surviving.filterNot(_.contains("Year=1995")).take(3))
+  }
+
   test("x_containment: df-capped pair generation — no cartesian product, no window") {
     val p = plan("x_containment")
     assert(!p.contains("CartesianProduct"), p)
