@@ -398,12 +398,14 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Codec-dispatching image decode: P6 PPM, 24-bit BMP, then PNG —
-    * the seam a fourth codec would widen. None keeps the payload on
-    * the deterministic stub path.
+  /** Codec-dispatching image decode: P6 PPM, 24-bit BMP, PNG, then
+    * baseline JPEG ([[Jpeg.tryDecode]], r12) — the seam a fifth codec
+    * would widen. None keeps the payload on the deterministic stub
+    * path.
     */
   def tryDecodeImage(bytes: Array[Byte]): Option[RasterImage] =
     tryDecodePpm(bytes).orElse(tryDecodeBmp(bytes)).orElse(tryDecodePng(bytes))
+      .orElse(Jpeg.tryDecode(bytes))
 
   /** ENCODER twin of [[decodeBmp]]: top-down RGB pixels to a
     * bottom-up, BGR, stride-padded 24-bit BI_RGB BMP. Used by the
@@ -543,9 +545,9 @@ object Multimodal {
       case "image" => tryDecodeImage(r.payload) match {
         case Some(img) =>
           MediaFeatures(r.doc_id, r.modality, n, img.width, img.height, 0, checksum)
-        // ??? remaining stub: no JPEG codec in this container (PNG is
-        // real now — JDK Inflater); fake header parse keeps the batch
-        // plumbing exercised
+        // non-image bytes only (PPM/BMP/PNG/JPEG are all real codecs
+        // now); fake header parse keeps the batch plumbing exercised
+        // for payloads in none of the four container formats
         case None =>
           MediaFeatures(r.doc_id, r.modality, n, 16 * (b0 % 40 + 1), 16 * (b1 % 30 + 1), 0, checksum)
       }

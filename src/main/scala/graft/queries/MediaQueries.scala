@@ -212,6 +212,63 @@ private[queries] trait MediaQueries { this: ExtQueries.type =>
       |      UNION ALL SELECT * FROM pngrow)
       |ORDER BY doc_id""".stripMargin
 
+  /** Baseline-JPEG round trip as an oracle query — the fourth image
+    * format arm (r12), kept OUTSIDE `x_media_decode` deliberately:
+    * that query's oracle rebuilds every payload byte in SQL, which is
+    * possible for RIFF/BMP/PNG-stored-block layouts but not for a
+    * Huffman-coded entropy stream (the bit-level code assignment is
+    * fully specified, but folding a bit-packed stream in SQL list ops
+    * would be an unreadable re-implementation, not an independent
+    * check). Instead this query pins the property that IS
+    * independently checkable: images constructed so the codec's lossy
+    * path is EXACT — even-gray pixels make Y quantize to a lone DC
+    * that the Annex K table divides without loss (Cb=Cr=128 → 0) — so
+    * the decoder must reproduce the source bytes exactly, through
+    * real Huffman coding, 4:2:0 subsampling (even doc_ids) and
+    * non-MCU-aligned edge padding. The DuckDB twin computes the same
+    * expected pixel stream arithmetically and hashes it; `JpegSpec`
+    * separately cross-checks non-constant images against the JDK
+    * ImageIO codec in both directions.
+    *
+    * Scale shape: map-side 1:1 per-record encode+decode inside the
+    * partition iterator; output is doc-cardinality metadata only.
+    */
+  def xJpegRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val b0 = if (text.nonEmpty) text.charAt(0).toInt else 0
+        val b1 = if (text.length > 1) text.charAt(1).toInt else 0
+        val w = (b0 % 3 + 1) * 8 + b0 % 5
+        val h = (b1 % 2 + 1) * 8 + b1 % 3
+        val c = (((docId * 7 + b0) % 120) + 4) * 2 // even in [8, 246]
+        val rgb = Array.fill(w * h * 3)(c.toByte)
+        val payload = graft.ext.Jpeg.encode(w, h, rgb, subsample = docId % 2 == 0)
+        val img = graft.ext.Jpeg.decode(payload)
+        val exact = img.width == w && img.height == h && img.pixels.sameElements(rgb)
+        (docId, img.width, img.height, exact, Multimodal.rollingHash(img.pixels))
+      })
+      .toDF("doc_id", "width", "height", "exact", "content_hash")
+      .orderBy("doc_id")
+  }
+
+  private[queries] val xJpegRoundtripSql =
+    """WITH base AS (SELECT doc_id,
+      |    ascii(substr(text, 1, 1)) AS b0, ascii(substr(text, 2, 1)) AS b1
+      |  FROM documents),
+      |d AS (SELECT doc_id,
+      |    (b0 % 3 + 1) * 8 + b0 % 5 AS w,
+      |    (b1 % 2 + 1) * 8 + b1 % 3 AS h,
+      |    ((doc_id * 7 + b0) % 120 + 4) * 2 AS c
+      |  FROM base)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  TRUE AS exact,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(0, w * h * 3), i -> CAST(c AS BIGINT))),
+      |    (acc, x) -> (acc * 131 + x) % 1000000007) AS content_hash
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** Frame sampling over video payloads: every 2nd 16-byte window with
     * a per-frame rolling checksum — the declarative twin of
     * `Multimodal.sampleFrames` (spec-asserted equal), SQL-expressible

@@ -52,6 +52,7 @@ class RegistrySpec extends AnyFunSuite {
     "x_events_window", "x_fingerprint", "x_frame_sample", "x_funnel",
     "x_hard_negatives", "x_heaps_law", "x_heavy_hitters", "x_hybrid_rrf",
     "x_inverted_index", "x_ivf_retrain_drift", "x_ivf_silhouette",
+    "x_jpeg_roundtrip",
     "x_ivfpq_recall", "x_ivfpq_serve", "x_join_size_est", "x_knn_bulk",
     "x_knn_bulk_agreement", "x_knn_classify", "x_ks_drift", "x_lang_id",
     "x_lm_score", "x_media_decode", "x_mixture_sample",
