@@ -1895,6 +1895,56 @@ object CoreQueries {
       |WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
       |GROUP BY 1, 2 ORDER BY Year, Month""".stripMargin
 
+  private val S24Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s24_delta_part_append"
+  private val s24BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S24 — PARTITIONED writer→reader Delta ROUND TRIP: two
+    * [[graft.sources.DeltaLog.append]] commits with
+    * `partitionBy = Year, Month` (orders split by orderkey parity),
+    * read back through the log replay with partition values restored
+    * from `add.partitionValues` and typed by the writer's own
+    * `schemaString`. The oracle aggregates the WHOLE `orders` relation
+    * per year, so a writer bug (file routed to the wrong partition
+    * dir, a partitionValues entry dropped or mis-escaped, a missed
+    * second commit) hash-fails. Complements [[s23DeltaPartitioned]],
+    * whose table is hand-committed: here the same reader consumes OUR
+    * writer's output.
+    */
+  def s24DeltaPartitionedAppend(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s24BuiltFor.synchronized {
+      if (s24BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S24Root))
+        def slice(even: Boolean) = Tables.orders(spark, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("Year"),
+          date_format(col("o_orderdate"), "MM").as("Month"))
+          .filter(if (even) col("o_orderkey") % 2 === 0 else col("o_orderkey") % 2 =!= 0)
+        graft.sources.DeltaLog.append(spark, S24Root, slice(even = true),
+          partitionBy = Seq("Year", "Month"))
+        graft.sources.DeltaLog.append(spark, S24Root, slice(even = false),
+          partitionBy = Seq("Year", "Month"))
+        s24BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S24Root)
+      .groupBy(col("Year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("Month")).as("n_months"),
+        sum(col("o_totalprice").cast(DecimalType(20, 2))).cast(DoubleType).as("sum_price"))
+      .orderBy("Year")
+  }
+
+  private val s24DeltaPartitionedAppendSql =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS Year,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT LPAD(CAST(EXTRACT(MONTH FROM o_orderdate) AS VARCHAR), 2, '0')) AS n_months,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY Year""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2127,6 +2177,7 @@ object CoreQueries {
     "s21_delta_time_travel" -> s21DeltaTimeTravel _,
     "s22_delta_append"  -> s22DeltaAppend _,
     "s23_delta_partitioned" -> s23DeltaPartitioned _,
+    "s24_delta_partitioned_append" -> s24DeltaPartitionedAppend _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2438,6 +2489,7 @@ object CoreQueries {
     "s21_delta_time_travel" -> s21DeltaTimeTravelSql,
     "s22_delta_append" -> s22DeltaAppendSql,
     "s23_delta_partitioned" -> s23DeltaPartitionedSql,
+    "s24_delta_partitioned_append" -> s24DeltaPartitionedAppendSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -344,6 +344,26 @@ object DeltaLog {
   private[sources] def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).getRawPath
 
+  /** Invert Hive/Spark partition-directory escaping (%xx only — the
+    * catalog escaper never emits '+', so URLDecoder's plus-to-space
+    * rule would corrupt literal '+' values).
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try {
+          sb.append(Integer.parseInt(hex, 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def resolve(tablePath: String, rel: String): String = {
     val decoded = decodePath(rel)
     val p = new Path(decoded)
@@ -488,44 +508,93 @@ object DeltaLog {
     * footer). Appends to an existing table refuse a mismatched schema
     * loudly. Every `checkpointInterval`-th commit triggers
     * [[writeCheckpoint]], so the JSON log stays bounded. Returns the
-    * committed version. Unpartitioned, append-only — the
-    * MERGE/overwrite surfaces stay with `ops.Upsert`/`SnapshotPublish`
-    * per the parquet-first contract; this writer exists so a graft
-    * pipeline can hand a table to a real Delta READER (and [[read]]
-    * can re-ingest it).
+    * committed version. `partitionBy` (r12) writes the reference's own
+    * curated layout (`main.py:235` partitionBy("Year","Month")): ONE
+    * partitioned job stages the Hive-style tree, files move into the
+    * table keeping their `col=value` dirs, and each `add` carries its
+    * partitionValues (the protocol's truth — [[read]] never re-parses
+    * directory names); appends must match the table's declared
+    * partitioning or refuse. Append-only — the MERGE/overwrite
+    * surfaces stay with `ops.Upsert`/`SnapshotPublish` per the
+    * parquet-first contract; this writer exists so a graft pipeline
+    * can hand a table to a real Delta READER (and [[read]] can
+    * re-ingest it).
     */
   def append(
       spark: SparkSession, tablePath: String, df: DataFrame,
-      checkpointInterval: Int = 10): Long = {
+      checkpointInterval: Int = 10, partitionBy: Seq[String] = Seq.empty): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, "_delta_log")
     val tableExists = fs.exists(logDir) && fs.listStatus(logDir).nonEmpty
     if (tableExists) {
-      // schema gate: a silent append of a different shape corrupts the
-      // table for every reader that trusts metaData.schemaString
-      val existing = snapshot(spark, tablePath, None).schema
-      existing.foreach { s =>
+      // schema + partitioning gates: a silent append of a different
+      // shape corrupts the table for every reader that trusts
+      // metaData.schemaString / partitionColumns
+      val snap = snapshot(spark, tablePath, None)
+      snap.schema.foreach { s =>
         val have = s.fields.map(f => (f.name, f.dataType)).toSeq
         val incoming = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
         require(have == incoming,
           s"DeltaLog: append schema mismatch — table declares ${s.simpleString}, " +
             s"append brings ${df.schema.simpleString}")
       }
+      require(snap.partitionColumns == partitionBy,
+        s"DeltaLog: append partitioning mismatch — table declares " +
+          s"[${snap.partitionColumns.mkString(",")}], append brings [${partitionBy.mkString(",")}]")
     }
+    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"DeltaLog: partition column $c missing from the append schema"))
     fs.mkdirs(logDir)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(table, s"_commit_stage_$stamp")
-    df.write.parquet(stage.toString)
-    val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq.map(_.getPath)
-    val moved = parts.zipWithIndex.map { case (p, i) =>
-      val name = s"part-$stamp-$i.parquet"
-      val dest = new Path(table, name)
-      require(fs.rename(p, dest), s"DeltaLog: move failed for $p")
-      val st = fs.getFileStatus(dest)
-      (name, st.getLen, st.getModificationTime)
-    }
-    fs.delete(stage, true)
+    // moved: (relative path, partitionValues, size, mtime) per file
+    val moved: Seq[(String, Map[String, String], Long, Long)] =
+      if (partitionBy.isEmpty) {
+        df.write.parquet(stage.toString)
+        val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq.map(_.getPath)
+        val m = parts.zipWithIndex.map { case (p, i) =>
+          val name = s"part-$stamp-$i.parquet"
+          val dest = new Path(table, name)
+          require(fs.rename(p, dest), s"DeltaLog: move failed for $p")
+          val st = fs.getFileStatus(dest)
+          (name, Map.empty[String, String], st.getLen, st.getModificationTime)
+        }
+        fs.delete(stage, true)
+        m
+      } else {
+        // one partitioned job writes the Hive layout; each part file
+        // keeps its col=value dirs when moved into the table, and the
+        // values go into add.partitionValues (the protocol's truth —
+        // the reader never re-parses directory names)
+        df.write.partitionBy(partitionBy: _*).parquet(stage.toString)
+        val pattern = partitionBy.map(_ => "*").mkString("/")
+        val parts = fs.globStatus(new Path(stage, s"$pattern/part-*.parquet"))
+          .toSeq.map(_.getPath).sortBy(_.toString)
+        val stagePrefix = fs.makeQualified(stage).toString + "/"
+        val m = parts.zipWithIndex.map { case (p, i) =>
+          // decode Spark's partition-dir escaping back to raw values
+          val rel0 = fs.makeQualified(p).toString.stripPrefix(stagePrefix)
+          require(rel0.length < fs.makeQualified(p).toString.length,
+            s"DeltaLog: stage-relative path resolution failed for $p")
+          val segs = rel0.split('/').dropRight(1)
+          val pvals = segs.map { s =>
+            val Array(k, v) = s.split("=", 2)
+            k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                  else unescapePathName(v))
+          }.toMap
+          require(pvals.keySet == partitionBy.toSet,
+            s"DeltaLog: unexpected partition layout under $p")
+          val rel = segs.mkString("/") + s"/part-$stamp-$i.parquet"
+          val dest = new Path(table, rel)
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(p, dest), s"DeltaLog: move failed for $p")
+          val st = fs.getFileStatus(dest)
+          (rel, pvals, st.getLen, st.getModificationTime)
+        }
+        fs.delete(stage, true)
+        m
+      }
 
     def actionLine(build: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
       val root = mapper.createObjectNode()
@@ -541,14 +610,21 @@ object DeltaLog {
       m.put("id", s"graft-${java.util.UUID.randomUUID()}")
       val f = m.putObject("format"); f.put("provider", "parquet"); f.putObject("options")
       m.put("schemaString", df.schema.json)
-      m.putArray("partitionColumns")
+      val pc = m.putArray("partitionColumns")
+      partitionBy.foreach(pc.add)
       m.putObject("configuration")
     }
-    val addLines = moved.map { case (name, len, mtime) =>
+    val addLines = moved.map { case (name, pvals, len, mtime) =>
       actionLine { root =>
         val a = root.putObject("add")
         a.put("path", encodePath(name))
-        a.putObject("partitionValues")
+        val pv = a.putObject("partitionValues")
+        partitionBy.foreach { c =>
+          pvals.get(c) match {
+            case Some(null) | None => pv.putNull(c)
+            case Some(v) => pv.put(c, v)
+          }
+        }
         a.put("size", len)
         a.put("modificationTime", mtime)
         a.put("dataChange", true)

@@ -760,8 +760,19 @@ object EventStream {
   def mergeReleaseLedgerBatch(spark: SparkSession, stateDir: String, corpusDir: String,
       batch: DataFrame, batchId: Long): Unit =
     if (!lastMergedBatch(spark, stateDir).contains(batchId)) {
-      val delta = graft.queries.ExtQueries.releaseLedgerDelta(spark, corpusDir, batch)
-      mergeIntoTarget(spark, stateDir, delta, delta.schema, Some(batchId))(mergeReleaseLedgerState)
+      // the ledger delta references the micro-batch from several
+      // joined branches (gate, canonical, split, scalar counters);
+      // uncached, the one merge write re-scans the batch once per
+      // branch — measured ~6x input amplification in the sf1
+      // streaming run (SCALING_sf1.md) — so pin it for the merge
+      val cached = batch.persist()
+      try {
+        val delta = graft.queries.ExtQueries.releaseLedgerDelta(spark, corpusDir, cached)
+        mergeIntoTarget(spark, stateDir, delta, delta.schema, Some(batchId))(mergeReleaseLedgerState)
+      } finally {
+        cached.unpersist()
+        ()
+      }
     }
 
   /** Streaming RELEASE LEDGER maintenance — the ingest-time release

@@ -365,6 +365,42 @@ class DeltaLogSpec extends SparkSpec {
     assert(e4.getMessage.contains("no live data files"), e4.getMessage)
   }
 
+  test("partitioned append: Hive layout staged, partitionValues in adds, typed read-back") {
+    import spark.implicits._
+    val t = newTable()
+    val df = Seq((1L, 2020, "a"), (2L, 2020, "b"), (3L, 2021, "a"))
+      .toDF("id", "yr", "tag")
+    DeltaLog.append(spark, t, df, partitionBy = Seq("yr"))
+    val back = DeltaLog.read(spark, t)
+    // schemaString order (id, yr, tag) survives even though the data
+    // files store only (id, tag) under yr=... directories
+    assert(back.schema.fieldNames.toSeq == Seq("id", "yr", "tag"))
+    assert(back.schema("yr").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(back.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet ==
+      Set((1L, 2020, "a"), (2L, 2020, "b"), (3L, 2021, "a")))
+    // the on-disk layout really is Hive-style (a real Delta reader
+    // or plain-parquet tooling sees the familiar tree)
+    assert(new java.io.File(s"$t/yr=2020").isDirectory && new java.io.File(s"$t/yr=2021").isDirectory)
+    // a second matching append lands; a partitioning mismatch refuses
+    DeltaLog.append(spark, t, Seq((4L, 2021, "c")).toDF("id", "yr", "tag"),
+      partitionBy = Seq("yr"))
+    assert(DeltaLog.read(spark, t).count() == 4)
+    val e = intercept[IllegalArgumentException](DeltaLog.append(spark, t, df))
+    assert(e.getMessage.contains("partitioning mismatch"), e.getMessage)
+  }
+
+  test("partitioned append: escaped partition values round-trip exactly") {
+    import spark.implicits._
+    val t = newTable()
+    // '/' and ' ' force Spark's %xx directory escaping AND the add
+    // path's percent-encoding; the value must come back verbatim
+    DeltaLog.append(spark, t, Seq((1L, "a b/c", 1.0), (2L, "plain", 2.0))
+      .toDF("id", "k", "v"), partitionBy = Seq("k"))
+    val got = DeltaLog.read(spark, t).select("k", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(got == Set("a b/c" -> 1L, "plain" -> 2L))
+  }
+
   test("commit retry advances past an occupied version slot without overwriting it") {
     import spark.implicits._
     val t = newTable()
