@@ -558,9 +558,16 @@ object Multimodal {
         case None =>
           MediaFeatures(r.doc_id, r.modality, n, 0, 0, 8000 * (b0 % 6 + 1), checksum)
       }
-      // ??? video remains a stub: no MP4 demuxer in this container
-      case _ =>
-        MediaFeatures(r.doc_id, r.modality, n, 16 * (b1 % 40 + 1), 16 * (b0 % 30 + 1), 0, checksum)
+      case _ => Mp4.tryDemux(r.payload) match {
+        // REAL container demux (r12): track dimensions off the tkhd
+        // box; frame DECODE (H.264 entropy coding) stays out of scope
+        case Some(m) =>
+          MediaFeatures(r.doc_id, r.modality, n, m.width, m.height, 0, checksum)
+        // ??? remaining stub: non-ISO-BMFF video bytes — fake header
+        // parse keeps the batch plumbing exercised
+        case None =>
+          MediaFeatures(r.doc_id, r.modality, n, 16 * (b1 % 40 + 1), 16 * (b0 % 30 + 1), 0, checksum)
+      }
     }
   }
 

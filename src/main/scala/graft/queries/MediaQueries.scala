@@ -269,6 +269,147 @@ private[queries] trait MediaQueries { this: ExtQueries.type =>
       |    (acc, x) -> (acc * 131 + x) % 1000000007) AS content_hash
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** MP4 (ISO-BMFF) demux round trip as an oracle query — the VIDEO
+    * container arm (r12), closing the container layer of the video
+    * stub (frame DECODE — H.264 — stays honestly out of scope): per
+    * video document, deterministic variable-size frames are written
+    * through [[graft.ext.Mp4.mp4Payload]]'s single-track layout and
+    * demuxed back through the REAL box walk; the query emits the
+    * track metadata, the hash of the COMPLETE file bytes, and the
+    * hash of the frames as RE-EXTRACTED through the stsc→stsz→stco
+    * sample tables. The DuckDB twin rebuilds the ENTIRE file —
+    * big-endian length-prefixed boxes, all sizes computed from the
+    * frame count — independently from the published ISO 14496-12
+    * layout and hashes it, so a match proves the writer emits the
+    * real on-disk format byte-for-byte AND the demuxer's sample
+    * resolution inverts it exactly (same proof shape as the BMP/PNG/
+    * WAV arms of `x_media_decode`; the multi-chunk general case of
+    * the stsc chain is pinned separately in `Mp4Spec`).
+    *
+    * Scale shape: map-side 1:1 per-record mux+demux inside the
+    * partition iterator; output is doc-cardinality metadata only.
+    */
+  def xMp4Demux(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 2)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val b0 = if (text.nonEmpty) text.charAt(0).toInt else 0
+        val b1 = if (text.length > 1) text.charAt(1).toInt else 0
+        val n = b0 % 4 + 2
+        val delta = (b0 % 3 + 1) * 40L
+        val w = (b0 % 4 + 1) * 16
+        val h = (b1 % 3 + 1) * 16
+        val frames = (0 until n).map(f =>
+          Array.tabulate(b1 % 5 + 3 + f)(i => ((docId * 11 + f * 17 + i * 13) % 256).toByte))
+        val payload = graft.ext.Mp4.mp4Payload(w, h, frames, timescale = 1000L, delta = delta)
+        val m = graft.ext.Mp4.demux(payload)
+        val extracted = (0 until n).toArray.flatMap(i => graft.ext.Mp4.sample(payload, m, i))
+        (docId, m.majorBrand, m.codec, m.width, m.height, m.sampleSizes.length,
+          1000L * m.duration / m.timescale,
+          Multimodal.rollingHash(payload), Multimodal.rollingHash(extracted))
+      })
+      .toDF("doc_id", "brand", "codec", "width", "height", "n_frames",
+        "duration_ms", "payload_hash", "frames_hash")
+      .orderBy("doc_id")
+  }
+
+  /** SQL list text for a big-endian u32 of an expression. */
+  private def sqlBe4(e: String): String =
+    s"[CAST((($e) // 16777216) % 256 AS BIGINT), (($e) // 65536) % 256, " +
+      s"(($e) // 256) % 256, ($e) % 256]"
+
+  /** SQL list literal for constant bytes. */
+  private def sqlBytes(bs: Seq[Int]): String =
+    bs.zipWithIndex.map { case (b, i) =>
+      if (i == 0) s"CAST($b AS BIGINT)" else b.toString
+    }.mkString("[", ",", "]")
+
+  private def cc(s: String): Seq[Int] = s.getBytes("US-ASCII").map(_ & 0xff).toSeq
+
+  private def be4c(v: Long): Seq[Int] =
+    Seq(((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+      ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
+
+  private def be2c(v: Int): Seq[Int] = Seq((v >> 8) & 0xff, v & 0xff)
+
+  /** The ISO-BMFF constant runs of the writer's layout, written down
+    * from the published box grammar (NOT computed by `ext.Mp4` — the
+    * oracle stays an independent reconstruction).
+    */
+  private[queries] lazy val xMp4DemuxSql: String = {
+    val matrix = Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+      .flatMap(be4c)
+    val ftyp = be4c(24) ++ cc("ftyp") ++ cc("isom") ++ be4c(512) ++ cc("isom") ++ cc("mp42")
+    // mvhd pieces around the duration field (timescale pinned to 1000)
+    val mvhdPre = be4c(108) ++ cc("mvhd") ++ be4c(0) ++ be4c(0) ++ be4c(0) ++ be4c(1000)
+    val mvhdPost = be4c(0x10000) ++ be2c(0x0100) ++ be2c(0) ++ be4c(0) ++ be4c(0) ++
+      matrix ++ Seq.fill(24)(0) ++ be4c(2)
+    val tkhdPre = be4c(92) ++ cc("tkhd") ++ be4c(7) ++ be4c(0) ++ be4c(0) ++ be4c(1) ++ be4c(0)
+    val tkhdMid = be4c(0) ++ be4c(0) ++ be2c(0) ++ be2c(0) ++ be2c(0) ++ be2c(0) ++ matrix
+    val mdhdPre = be4c(32) ++ cc("mdhd") ++ be4c(0) ++ be4c(0) ++ be4c(0) ++ be4c(1000)
+    val mdhdPost = be2c(0x55c4) ++ be2c(0)
+    val hdlr = be4c(33) ++ cc("hdlr") ++ be4c(0) ++ be4c(0) ++ cc("vide") ++
+      be4c(0) ++ be4c(0) ++ be4c(0) ++ Seq(0)
+    val vmhdDinf = be4c(20) ++ cc("vmhd") ++ be4c(1) ++ Seq.fill(8)(0) ++
+      be4c(36) ++ cc("dinf") ++ be4c(28) ++ cc("dref") ++ be4c(0) ++ be4c(1) ++
+      be4c(12) ++ cc("url ") ++ be4c(1)
+    val stsdPre = be4c(102) ++ cc("stsd") ++ be4c(0) ++ be4c(1) ++ be4c(86) ++ cc("mp4v") ++
+      Seq.fill(6)(0) ++ be2c(1) ++ be2c(0) ++ be2c(0) ++ Seq.fill(12)(0)
+    val stsdPost = be4c(0x480000) ++ be4c(0x480000) ++ be4c(0) ++ be2c(1) ++
+      Seq.fill(32)(0) ++ be2c(0x0018) ++ be2c(0xffff)
+    val sttsPre = be4c(24) ++ cc("stts") ++ be4c(0) ++ be4c(1)
+    val stscPre = be4c(28) ++ cc("stsc") ++ be4c(0) ++ be4c(1) ++ be4c(1)
+    val stscPost = be4c(1)
+    val stcoBox = be4c(16) ++ cc("stco") ++ be4c(0) ++ be4c(1) ++ be4c(32)
+    val mdatTag = cc("mdat")
+    s"""WITH base AS (SELECT doc_id,
+       |    ascii(substr(text, 1, 1)) AS b0, ascii(substr(text, 2, 1)) AS b1
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |v AS (SELECT doc_id, b0, b1,
+       |    b0 % 4 + 2 AS n, CAST((b0 % 3 + 1) * 40 AS BIGINT) AS delta,
+       |    (b0 % 4 + 1) * 16 AS w, (b1 % 3 + 1) * 16 AS h
+       |  FROM base),
+       |fr AS (SELECT doc_id, n, delta, w, h, n * delta AS dur,
+       |    list_transform(range(0, n), f -> CAST(b1 % 5 + 3 + f AS BIGINT)) AS sizes,
+       |    flatten(list_transform(range(0, n), f ->
+       |      list_transform(range(0, b1 % 5 + 3 + f),
+       |        i -> (doc_id * 11 + f * 17 + i * 13) % 256))) AS content
+       |  FROM v),
+       |built AS (SELECT doc_id, n, delta, w, h, dur, content,
+       |    ${sqlBytes(ftyp)}
+       |    || ${sqlBe4("8 + len(content)")} || ${sqlBytes(mdatTag)} || content
+       |    || ${sqlBe4("551 + 4 * n")} || ${sqlBytes(cc("moov"))}
+       |    || ${sqlBytes(mvhdPre)} || ${sqlBe4("dur")} || ${sqlBytes(mvhdPost)}
+       |    || ${sqlBe4("435 + 4 * n")} || ${sqlBytes(cc("trak"))}
+       |    || ${sqlBytes(tkhdPre)} || ${sqlBe4("dur")} || ${sqlBytes(tkhdMid)}
+       |    || ${sqlBe4("w * 65536")} || ${sqlBe4("h * 65536")}
+       |    || ${sqlBe4("335 + 4 * n")} || ${sqlBytes(cc("mdia"))}
+       |    || ${sqlBytes(mdhdPre)} || ${sqlBe4("dur")} || ${sqlBytes(mdhdPost)}
+       |    || ${sqlBytes(hdlr)}
+       |    || ${sqlBe4("262 + 4 * n")} || ${sqlBytes(cc("minf"))}
+       |    || ${sqlBytes(vmhdDinf)}
+       |    || ${sqlBe4("198 + 4 * n")} || ${sqlBytes(cc("stbl"))}
+       |    || ${sqlBytes(stsdPre)} || (${sqlBe4("w")})[3:4] || (${sqlBe4("h")})[3:4]
+       |    || ${sqlBytes(stsdPost)}
+       |    || ${sqlBytes(sttsPre)} || ${sqlBe4("n")} || ${sqlBe4("delta")}
+       |    || ${sqlBytes(stscPre)} || ${sqlBe4("n")} || ${sqlBytes(stscPost)}
+       |    || ${sqlBe4("20 + 4 * n")} || ${sqlBytes(cc("stsz") ++ be4c(0) ++ be4c(0))} || ${sqlBe4("n")}
+       |    || flatten(list_transform(sizes, s ->
+       |      [CAST((s // 16777216) % 256 AS BIGINT), (s // 65536) % 256, (s // 256) % 256, s % 256]))
+       |    || ${sqlBytes(stcoBox)} AS payload
+       |  FROM fr)
+       |SELECT doc_id, 'isom' AS brand, 'mp4v' AS codec,
+       |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  CAST(n AS INT) AS n_frames, dur AS duration_ms,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), payload),
+       |    (acc, x) -> (acc * 131 + x) % 1000000007) AS payload_hash,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), content),
+       |    (acc, x) -> (acc * 131 + x) % 1000000007) AS frames_hash
+       |FROM built ORDER BY doc_id""".stripMargin
+  }
+
   /** Frame sampling over video payloads: every 2nd 16-byte window with
     * a per-frame rolling checksum — the declarative twin of
     * `Multimodal.sampleFrames` (spec-asserted equal), SQL-expressible
