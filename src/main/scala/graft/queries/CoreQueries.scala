@@ -1945,6 +1945,57 @@ object CoreQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY Year""".stripMargin
 
+  private val S25Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s25_delta_compact"
+  private val s25BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S25 — Delta MAINTENANCE round trip (OPTIMIZE + VACUUM twins):
+    * four small partitioned appends (orders by orderkey mod 4,
+    * partitioned by o_orderstatus — a year of micro-batch ingest in
+    * miniature), then [[graft.sources.DeltaLog.compact]] bin-packs
+    * each partition's files into one `dataChange = false` rewrite
+    * commit and [[graft.sources.DeltaLog.vacuum]] physically reclaims
+    * the replaced files. The oracle is the whole `orders` relation
+    * aggregated per status, so maintenance that LOSES or DUPLICATES a
+    * single row (a file dropped from the rewrite, a remove matching
+    * the wrong path, vacuum deleting a live file) hash-fails; the
+    * fixture additionally requires the file count to actually shrink
+    * and the dead files to actually be deleted.
+    */
+  def s25DeltaCompact(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s25BuiltFor.synchronized {
+      if (s25BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S25Root))
+        def slice(m: Long) = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .filter(col("o_orderkey") % 4 === m)
+        (0L to 3L).foreach(m => graft.sources.DeltaLog.append(
+          spark, S25Root, slice(m), partitionBy = Seq("o_orderstatus")))
+        val before = graft.sources.DeltaLog.snapshot(spark, S25Root).files.size
+        require(graft.sources.DeltaLog.compact(spark, S25Root) >= 0, "s25: nothing compacted")
+        val after = graft.sources.DeltaLog.snapshot(spark, S25Root).files.size
+        require(after < before, s"s25: compaction did not shrink files ($before -> $after)")
+        require(graft.sources.DeltaLog.vacuum(spark, S25Root, retainMs = -5000L) > 0,
+          "s25: vacuum reclaimed nothing")
+        s25BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S25Root)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(20, 2))).cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val s25DeltaCompactSql =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2178,6 +2229,7 @@ object CoreQueries {
     "s22_delta_append"  -> s22DeltaAppend _,
     "s23_delta_partitioned" -> s23DeltaPartitioned _,
     "s24_delta_partitioned_append" -> s24DeltaPartitionedAppend _,
+    "s25_delta_compact" -> s25DeltaCompact _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2490,6 +2542,7 @@ object CoreQueries {
     "s22_delta_append" -> s22DeltaAppendSql,
     "s23_delta_partitioned" -> s23DeltaPartitionedSql,
     "s24_delta_partitioned_append" -> s24DeltaPartitionedAppendSql,
+    "s25_delta_compact" -> s25DeltaCompactSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

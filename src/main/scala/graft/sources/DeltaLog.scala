@@ -631,9 +631,24 @@ object DeltaLog {
       }
     }
 
+    val version = commitActions(fs, logDir, tablePath,
+      v => (if (v == 0L) Seq(protocolLine, metaLine) else Seq.empty) ++ addLines)
+    if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
+      writeCheckpoint(spark, tablePath)
+    version
+  }
+
+  /** Land one commit at the next free version with the put-if-absent
+    * race loop shared by [[append]], [[compact]] and any future
+    * transaction writer. `lines(v)` builds the action lines for the
+    * version actually being attempted (version 0 carries protocol +
+    * metaData).
+    */
+  private def commitActions(
+      fs: FileSystem, logDir: Path, tablePath: String,
+      lines: Long => Seq[String]): Long = {
     def tryCommit(version: Long): Boolean = {
-      val head = if (version == 0L) Seq(protocolLine, metaLine) else Seq.empty
-      val bytes = (head ++ addLines).mkString("", "\n", "\n").getBytes("UTF-8")
+      val bytes = lines(version).mkString("", "\n", "\n").getBytes("UTF-8")
       val target = jsonPath(logDir, version)
       try {
         writeAtomic(fs, target, bytes, overwrite = false)
@@ -658,8 +673,137 @@ object DeltaLog {
       require(attempts < 100000,
         s"DeltaLog: gave up committing to $tablePath after $attempts version races")
     }
-    if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
-      writeCheckpoint(spark, tablePath)
     version
+  }
+
+  /** OPTIMIZE twin — bin-pack small live files, per partition, into
+    * `targetFileBytes`-sized rewrites and land ONE commit of
+    * `dataChange = false` remove+add pairs (the protocol's marker for
+    * a layout-only transaction: streaming readers know no rows
+    * changed). The small-file problem is THE table-maintenance cost
+    * at 100 TB ingest — a year of micro-batch appends is 10^6 tiny
+    * files whose per-file open/footer overhead dominates scans;
+    * compaction restores scan bandwidth without touching semantics
+    * (the s25 oracle pins the relation unchanged). Partition
+    * boundaries are respected (a rewrite never mixes partition
+    * values, so partitionValues stay per-file truths). Old files stay
+    * on disk for time travel until [[vacuum]]. Returns the committed
+    * version, or -1 when nothing needed compacting.
+    */
+  def compact(
+      spark: SparkSession, tablePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = logDirOf(tablePath)
+    require(fs.exists(logDir), s"not a Delta table: no _delta_log under $tablePath")
+    val snap = snapshot(spark, tablePath, None)
+    val dataSchema = snap.schema.map(s =>
+      StructType(s.filterNot(f => snap.partitionColumns.contains(f.name))))
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    var removes = Seq.empty[DeltaFile]
+    var adds = Seq.empty[(String, Map[String, String], Long, Long)]
+    var group = 0
+    snap.files.groupBy(_.partitionValues).toSeq
+      .sortBy { case (pv, _) => snap.partitionColumns.map(c => pv.getOrElse(c, "")).mkString(" ") }
+      .foreach { case (pvals, files) =>
+        val small = files.filter(_.size < targetFileBytes)
+        if (small.size >= 2) {
+          val paths = small.map(f => resolve(tablePath, f.path))
+          val total = small.map(_.size).sum
+          val nOut = math.max(1, ((total + targetFileBytes - 1) / targetFileBytes).toInt)
+          val stage = new Path(table, s"_compact_stage_${stamp}_$group")
+          val reader = dataSchema.fold(spark.read)(s => spark.read.schema(s))
+          reader.parquet(paths: _*).coalesce(nOut).write.parquet(stage.toString)
+          val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq
+            .map(_.getPath).sortBy(_.toString)
+          // keep the partition's directory prefix so the layout stays
+          // Hive-browsable; values still travel in partitionValues
+          val dirPrefix = {
+            val firstRel = decodePath(small.head.path)
+            val idx = firstRel.lastIndexOf('/')
+            if (idx < 0) "" else firstRel.substring(0, idx + 1)
+          }
+          adds = adds ++ parts.zipWithIndex.map { case (p, i) =>
+            val rel = s"${dirPrefix}part-compact-$stamp-$group-$i.parquet"
+            val dest = new Path(table, rel)
+            fs.mkdirs(dest.getParent)
+            require(fs.rename(p, dest), s"DeltaLog: compaction move failed for $p")
+            val st = fs.getFileStatus(dest)
+            (rel, pvals, st.getLen, st.getModificationTime)
+          }
+          removes = removes ++ small
+          fs.delete(stage, true)
+          group += 1
+        }
+      }
+    if (removes.isEmpty) return -1L
+    val removeLines = removes.map { f =>
+      actionLineStatic { root =>
+        val r = root.putObject("remove")
+        // verbatim, NOT re-encoded: the path string is the log's
+        // reconciliation identity — it must match the add that wrote it
+        r.put("path", f.path)
+        r.put("deletionTimestamp", 0L)
+        r.put("dataChange", false)
+      }
+    }
+    val addLines = adds.map { case (rel, pvals, len, mtime) =>
+      actionLineStatic { root =>
+        val a = root.putObject("add")
+        a.put("path", encodePath(rel))
+        val pv = a.putObject("partitionValues")
+        snap.partitionColumns.foreach { c =>
+          pvals.get(c).flatMap(Option(_)) match {
+            case Some(v) => pv.put(c, v)
+            case None => pv.putNull(c)
+          }
+        }
+        a.put("size", len)
+        a.put("modificationTime", mtime)
+        a.put("dataChange", false)
+      }
+    }
+    commitActions(fs, logDir, tablePath, _ => removeLines ++ addLines)
+  }
+
+  private def actionLineStatic(
+      build: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
+    val root = mapper.createObjectNode()
+    build(root)
+    mapper.writeValueAsString(root)
+  }
+
+  /** VACUUM twin — physically delete data files that are NOT in the
+    * current snapshot and whose modification time is older than
+    * `retainMs` (Delta's documented semantics: time travel to
+    * versions whose files were vacuumed stops working — the log
+    * remains, the scan fails loudly). Never touches `_delta_log` or
+    * in-flight staging dirs. Returns the deleted file count.
+    */
+  def vacuum(spark: SparkSession, tablePath: String, retainMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logDirOf(tablePath)), s"not a Delta table: no _delta_log under $tablePath")
+    val live = snapshotFiles(spark, tablePath, None)
+      .map(p => fs.makeQualified(new Path(p)).toString).toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    var deleted = 0L
+    def walk(dir: Path): Unit = {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name != "_delta_log" && !name.startsWith("_commit_stage_") &&
+              !name.startsWith("_compact_stage_") && !name.startsWith("_cp_stage_"))
+            walk(st.getPath)
+        } else if (name.endsWith(".parquet") &&
+            !live.contains(fs.makeQualified(st.getPath).toString) &&
+            st.getModificationTime < cutoff) {
+          if (fs.delete(st.getPath, false)) deleted += 1
+        }
+      }
+    }
+    walk(table)
+    deleted
   }
 }

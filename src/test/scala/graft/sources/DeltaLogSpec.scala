@@ -401,6 +401,40 @@ class DeltaLogSpec extends SparkSpec {
     assert(got == Set("a b/c" -> 1L, "plain" -> 2L))
   }
 
+  test("compact: small files bin-pack per partition, dataChange=false, vacuum reclaims") {
+    import spark.implicits._
+    val t = newTable()
+    // 4 tiny appends per partition value -> 8 small files in 2 partitions
+    (0 until 4).foreach { i =>
+      DeltaLog.append(spark, t,
+        Seq((i.toLong, "x", 1L), (i.toLong + 100, "y", 2L)).toDF("id", "part", "v"),
+        partitionBy = Seq("part"))
+    }
+    val before = DeltaLog.snapshot(spark, t).files
+    assert(before.size == 8)
+    val full = DeltaLog.read(spark, t).orderBy("id").collect().toSeq
+    val v = DeltaLog.compact(spark, t)
+    assert(v == 4L, s"compaction should land at version 4, got $v")
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.files.size == 2, s"expected 1 file per partition, got ${after.files.size}")
+    // partition values survive the rewrite; relation is UNCHANGED
+    assert(after.files.forall(f => f.partitionValues.keySet == Set("part")))
+    assert(DeltaLog.read(spark, t).orderBy("id").collect().toSeq == full)
+    // pre-compaction files are still on disk (time travel works)...
+    assert(DeltaLog.read(spark, t, Some(2L)).count() == 6)
+    // ...until vacuum(0) reclaims everything outside the live snapshot
+    // negative retention: "now" mtimes must fall before the cutoff
+    val deleted = DeltaLog.vacuum(spark, t, retainMs = -5000L)
+    assert(deleted == 8L, s"vacuum should delete the 8 replaced files, got $deleted")
+    assert(DeltaLog.read(spark, t).orderBy("id").collect().toSeq == full)
+    // time travel to a vacuumed version now fails loudly at the scan
+    intercept[Exception] {
+      DeltaLog.read(spark, t, Some(2L)).collect()
+    }
+    // idempotence: nothing left to compact
+    assert(DeltaLog.compact(spark, t) == -1L)
+  }
+
   test("commit retry advances past an occupied version slot without overwriting it") {
     import spark.implicits._
     val t = newTable()
