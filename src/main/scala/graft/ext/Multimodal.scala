@@ -554,9 +554,15 @@ object Multimodal {
       case "audio" => tryDecodeWav(r.payload) match {
         case Some(wav) =>
           MediaFeatures(r.doc_id, r.modality, n, 0, 0, wav.sampleRate, checksum)
-        // ??? remaining stub: no MP3/FLAC codecs in this container
-        case None =>
-          MediaFeatures(r.doc_id, r.modality, n, 0, 0, 8000 * (b0 % 6 + 1), checksum)
+        case None => Mp3.tryScan(r.payload) match {
+          // REAL frame-header scan (r12): sample rate off the MPEG
+          // header table; PCM decode stays out of scope
+          case Some(m) =>
+            MediaFeatures(r.doc_id, r.modality, n, 0, 0, m.sampleRate, checksum)
+          // ??? remaining stub: PCM decode for non-WAV/non-MP3 bytes
+          case None =>
+            MediaFeatures(r.doc_id, r.modality, n, 0, 0, 8000 * (b0 % 6 + 1), checksum)
+        }
       }
       case _ => Mp4.tryDemux(r.payload) match {
         // REAL container demux (r12): track dimensions off the tkhd

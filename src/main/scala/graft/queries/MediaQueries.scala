@@ -410,6 +410,58 @@ private[queries] trait MediaQueries { this: ExtQueries.type =>
        |FROM built ORDER BY doc_id""".stripMargin
   }
 
+  /** MP3 frame-header scan round trip — the AUDIO container arm
+    * (r12): CBR MPEG-1 Layer III streams written through
+    * [[graft.ext.Mp3.mp3Payload]] and re-scanned through the REAL
+    * header walk (sync bits, bitrate/sample-rate table indices,
+    * 144·br/sr frame striding). PCM decode stays honestly stubbed —
+    * validation + duration/bitrate metadata is the layer bulk audio
+    * curation needs. The DuckDB twin rebuilds every byte from the
+    * published header layout and hashes it (same proof shape as the
+    * other container arms).
+    */
+  def xMp3Scan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 1)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val b0 = if (text.nonEmpty) text.charAt(0).toInt else 0
+        val n = b0 % 5 + 2
+        val bIdx = b0 % 3 + 8 // 112 / 128 / 160 kbps
+        val payload = graft.ext.Mp3.mp3Payload(n, bIdx, srIdx = 0)(
+          (f, i) => ((docId * 13 + f * 19 + i * 7) % 256).toByte)
+        val m = graft.ext.Mp3.scan(payload)
+        (docId, m.frames, m.sampleRate, m.channels, m.bitrateKbps, m.cbr,
+          m.durationMs, Multimodal.rollingHash(payload))
+      })
+      .toDF("doc_id", "n_frames", "sample_rate", "channels", "bitrate_kbps",
+        "cbr", "duration_ms", "payload_hash")
+      .orderBy("doc_id")
+  }
+
+  private[queries] val xMp3ScanSql =
+    """WITH base AS (SELECT doc_id, ascii(substr(text, 1, 1)) AS b0
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |v AS (SELECT doc_id, b0 % 5 + 2 AS n, b0 % 3 + 8 AS bidx FROM base),
+      |v2 AS (SELECT doc_id, n, bidx,
+      |    list_value(112, 128, 160)[bidx - 7] AS kbps FROM v),
+      |v3 AS (SELECT doc_id, n, bidx, kbps,
+      |    (144 * kbps * 1000) // 44100 AS flen FROM v2),
+      |built AS (SELECT doc_id, n, kbps,
+      |    flatten(list_transform(range(0, n), f ->
+      |      [CAST(255 AS BIGINT), 251, bidx * 16, 4] ||
+      |      list_transform(range(4, flen),
+      |        i -> (doc_id * 13 + f * 19 + i * 7) % 256))) AS payload
+      |  FROM v3)
+      |SELECT doc_id, CAST(n AS INT) AS n_frames,
+      |  CAST(44100 AS INT) AS sample_rate, CAST(2 AS INT) AS channels,
+      |  CAST(kbps AS INT) AS bitrate_kbps, TRUE AS cbr,
+      |  (n * 1152 * 1000) // 44100 AS duration_ms,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), payload),
+      |    (acc, x) -> (acc * 131 + x) % 1000000007) AS payload_hash
+      |FROM built ORDER BY doc_id""".stripMargin
+
   /** Frame sampling over video payloads: every 2nd 16-byte window with
     * a per-frame rolling checksum — the declarative twin of
     * `Multimodal.sampleFrames` (spec-asserted equal), SQL-expressible

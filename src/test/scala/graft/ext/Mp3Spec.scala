@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Mp3]] — frame-header scanner: CBR round trip, ID3v2 prefix and
+  * ID3v1 tail handling, VBR detection, and the loud-fail guards
+  * (desync, truncation, non-Layer-III).
+  */
+class Mp3Spec extends AnyFunSuite {
+
+  private def cbr(n: Int, bIdx: Int): Array[Byte] =
+    Mp3.mp3Payload(n, bIdx, srIdx = 0)((f, i) => ((f * 19 + i * 7) % 256).toByte)
+
+  test("CBR round trip: frames, sample rate, channels, bitrate, duration") {
+    val m = Mp3.scan(cbr(5, 9)) // 128 kbps @ 44100
+    assert(m.frames == 5 && m.sampleRate == 44100 && m.channels == 2)
+    assert(m.bitrateKbps == 128 && m.cbr)
+    assert(m.durationMs == 5L * 1152 * 1000 / 44100) // 130 ms
+  }
+
+  test("ID3v2 prefix is skipped via its syncsafe size; ID3v1 tail tolerated") {
+    val frames = cbr(3, 8)
+    val id3v2 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 1, 5) ++
+      Array.fill(0x85)(0x61.toByte) // syncsafe 0x85 = 133 tag bytes
+    val id3v1 = Array[Byte]('T', 'A', 'G') ++ Array.fill(125)(0.toByte)
+    val m = Mp3.scan(id3v2 ++ frames ++ id3v1)
+    assert(m.frames == 3 && m.bitrateKbps == 112 && m.cbr)
+  }
+
+  test("VBR: a bitrate change mid-stream clears the CBR flag") {
+    val m = Mp3.scan(cbr(2, 9) ++ cbr(2, 11)) // 128 then 192 kbps
+    assert(m.frames == 4 && !m.cbr && m.bitrateKbps == 128) // first frame's rate
+  }
+
+  test("guards: desync, truncation, Layer II refusal; tryScan never throws") {
+    val ok = cbr(2, 9)
+    // flip a sync byte mid-stream -> lost sync, refused
+    val bad = ok.clone(); bad(417) = 0x00 // frame 2's header starts at 417
+    val e1 = intercept[IllegalArgumentException](Mp3.scan(bad))
+    assert(e1.getMessage.contains("lost sync"), e1.getMessage)
+    // truncated final frame
+    assert(Mp3.tryScan(ok.take(ok.length - 5)).isEmpty)
+    // Layer II header bits (layer = 10) refused
+    val l2 = ok.clone(); l2(1) = 0xfd.toByte
+    val e3 = intercept[IllegalArgumentException](Mp3.scan(l2))
+    assert(e3.getMessage.contains("Layer III"), e3.getMessage)
+    // non-MP3 bytes -> None
+    assert(Mp3.tryScan("hello world, not audio".getBytes("US-ASCII")).isEmpty)
+  }
+}
