@@ -289,24 +289,36 @@ private[queries] trait MediaQueries { this: ExtQueries.type =>
     * Scale shape: map-side 1:1 per-record mux+demux inside the
     * partition iterator; output is doc-cardinality metadata only.
     */
+  /** The deterministic per-document MP4 both MP4 queries share:
+    * (b0%4+2) frames of growing size, 16-multiple dims, 1000-tick
+    * timescale — every byte a function of (doc_id, b0, b1). A plain
+    * FUNCTION value, not a method: a trait method reference would
+    * drag the whole (non-serializable) query object into the
+    * mapPartitions closure.
+    */
+  private val craftMp4: (Long, Int, Int) => Array[Byte] = (docId, b0, b1) => {
+    val n = b0 % 4 + 2
+    val frames = (0 until n).map(f =>
+      Array.tabulate(b1 % 5 + 3 + f)(i => ((docId * 11 + f * 17 + i * 13) % 256).toByte))
+    graft.ext.Mp4.mp4Payload(
+      (b0 % 4 + 1) * 16, (b1 % 3 + 1) * 16, frames,
+      timescale = 1000L, delta = (b0 % 3 + 1) * 40L)
+  }
+
   def xMp4Demux(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val craft = craftMp4 // local copy: the closure must not capture the query object
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 3 === 2)
       .as[(Long, String)]
       .mapPartitions(_.map { case (docId, text) =>
         val b0 = if (text.nonEmpty) text.charAt(0).toInt else 0
         val b1 = if (text.length > 1) text.charAt(1).toInt else 0
-        val n = b0 % 4 + 2
-        val delta = (b0 % 3 + 1) * 40L
-        val w = (b0 % 4 + 1) * 16
-        val h = (b1 % 3 + 1) * 16
-        val frames = (0 until n).map(f =>
-          Array.tabulate(b1 % 5 + 3 + f)(i => ((docId * 11 + f * 17 + i * 13) % 256).toByte))
-        val payload = graft.ext.Mp4.mp4Payload(w, h, frames, timescale = 1000L, delta = delta)
+        val payload = craft(docId, b0, b1)
         val m = graft.ext.Mp4.demux(payload)
+        val n = m.sampleSizes.length
         val extracted = (0 until n).toArray.flatMap(i => graft.ext.Mp4.sample(payload, m, i))
-        (docId, m.majorBrand, m.codec, m.width, m.height, m.sampleSizes.length,
+        (docId, m.majorBrand, m.codec, m.width, m.height, n,
           1000L * m.duration / m.timescale,
           Multimodal.rollingHash(payload), Multimodal.rollingHash(extracted))
       })
@@ -314,6 +326,48 @@ private[queries] trait MediaQueries { this: ExtQueries.type =>
         "duration_ms", "payload_hash", "frames_hash")
       .orderBy("doc_id")
   }
+
+  /** Strided REAL-frame sampling through the demuxer — the container-
+    * backed form of [[xFrameSample]]'s every-2nd-frame contract: the
+    * frame byte ranges come from the stsc→stsz→stco tables, not from
+    * fixed-width text windows, so a demuxer offset bug shifts a
+    * sampled frame's bytes and hash-fails against the oracle's
+    * arithmetic reconstruction of the same frames.
+    */
+  def xMp4FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val craft = craftMp4 // local copy: the closure must not capture the query object
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 2)
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (docId, text) =>
+        val b0 = if (text.nonEmpty) text.charAt(0).toInt else 0
+        val b1 = if (text.length > 1) text.charAt(1).toInt else 0
+        val payload = craft(docId, b0, b1)
+        val m = graft.ext.Mp4.demux(payload)
+        (0 until m.sampleSizes.length by 2).map { f =>
+          val frame = graft.ext.Mp4.sample(payload, m, f)
+          (docId, f.toLong, frame.length.toLong, Multimodal.rollingHash(frame))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "frame_bytes", "frame_checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private[queries] val xMp4FrameSampleSql =
+    """WITH base AS (SELECT doc_id,
+      |    ascii(substr(text, 1, 1)) AS b0, ascii(substr(text, 2, 1)) AS b1
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, b1,
+      |    unnest(range(0, b0 % 4 + 2, 2)) AS frame_idx
+      |  FROM base)
+      |SELECT doc_id, frame_idx,
+      |  CAST(b1 % 5 + 3 + frame_idx AS BIGINT) AS frame_bytes,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(0, b1 % 5 + 3 + frame_idx),
+      |      i -> (doc_id * 11 + frame_idx * 17 + i * 13) % 256)),
+      |    (acc, x) -> (acc * 131 + x) % 1000000007) AS frame_checksum
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
   /** SQL list text for a big-endian u32 of an expression. */
   private def sqlBe4(e: String): String =

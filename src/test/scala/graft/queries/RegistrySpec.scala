@@ -56,7 +56,7 @@ class RegistrySpec extends AnyFunSuite {
     "x_ivfpq_recall", "x_ivfpq_serve", "x_join_size_est", "x_knn_bulk",
     "x_knn_bulk_agreement", "x_knn_classify", "x_ks_drift", "x_lang_id",
     "x_lm_score", "x_media_decode", "x_mixture_sample", "x_mp3_scan",
-    "x_mp4_demux",
+    "x_mp4_demux", "x_mp4_frame_sample",
     "x_encoding_quality", "x_lr_eval", "x_lr_model", "x_lr_pr_curve",
     "x_lr_score",
     "x_mixture_temperature", "x_multimodal_meta", "x_nb_eval",
