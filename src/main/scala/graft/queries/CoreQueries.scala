@@ -1996,6 +1996,51 @@ object CoreQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  private val S26Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s26_delta_evolve"
+  private val s26BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S26 — SCHEMA-EVOLUTION append round trip: the first commit lands
+    * even-keyed orders WITHOUT `o_orderstatus`; the second appends the
+    * odd keys WITH it under `allowSchemaEvolution = true`, which
+    * replaces the table's `metaData` action with the merged schema.
+    * The read declares that schema, so the pre-evolution files
+    * null-fill the new column — the oracle reconstructs exactly that
+    * (status NULL→'NONE' for even keys), so an evolution bug (old
+    * rows dropped, column misaligned, metaData not replaced)
+    * hash-fails.
+    */
+  def s26DeltaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s26BuiltFor.synchronized {
+      if (s26BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S26Root))
+        val base = Tables.orders(spark, dir)
+        graft.sources.DeltaLog.append(spark, S26Root,
+          base.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_totalprice")))
+        graft.sources.DeltaLog.append(spark, S26Root,
+          base.filter(col("o_orderkey") % 2 =!= 0)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+          allowSchemaEvolution = true)
+        s26BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S26Root)
+      .groupBy(coalesce(col("o_orderstatus"), lit("NONE")).as("status_bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(20, 2))).cast(DoubleType).as("sum_price"))
+      .orderBy("status_bucket")
+  }
+
+  private val s26DeltaEvolveSql =
+    """SELECT CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus ELSE 'NONE' END AS status_bucket,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY status_bucket""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2230,6 +2275,7 @@ object CoreQueries {
     "s23_delta_partitioned" -> s23DeltaPartitioned _,
     "s24_delta_partitioned_append" -> s24DeltaPartitionedAppend _,
     "s25_delta_compact" -> s25DeltaCompact _,
+    "s26_delta_evolve" -> s26DeltaEvolve _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2543,6 +2589,7 @@ object CoreQueries {
     "s23_delta_partitioned" -> s23DeltaPartitionedSql,
     "s24_delta_partitioned_append" -> s24DeltaPartitionedAppendSql,
     "s25_delta_compact" -> s25DeltaCompactSql,
+    "s26_delta_evolve" -> s26DeltaEvolveSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

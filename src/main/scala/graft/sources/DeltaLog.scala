@@ -522,11 +522,13 @@ object DeltaLog {
     */
   def append(
       spark: SparkSession, tablePath: String, df: DataFrame,
-      checkpointInterval: Int = 10, partitionBy: Seq[String] = Seq.empty): Long = {
+      checkpointInterval: Int = 10, partitionBy: Seq[String] = Seq.empty,
+      allowSchemaEvolution: Boolean = false): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, "_delta_log")
     val tableExists = fs.exists(logDir) && fs.listStatus(logDir).nonEmpty
+    var evolvedId: Option[String] = None // Some(tableId) => emit a new metaData action
     if (tableExists) {
       // schema + partitioning gates: a silent append of a different
       // shape corrupts the table for every reader that trusts
@@ -535,9 +537,25 @@ object DeltaLog {
       snap.schema.foreach { s =>
         val have = s.fields.map(f => (f.name, f.dataType)).toSeq
         val incoming = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-        require(have == incoming,
-          s"DeltaLog: append schema mismatch — table declares ${s.simpleString}, " +
-            s"append brings ${df.schema.simpleString}")
+        if (have != incoming) {
+          if (!allowSchemaEvolution)
+            throw new IllegalArgumentException(
+              s"DeltaLog: append schema mismatch — table declares ${s.simpleString}, " +
+                s"append brings ${df.schema.simpleString} " +
+                "(pass allowSchemaEvolution = true for add-column evolution)")
+          // ADD-COLUMN evolution only: every declared column must
+          // survive with its type (no drops, no retypes — those change
+          // the meaning of already-written files); the commit then
+          // carries a NEW metaData action with the merged schema, and
+          // old files simply lack the new columns (the declared-schema
+          // scan null-fills them)
+          val incomingByName = incoming.toMap
+          val missing = have.filterNot { case (n, t) => incomingByName.get(n).contains(t) }
+          require(missing.isEmpty,
+            s"DeltaLog: schema evolution may only ADD columns — existing " +
+              s"${missing.map(_._1).mkString(", ")} dropped or retyped")
+          evolvedId = Some(snap.metaId.getOrElse("graft"))
+        }
       }
       require(snap.partitionColumns == partitionBy,
         s"DeltaLog: append partitioning mismatch — table declares " +
@@ -607,7 +625,8 @@ object DeltaLog {
     }
     val metaLine = actionLine { root =>
       val m = root.putObject("metaData")
-      m.put("id", s"graft-${java.util.UUID.randomUUID()}")
+      // evolution REPLACES the metaData action but keeps the table id
+      m.put("id", evolvedId.getOrElse(s"graft-${java.util.UUID.randomUUID()}"))
       val f = m.putObject("format"); f.put("provider", "parquet"); f.putObject("options")
       m.put("schemaString", df.schema.json)
       val pc = m.putArray("partitionColumns")
@@ -632,7 +651,9 @@ object DeltaLog {
     }
 
     val version = commitActions(fs, logDir, tablePath,
-      v => (if (v == 0L) Seq(protocolLine, metaLine) else Seq.empty) ++ addLines)
+      v => (if (v == 0L) Seq(protocolLine, metaLine)
+            else if (evolvedId.isDefined) Seq(metaLine)
+            else Seq.empty) ++ addLines)
     if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
       writeCheckpoint(spark, tablePath)
     version

@@ -401,6 +401,33 @@ class DeltaLogSpec extends SparkSpec {
     assert(got == Set("a b/c" -> 1L, "plain" -> 2L))
   }
 
+  test("schema evolution: add-column append replaces metaData; old files null-fill") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    // refused without the flag
+    val e0 = intercept[IllegalArgumentException](
+      DeltaLog.append(spark, t, Seq((2L, "b", 9L)).toDF("id", "tag", "extra")))
+    assert(e0.getMessage.contains("schema mismatch"), e0.getMessage)
+    DeltaLog.append(spark, t, Seq((2L, "b", 9L)).toDF("id", "tag", "extra"),
+      allowSchemaEvolution = true)
+    val back = DeltaLog.read(spark, t).orderBy("id")
+    // the merged schema is DECLARED (new metaData action); files from
+    // before the evolution lack the column and scan as null
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag", "extra"))
+    val rows = back.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a", -1L), (2L, "b", 9L)))
+    // drops / retypes refused even with the flag — they would change
+    // the meaning of already-written files
+    val e1 = intercept[IllegalArgumentException](DeltaLog.append(spark, t,
+      Seq(("x", 1L)).toDF("tag", "extra"), allowSchemaEvolution = true))
+    assert(e1.getMessage.contains("ADD columns"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](DeltaLog.append(spark, t,
+      Seq((1, "y", 2L)).toDF("id", "tag", "extra"), allowSchemaEvolution = true))
+    assert(e2.getMessage.contains("ADD columns"), e2.getMessage) // id retyped int
+  }
+
   test("compact: small files bin-pack per partition, dataChange=false, vacuum reclaims") {
     import spark.implicits._
     val t = newTable()
