@@ -2041,6 +2041,66 @@ object CoreQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY status_bucket""".stripMargin
 
+  private val S27Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s27_iceberg"
+  private val s27BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val s27FirstSnapshot =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Build the Iceberg fixture once per (JVM, sf dir): two
+    * [[graft.sources.IcebergTable.append]] snapshots (orders split by
+    * orderkey parity) — the second manifest list must CARRY FORWARD
+    * the first snapshot's manifest for the full relation to survive.
+    */
+  private def ensureIcebergFixture(spark: SparkSession, dir: String): Unit = {
+    sweepStaleFixtureDirs()
+    s27BuiltFor.synchronized {
+      if (s27BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S27Root))
+        def slice(even: Boolean) = Tables.orders(spark, dir)
+          .filter(if (even) col("o_orderkey") % 2 === 0 else col("o_orderkey") % 2 =!= 0)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        s27FirstSnapshot.set(
+          graft.sources.IcebergTable.append(spark, S27Root, slice(even = true)))
+        graft.sources.IcebergTable.append(spark, S27Root, slice(even = false))
+        s27BuiltFor.set(dir)
+      }
+    }
+  }
+
+  /** S27 — APACHE ICEBERG (v1) writer→reader round trip: the OTHER
+    * open table format beside Delta, read through its real metadata
+    * chain (`vN.metadata.json` → snapshot → manifest-list avro →
+    * manifest avro → parquet scan) with zero connector jars — the
+    * manifests parse with the avro-core jars Spark already ships. The
+    * oracle is the whole `orders` relation, so a metadata bug (a
+    * manifest dropped from the carried-forward list, a path mangled,
+    * a status misread) hash-fails.
+    */
+  def s27IcebergScan(spark: SparkSession, dir: String): DataFrame = {
+    ensureIcebergFixture(spark, dir)
+    graft.sources.IcebergTable.read(spark, S27Root).orderBy("o_orderkey")
+  }
+
+  private val s27IcebergScanSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** S28 — Iceberg snapshot TIME TRAVEL: reading the FIRST snapshot id
+    * replays only its manifest list (even orderkeys), proving old
+    * snapshots stay readable after later appends.
+    */
+  def s28IcebergTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    ensureIcebergFixture(spark, dir)
+    graft.sources.IcebergTable.read(spark, S27Root, Some(s27FirstSnapshot.get()))
+      .orderBy("o_orderkey")
+  }
+
+  private val s28IcebergTimeTravelSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2276,6 +2336,8 @@ object CoreQueries {
     "s24_delta_partitioned_append" -> s24DeltaPartitionedAppend _,
     "s25_delta_compact" -> s25DeltaCompact _,
     "s26_delta_evolve" -> s26DeltaEvolve _,
+    "s27_iceberg_scan" -> s27IcebergScan _,
+    "s28_iceberg_time_travel" -> s28IcebergTimeTravel _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2590,6 +2652,8 @@ object CoreQueries {
     "s24_delta_partitioned_append" -> s24DeltaPartitionedAppendSql,
     "s25_delta_compact" -> s25DeltaCompactSql,
     "s26_delta_evolve" -> s26DeltaEvolveSql,
+    "s27_iceberg_scan" -> s27IcebergScanSql,
+    "s28_iceberg_time_travel" -> s28IcebergTimeTravelSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

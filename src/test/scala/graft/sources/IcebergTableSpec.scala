@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [[IcebergTable]] — v1 metadata walk: writer→reader round trip with
+  * carried-forward manifests, snapshot time travel, DELETED-entry
+  * exclusion (hand-crafted manifest, since the writer is append-only),
+  * and the loud-fail guards (v2 refusal, schema mismatch, unsupported
+  * types, missing snapshot).
+  */
+class IcebergTableSpec extends SparkSpec {
+
+  private def newTable(): String =
+    Files.createTempDirectory("graft-iceberg").toString
+
+  test("writer -> reader round trip across two snapshots; declared schema types") {
+    import spark.implicits._
+    val t = newTable()
+    val s1 = IcebergTable.append(spark, t, Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "tag", "v"))
+    val s2 = IcebergTable.append(spark, t, Seq((3L, "c", 3.5)).toDF("id", "tag", "v"))
+    assert(s1 != s2)
+    val back = IcebergTable.read(spark, t).orderBy("id")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", LongType), ("tag", StringType), ("v", DoubleType)))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // time travel: the FIRST snapshot still reads (its manifest list
+    // predates the second append)
+    assert(IcebergTable.read(spark, t, Some(s1)).count() == 2)
+    assert(IcebergTable.read(spark, t, Some(s2)).count() == 3)
+    // a made-up snapshot id refuses
+    val e = intercept[IllegalArgumentException](IcebergTable.read(spark, t, Some(12345L)))
+    assert(e.getMessage.contains("not found"), e.getMessage)
+  }
+
+  test("DELETED manifest entries are excluded from the scan") {
+    import spark.implicits._
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val t = newTable()
+    IcebergTable.append(spark, t, Seq((1L, "keep")).toDF("id", "tag"))
+    IcebergTable.append(spark, t, Seq((2L, "drop")).toDF("id", "tag"))
+    // hand-craft snapshot 3: same manifests as current PLUS a manifest
+    // whose entry DELETES the second snapshot's file (spec-local avro
+    // schemas — the reader must work off field names, not our writer)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaP = new org.apache.hadoop.fs.Path(s"$t/metadata/v2.metadata.json")
+    val meta = { val in = fs.open(metaP); try mapper.readTree(in) finally in.close() }
+    val curId = meta.get("current-snapshot-id").asLong()
+    val snaps = meta.get("snapshots")
+    val listPath = (0 until snaps.size()).map(snaps.get)
+      .find(_.get("snapshot-id").asLong() == curId).get.get("manifest-list").asText()
+    // find the file added by snapshot 2 (the one holding id=2)
+    val dropFile = IcebergTable.snapshot(spark, t).files
+      .find(p => spark.read.parquet(p).filter(col("id") === 2L).count() == 1).get
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"}]}}]}""".stripMargin)
+    val delManifest = new org.apache.hadoop.fs.Path(s"$t/metadata/manifest-del.avro")
+    val out = fs.create(delManifest, false)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+    w.create(entrySchema, out)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 2) // DELETED
+    val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+    d.put("file_path", dropFile); d.put("file_format", "PARQUET")
+    e.put("data_file", d)
+    w.append(e); w.close()
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"}]}""".stripMargin)
+    val oldList = {
+      val input = new org.apache.avro.mapred.FsInput(
+        new org.apache.hadoop.fs.Path(listPath), conf)
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        input, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try { val b = Seq.newBuilder[GenericRecord]; while (r.hasNext) b += r.next(); b.result() }
+      finally r.close()
+    }
+    val newList = new org.apache.hadoop.fs.Path(s"$t/metadata/snap-99.avro")
+    val lo = fs.create(newList, false)
+    val lw = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
+    lw.create(listSchema, lo)
+    oldList.foreach { r =>
+      val n = new GenericData.Record(listSchema)
+      n.put("manifest_path", r.get("manifest_path").toString)
+      n.put("manifest_length", r.get("manifest_length").asInstanceOf[Long])
+      n.put("partition_spec_id", 0)
+      lw.append(n)
+    }
+    val dm = new GenericData.Record(listSchema)
+    dm.put("manifest_path", fs.makeQualified(delManifest).toString)
+    dm.put("manifest_length", fs.getFileStatus(delManifest).getLen)
+    dm.put("partition_spec_id", 0)
+    lw.append(dm); lw.close()
+    val m3 = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    m3.put("current-snapshot-id", 99L)
+    val sn = m3.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots").addObject()
+    sn.put("snapshot-id", 99L); sn.put("timestamp-ms", 0L)
+    sn.put("manifest-list", fs.makeQualified(newList).toString)
+    val mo = fs.create(new org.apache.hadoop.fs.Path(s"$t/metadata/v3.metadata.json"), false)
+    try mo.write(mapper.writeValueAsBytes(m3)) finally mo.close()
+    val ho = fs.create(new org.apache.hadoop.fs.Path(s"$t/metadata/version-hint.text"), true)
+    try ho.write("3".getBytes("UTF-8")) finally ho.close()
+
+    val rows = IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L), s"deleted entry should drop id=2, got $rows")
+  }
+
+  test("guards: v2 refusal, schema-mismatch append, unsupported type") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    // bump format-version -> refuse (v2 row-level deletes would be
+    // silently wrong)
+    val p = java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json")
+    // drop Hadoop's checksum sidecar: the raw-nio edit below would
+    // otherwise fail the local FS's CRC verification on read
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$t/metadata/.v1.metadata.json.crc"))
+    val txt = java.nio.file.Files.readString(p)
+    java.nio.file.Files.writeString(p,
+      txt.replace("\"format-version\" : 1", "\"format-version\" : 2"))
+    val e1 = intercept[IllegalArgumentException](IcebergTable.read(spark, t))
+    assert(e1.getMessage.contains("format-version"), e1.getMessage)
+    java.nio.file.Files.writeString(p, txt) // restore
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTable.append(spark, t, Seq((1, "a")).toDF("id", "tag"))) // id retyped int
+    assert(e2.getMessage.contains("schema mismatch"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      IcebergTable.append(spark, newTable(), Seq((1L, Seq("x"))).toDF("id", "arr")))
+    assert(e3.getMessage.contains("unsupported column type"), e3.getMessage)
+  }
+}
