@@ -2101,6 +2101,48 @@ object CoreQueries {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""".stripMargin
 
+  private val S29Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s29_avro"
+  private val s29BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S29 — AVRO container round trip without the spark-avro connector
+    * ([[graft.sources.AvroZone]], avro-core jars only): orders written
+    * as one container per partition (distributed, task-staged
+    * publish), read back one task per container against the EMBEDDED
+    * writer schema, aggregated per status. The oracle rebuilds the
+    * aggregate from `orders` directly, so an encode/decode bug (a
+    * union mis-branch, a dropped partition file, a null mangled)
+    * hash-fails.
+    */
+  def s29AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s29BuiltFor.synchronized {
+      if (s29BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S29Root))
+        graft.sources.AvroZone.write(
+          Tables.orders(spark, dir)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            .repartition(4),
+          S29Root)
+        s29BuiltFor.set(dir)
+      }
+    }
+    graft.sources.AvroZone.read(spark, S29Root)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_custkey")).as("sum_cust"),
+        sum(col("o_totalprice").cast(DecimalType(20, 2))).cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val s29AvroRoundtripSql =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  SUM(o_custkey) AS sum_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2338,6 +2380,7 @@ object CoreQueries {
     "s26_delta_evolve" -> s26DeltaEvolve _,
     "s27_iceberg_scan" -> s27IcebergScan _,
     "s28_iceberg_time_travel" -> s28IcebergTimeTravel _,
+    "s29_avro_roundtrip" -> s29AvroRoundtrip _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2654,6 +2697,7 @@ object CoreQueries {
     "s26_delta_evolve" -> s26DeltaEvolveSql,
     "s27_iceberg_scan" -> s27IcebergScanSql,
     "s28_iceberg_time_travel" -> s28IcebergTimeTravelSql,
+    "s29_avro_roundtrip" -> s29AvroRoundtripSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,
