@@ -371,6 +371,31 @@ object DeltaLog {
     else new Path(tablePath, decoded).toString
   }
 
+  /** True iff every live file sits under a `col=value/...` chain that
+    * matches its `add.partitionValues` exactly — the precondition for
+    * the single-scan basePath read (directory names are a CONVENTION;
+    * the log is truth, so the fast path is only taken when the two
+    * agree for every file).
+    */
+  private def hiveConsistent(snap: Snapshot): Boolean =
+    snap.files.forall { f =>
+      val rel = decodePath(f.path)
+      if (rel.contains("://") || new Path(rel).isAbsolute) false
+      else {
+        val segs = rel.split('/').dropRight(1)
+        segs.length == snap.partitionColumns.length &&
+          snap.partitionColumns.zip(segs).forall { case (c, seg) =>
+            seg.split("=", 2) match {
+              case Array(k, v) if k == c =>
+                val expect = f.partitionValues.get(c).flatMap(Option(_))
+                if (v == "__HIVE_DEFAULT_PARTITION__") expect.isEmpty
+                else expect.contains(unescapePathName(v))
+              case _ => false
+            }
+          }
+      }
+    }
+
   /** Resolve the snapshot's live data-file paths (absolute). */
   def snapshotFiles(
       spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): Seq[String] =
@@ -400,6 +425,20 @@ object DeltaLog {
     if (snap.partitionColumns.isEmpty) {
       val reader = declared.fold(spark.read)(s => spark.read.schema(s))
       reader.parquet(snap.files.map(f => resolve(tablePath, f.path)): _*)
+    } else if (declared.isDefined && hiveConsistent(snap)) {
+      // FAST PATH: when every file's col=value directory chain agrees
+      // with its add.partitionValues (checked file-by-file on the
+      // metadata-sized list) and the schema is declared, ONE basePath
+      // scan serves the whole table — native partition pruning, a
+      // single relation instead of a per-partition union (the branch
+      // plan is fine at 10^2 partitions, not at 10^4), and NO
+      // directory-name type inference (the user-specified schema types
+      // the partition columns, so a zero-padded "03" string stays a
+      // string). The final select re-asserts schemaString order.
+      val s = declared.get
+      spark.read.schema(s).option("basePath", tablePath)
+        .parquet(snap.files.map(f => resolve(tablePath, f.path)): _*)
+        .select(s.fieldNames.map(col).toSeq: _*)
     } else {
       val pcols = snap.partitionColumns
       val dataSchema = declared.map(s => StructType(s.filterNot(f => pcols.contains(f.name))))

@@ -38,22 +38,32 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("s23_delta_partitioned: Year filter prunes partition FILES, not just rows") {
-    // partition values are branch-level literals — the optimizer folds
-    // the Year predicate to false on every non-1995 branch and drops
-    // the relation, so only 1995's files survive in the plan at all
+    // the Hive-consistent fixture takes the single-scan basePath fast
+    // path (r12): ONE relation whose partition columns are typed by
+    // schemaString, with the Year predicate landing as a native
+    // PartitionFilter — files outside 1995 are never read (the metric
+    // counts what the scan actually opened)
     val df = graft.SparkEntry.queries("s23_delta_partitioned")(spark, dir)
-    val surviving = df.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        r.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.inputFiles.toSeq
-          case _ => Seq.empty[String]
-        }
-    }.flatten
-    assert(surviving.nonEmpty, "expected at least one surviving scan")
-    assert(surviving.forall(_.contains("Year=1995")),
-      s"non-1995 partition files survived the optimizer: " +
-        surviving.filterNot(_.contains("Year=1995")).take(3))
+    df.collect() // execute so AQE finalizes and scan metrics fill
+    // AQE wraps finished stages in leaf QueryStageExec nodes, so a
+    // plain collect never reaches the scans — recurse through them
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.size == 1, s"expected ONE basePath scan, got ${scans.size}")
+    val scan = scans.head
+    assert(scan.toString.contains("PartitionFilters") && scan.toString.contains("1995"),
+      s"Year predicate must land as a partition filter:\n$scan")
+    val filesRead = scan.metrics("numFiles").value
+    val totalLive = scan.relation.location.inputFiles.length
+    assert(filesRead < totalLive && filesRead > 0,
+      s"partition filter should prune files: read $filesRead of $totalLive")
   }
 
   test("x_containment: df-capped pair generation — no cartesian product, no window") {
