@@ -65,7 +65,10 @@ object DeltaLog {
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType)))))))
+      StructField("partitionColumns", ArrayType(StringType))))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
 
   private val JsonCommit = """^(\d{20})\.json$""".r
   private val Checkpoint = """^(\d{20})\.checkpoint\.parquet$""".r
@@ -156,7 +159,28 @@ object DeltaLog {
       sub("metaData", "id", StringType).as("meta_id"),
       sub("metaData", "schemaString", StringType).as("schema_string"),
       sub("metaData", "partitionColumns", ArrayType(StringType)).as("partition_cols"),
+      sub("txn", "appId", StringType).as("txn_app"),
+      sub("txn", "version", LongType).as("txn_version"),
       col("version"))
+  }
+
+  /** The newest `txn` version committed for `appId` (None if never) —
+    * the protocol's exactly-once handle for streaming sinks: a writer
+    * that stamps each commit with its (appId, epoch) can ask whether
+    * an epoch already landed before re-appending it. Sees txn actions
+    * carried by checkpoints too ([[writeCheckpoint]] preserves the
+    * newest txn per appId, per the spec).
+    */
+  def lastTxnVersion(spark: SparkSession, tablePath: String, appId: String): Option[Long] = {
+    val logDir = logDirOf(tablePath)
+    val fs = fsOf(spark, logDir)
+    if (!fs.exists(logDir) || fs.listStatus(logDir).isEmpty) None
+    else {
+      val row = actions(spark, tablePath, None)
+        .filter(col("txn_app") === appId)
+        .agg(max(col("txn_version"))).head()
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
   }
 
   private def jsonActions(spark: SparkSession, paths: Seq[String]): DataFrame =
@@ -502,6 +526,9 @@ object DeltaLog {
         StructField("id", StringType),
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType))))))
+      .withColumn("txn", lit(null).cast(StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType)))))
     val headRow = spark.range(1).select(
       lit(null).cast(actionRows.schema("add").dataType).as("add"),
       lit(null).cast(actionRows.schema("remove").dataType).as("remove"),
@@ -512,8 +539,20 @@ object DeltaLog {
         snap.partitionColumns match {
           case Seq() => array().cast(ArrayType(StringType)).as("partitionColumns")
           case ps => array(ps.map(lit): _*).as("partitionColumns")
-        }).as("metaData"))
-    val cpDf = headRow.unionByName(actionRows)
+        }).as("metaData"),
+      lit(null).cast(actionRows.schema("txn").dataType).as("txn"))
+    // the spec requires checkpoints to retain the NEWEST txn per appId
+    // — dropping them here would silently break the exactly-once
+    // contract of [[lastTxnVersion]] after log cleanup
+    val txnRows = acts.filter(col("txn_app").isNotNull)
+      .groupBy(col("txn_app")).agg(max(col("txn_version")).as("v"))
+      .select(
+        lit(null).cast(actionRows.schema("add").dataType).as("add"),
+        lit(null).cast(actionRows.schema("remove").dataType).as("remove"),
+        lit(null).cast(actionRows.schema("protocol").dataType).as("protocol"),
+        lit(null).cast(actionRows.schema("metaData").dataType).as("metaData"),
+        struct(col("txn_app").as("appId"), col("v").as("version")).as("txn"))
+    val cpDf = headRow.unionByName(actionRows).unionByName(txnRows)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(tablePath, s"_cp_stage_$stamp")
     cpDf.coalesce(1).write.parquet(stage.toString)
@@ -562,11 +601,18 @@ object DeltaLog {
   def append(
       spark: SparkSession, tablePath: String, df: DataFrame,
       checkpointInterval: Int = 10, partitionBy: Seq[String] = Seq.empty,
-      allowSchemaEvolution: Boolean = false): Long = {
+      allowSchemaEvolution: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, "_delta_log")
     val tableExists = fs.exists(logDir) && fs.listStatus(logDir).nonEmpty
+    // exactly-once via the protocol's txn action: a commit stamped
+    // (appId, epoch) that already landed is NOT re-applied — the
+    // mechanism a streaming foreachBatch sink replays safely through
+    txn.foreach { case (appId, epoch) =>
+      if (lastTxnVersion(spark, tablePath, appId).exists(_ >= epoch)) return -1L
+    }
     var evolvedId: Option[String] = None // Some(tableId) => emit a new metaData action
     if (tableExists) {
       // schema + partitioning gates: a silent append of a different
@@ -689,10 +735,17 @@ object DeltaLog {
       }
     }
 
+    val txnLines = txn.toSeq.map { case (appId, epoch) =>
+      actionLine { root =>
+        val t = root.putObject("txn")
+        t.put("appId", appId)
+        t.put("version", epoch)
+      }
+    }
     val version = commitActions(fs, logDir, tablePath,
       v => (if (v == 0L) Seq(protocolLine, metaLine)
             else if (evolvedId.isDefined) Seq(metaLine)
-            else Seq.empty) ++ addLines)
+            else Seq.empty) ++ txnLines ++ addLines)
     if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
       writeCheckpoint(spark, tablePath)
     version

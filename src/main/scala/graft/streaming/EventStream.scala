@@ -838,6 +838,38 @@ object EventStream {
       mergeIntoTarget(spark, stateDir, delta, delta.schema, Some(batchId))(mergeCmsState)
     }
 
+  /** Exactly-once streaming APPEND into a Delta table — the protocol's
+    * own idempotence mechanism, not a side-channel marker: every
+    * micro-batch lands as one [[graft.sources.DeltaLog.append]] commit
+    * stamped with a `txn` action (appId, batchId), and a replayed
+    * batch — foreachBatch redelivery after a crash, or an operator
+    * re-running the WHOLE stream with a fresh checkpoint directory —
+    * is skipped because the table itself remembers the epoch
+    * ([[graft.sources.DeltaLog.lastTxnVersion]], preserved across
+    * checkpoint compaction). This is how delta-spark's own streaming
+    * sink achieves exactly-once; spec-pinned row-equal to the batch
+    * relation with a deliberate whole-stream replay.
+    */
+  def runDeltaAppendStream(
+      spark: SparkSession, inDir: String, tablePath: String, checkpointDir: String,
+      appId: String = "graft-stream",
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.DeltaLog.append(spark, tablePath, batch,
+          txn = Some((appId, batchId)))
+        ()
+      }
+      .start()
+  }
+
   def runCmsStream(
       spark: SparkSession, inDir: String, stateDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {

@@ -428,6 +428,28 @@ class DeltaLogSpec extends SparkSpec {
     assert(e2.getMessage.contains("ADD columns"), e2.getMessage) // id retyped int
   }
 
+  test("txn-stamped appends are exactly-once; the guard survives checkpoint compaction") {
+    import spark.implicits._
+    val t = newTable()
+    def batch(i: Long) = Seq((i, s"b$i")).toDF("id", "tag")
+    assert(DeltaLog.append(spark, t, batch(0), txn = Some(("app", 0L))) == 0L)
+    // exact replay of the same epoch: SKIPPED, no duplicate rows
+    assert(DeltaLog.append(spark, t, batch(0), txn = Some(("app", 0L))) == -1L)
+    assert(DeltaLog.read(spark, t).count() == 1)
+    assert(DeltaLog.lastTxnVersion(spark, t, "app").contains(0L))
+    assert(DeltaLog.lastTxnVersion(spark, t, "other").isEmpty)
+    // 1..10 land (auto-checkpoint at commit 9); clean the JSON prefix
+    (1L to 10L).foreach(i =>
+      assert(DeltaLog.append(spark, t, batch(i), txn = Some(("app", i))) >= 0))
+    (0L to 9L).foreach(v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        s"$t/_delta_log/" + f"$v%020d.json")))
+    // the checkpoint carried the newest txn: the guard still holds
+    assert(DeltaLog.lastTxnVersion(spark, t, "app").contains(10L))
+    assert(DeltaLog.append(spark, t, batch(5), txn = Some(("app", 5L))) == -1L)
+    assert(DeltaLog.read(spark, t).count() == 11)
+  }
+
   test("compact: small files bin-pack per partition, dataChange=false, vacuum reclaims") {
     import spark.implicits._
     val t = newTable()

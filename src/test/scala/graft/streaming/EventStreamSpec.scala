@@ -539,6 +539,29 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // e1 emitted exactly once across batches
   }
 
+  test("delta append sink: exactly-once across batches AND a whole-stream replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-delta-sink").toString
+    val in = s"$dir/in"; val tbl = s"$dir/table"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1).write.parquet(in)
+    Seq((3L, "c")).toDF("id", "tag").coalesce(1).write.mode("append").parquet(in)
+    val q = EventStream.runDeltaAppendStream(spark, in, tbl, s"$dir/ck1",
+      maxFilesPerTrigger = Some(1))
+    assert(q.awaitTermination(180000), "stream did not terminate")
+    val once = graft.sources.DeltaLog.read(spark, tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(once == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the operator accident the txn action exists for: re-run the
+    // WHOLE stream with a FRESH checkpoint dir — batch ids restart at
+    // 0, but the TABLE remembers the epochs and skips every one
+    val q2 = EventStream.runDeltaAppendStream(spark, in, tbl, s"$dir/ck2",
+      maxFilesPerTrigger = Some(1))
+    assert(q2.awaitTermination(180000), "replayed stream did not terminate")
+    assert(graft.sources.DeltaLog.read(spark, tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == once,
+      "whole-stream replay must not duplicate rows")
+  }
+
   test("checkpoint restart: sink killed mid-run resumes and converges exactly once") {
     val dir = Files.createTempDirectory("graft-restart").toString
     val in = s"$dir/in"; val tgt = s"$dir/target"; val ck = s"$dir/ck"
