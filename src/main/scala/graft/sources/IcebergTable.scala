@@ -168,9 +168,12 @@ object IcebergTable {
     require(fv == 1,
       s"IcebergTable: format-version $fv not supported (v2 row-level deletes " +
         "would be silently wrong — refusing)")
-    val spec = meta.get("partition-spec")
-    require(spec == null || spec.size() == 0,
-      "IcebergTable: partitioned tables are not supported")
+    // partitioned tables ARE readable correctly: unlike Delta (where
+    // partition values live only in the log), Iceberg data files carry
+    // COMPLETE rows — the partition spec affects file placement and
+    // pruning, never row content. This reader scans all live files
+    // (no partition pruning yet); a v2 table is the thing that would
+    // be silently wrong, and that is refused above.
     val schema = parseSchema(meta.get("schema"))
     val snapshots = meta.get("snapshots")
     require(snapshots != null && snapshots.size() > 0, "IcebergTable: no snapshots")

@@ -120,6 +120,24 @@ class IcebergTableSpec extends SparkSpec {
     assert(rows == Seq(1L), s"deleted entry should drop id=2, got $rows")
   }
 
+  test("partitioned metadata reads fine: Iceberg data files carry complete rows") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t, Seq((1L, "x", 2020), (2L, "y", 2021)).toDF("id", "tag", "yr"))
+    // graft a partition spec onto the metadata (identity on yr) — row
+    // content is unaffected because the files hold every column
+    val p = java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$t/metadata/.v1.metadata.json.crc"))
+    val txt = java.nio.file.Files.readString(p)
+    java.nio.file.Files.writeString(p, txt.replace(
+      "\"partition-spec\" : [ ]",
+      "\"partition-spec\" : [ {\"name\":\"yr\",\"transform\":\"identity\",\"source-id\":3,\"field-id\":1000} ]"))
+    val rows = IcebergTable.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "x", 2020), (2L, "y", 2021)))
+  }
+
   test("guards: v2 refusal, schema-mismatch append, unsupported type") {
     import spark.implicits._
     val t = newTable()
