@@ -669,10 +669,13 @@ object Multimodal {
       doc_id: Long, modality: String, width: Int, height: Int,
       orig_width: Int, orig_height: Int)
 
-  /** STUB resize — a real implementation would rescale pixel data; the
-    * dimension arithmetic (the part that matters to the pipeline:
-    * aspect-preserving clamp of the longest side, never upscaling) is
-    * real and spec-verified. Map-side, no shuffle.
+  /** METADATA-level resize plan: aspect-preserving clamp of the
+    * longest side, never upscaling — the dimension arithmetic over a
+    * features relation that carries no pixels (deliberate: planning a
+    * resize over 100 TB should not re-read payloads). The PIXEL
+    * resample itself is real and lives in [[resampleImages]], which
+    * decodes through the real codecs and rescales with
+    * [[resampleNearest]]. Map-side, no shuffle.
     */
   def resizeFeatures(
       spark: SparkSession, feats: Dataset[MediaFeatures], maxSide: Int): Dataset[ResizedFeatures] = {
@@ -680,7 +683,6 @@ object Multimodal {
     feats.mapPartitions(_.map { f =>
       val longest = math.max(f.width, f.height)
       val scale = if (longest <= maxSide || longest == 0) 1.0 else maxSide.toDouble / longest
-      // ??? real pixel resample goes here; dimension math is the real part
       ResizedFeatures(f.doc_id, f.modality,
         math.max(1, math.round(f.width * scale).toInt),
         math.max(1, math.round(f.height * scale).toInt),
