@@ -106,6 +106,17 @@ object AvroZone {
         Iterator.single(n)
       }
     }.count()
+    // an all-empty frame must still round-trip: land ONE empty
+    // container so the reader finds the schema (and zero rows)
+    val fs = new Path(out).getFileSystem(confSer.value)
+    if (fs.globStatus(new Path(out, "*.avro")).isEmpty) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      val os = fs.create(new Path(out, "part-00000.avro"), true)
+      writer.create(schema, os)
+      writer.close()
+    }
     ()
   }
 

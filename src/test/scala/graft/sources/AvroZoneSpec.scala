@@ -41,6 +41,15 @@ class AvroZoneSpec extends SparkSpec {
     assert(e2.getMessage.contains("no .avro containers"), e2.getMessage)
   }
 
+  test("an empty frame round-trips: one empty container carries the schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-avro").toString + "/t"
+    AvroZone.write(Seq.empty[(Long, String)].toDF("id", "tag"), dir)
+    val back = AvroZone.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(back.count() == 0)
+  }
+
   test("filters and projections compose on the read frame") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-avro").toString + "/t"
