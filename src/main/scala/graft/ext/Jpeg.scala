@@ -521,9 +521,13 @@ object Jpeg {
 
   /** Encode top-down RGB as baseline JFIF: Annex K tables, 4:4:4
     * (`subsample = false`) or 4:2:0 (2x2 chroma averaging), edge
-    * replication to MCU multiples.
+    * replication to MCU multiples. `restartInterval > 0` emits a DRI
+    * segment and RSTn markers every N MCUs with DC-predictor resets —
+    * the error-resilience layout real camera streams use, and the
+    * decoder path that would otherwise go untested.
     */
-  def encode(width: Int, height: Int, rgbTopDown: Array[Byte], subsample: Boolean): Array[Byte] = {
+  def encode(width: Int, height: Int, rgbTopDown: Array[Byte], subsample: Boolean,
+      restartInterval: Int = 0): Array[Byte] = {
     require(rgbTopDown.length == width * height * 3,
       s"jpeg encode: ${rgbTopDown.length} bytes for ${width}x$height")
     val mcuW = if (subsample) 16 else 8
@@ -590,6 +594,8 @@ object Jpeg {
     dht(1, 0, AcLumaBits, AcLumaVals)
     dht(0, 1, DcChromaBits, DcChromaVals)
     dht(1, 1, AcChromaBits, AcChromaVals)
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
     seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
 
     val bw = new BitWriter(out)
@@ -661,10 +667,16 @@ object Jpeg {
     }
 
     val yStride = padW
+    var mcu = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + ((mcu / restartInterval - 1) % 8)) // RSTn, cycling 0..7
+          java.util.Arrays.fill(preds, 0)
+        }
         if (subsample) {
           var bv = 0
           while (bv < 2) {
@@ -682,6 +694,7 @@ object Jpeg {
           encodeBlock(cbP, cW, mx, my, QChroma, EncDcChroma, EncAcChroma, 1)
           encodeBlock(crP, cW, mx, my, QChroma, EncDcChroma, EncAcChroma, 2)
         }
+        mcu += 1
         mx += 1
       }
       my += 1

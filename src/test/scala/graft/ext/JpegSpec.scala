@@ -128,6 +128,20 @@ class JpegSpec extends AnyFunSuite {
     assert(maxD <= 1, s"grayscale decode off by $maxD")
   }
 
+  test("restart markers: DRI/RSTn streams round-trip and agree with ImageIO") {
+    // exactness survives restarts (predictor resets re-encode the DC)
+    val const = Array.fill(40 * 24 * 3)(130.toByte)
+    val cimg = Jpeg.decode(Jpeg.encode(40, 24, const, subsample = false, restartInterval = 3))
+    assert(cimg.pixels.sameElements(const), "even-gray with restarts must stay exact")
+    // and a third-party decoder accepts our DRI layout byte-for-byte
+    val rgb = Array.tabulate(40 * 24 * 3)(i => ((i * 11 + 5) % 256).toByte)
+    val payload = Jpeg.encode(40, 24, rgb, subsample = false, restartInterval = 2)
+    val ours = Jpeg.decode(payload)
+    val theirs = imageIoRead(payload)
+    assert(theirs != null, "ImageIO refused our restart-marker stream")
+    assert(maxChannelDiff(ours, theirs) <= 2)
+  }
+
   test("refusals: progressive SOF2, truncated stream, non-JPEG bytes") {
     val rgb = Array.fill(8 * 8 * 3)(100.toByte)
     val ok = Jpeg.encode(8, 8, rgb, subsample = false)
