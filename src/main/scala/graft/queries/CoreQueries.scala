@@ -2139,9 +2139,59 @@ object CoreQueries {
 
   private val s29AvroRoundtripSql =
     """SELECT o_orderstatus, COUNT(*) AS n_orders,
-      |  SUM(o_custkey) AS sum_cust,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
+  private val S29bRoot =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s29b_avro_logical"
+  private val s29bBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S29b — AVRO logical types round trip: the reference's fact table
+    * is keyed on a `Date` column (reference `main.py:122`), so the
+    * container sink must carry temporal types, not just primitives.
+    * `o_orderdate` goes through the container BOTH ways the Avro spec
+    * defines — as `timestamp-micros` (long) raw and as `date`
+    * (int/epoch-days) after a day cast — and the aggregate compares
+    * exact epoch microseconds, so an off-by-timezone, truncated-nanos,
+    * or mis-branched union hash-fails against the oracle recomputed
+    * straight from `orders`.
+    */
+  def s29bAvroLogical(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s29bBuiltFor.synchronized {
+      if (s29bBuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S29bRoot))
+        graft.sources.AvroZone.write(
+          Tables.orders(spark, dir)
+            .select(
+              col("o_orderkey"), col("o_orderdate"),
+              col("o_orderdate").cast(DateType).as("o_orderday"))
+            .repartition(4),
+          S29bRoot)
+        s29bBuiltFor.set(dir)
+      }
+    }
+    graft.sources.AvroZone.read(spark, S29bRoot)
+      .groupBy(year(col("o_orderday")).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_orderday")).as("first_day"),
+        max(unix_micros(col("o_orderdate"))).as("max_micros"),
+        // epoch-SECONDS sum: value-exact over every row, yet overflow-
+        // safe at any SF (epoch-micros summed would pass BIGINT at sf1)
+        sum(unix_seconds(col("o_orderdate"))).as("sum_secs"))
+      .orderBy("order_year")
+  }
+
+  private val s29bAvroLogicalSql =
+    """SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+      |  COUNT(*) AS n_orders,
+      |  MIN(CAST(o_orderdate AS DATE)) AS first_day,
+      |  CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_micros,
+      |  CAST(SUM(epoch_us(o_orderdate) // 1000000) AS BIGINT) AS sum_secs
+      |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
 
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
@@ -2381,6 +2431,7 @@ object CoreQueries {
     "s27_iceberg_scan" -> s27IcebergScan _,
     "s28_iceberg_time_travel" -> s28IcebergTimeTravel _,
     "s29_avro_roundtrip" -> s29AvroRoundtrip _,
+    "s29b_avro_logical" -> s29bAvroLogical _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2698,6 +2749,7 @@ object CoreQueries {
     "s27_iceberg_scan" -> s27IcebergScanSql,
     "s28_iceberg_time_travel" -> s28IcebergTimeTravelSql,
     "s29_avro_roundtrip" -> s29AvroRoundtripSql,
+    "s29b_avro_logical" -> s29bAvroLogicalSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

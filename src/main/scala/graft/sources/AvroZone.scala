@@ -23,8 +23,11 @@ import org.apache.spark.sql.types._
   *    accessed by field name (schema-resolution friendly).
   *
   * Type scope (guarded loudly): the primitive set the testdata needs —
-  * long, int, double, float, boolean, string; nullable as
-  * `["null", T]` unions. Nested/logical types refuse.
+  * long, int, double, float, boolean, string — plus the two
+  * spec-defined logical types the reference's Date-keyed fact table
+  * needs (`date` as int/epoch-days, `timestamp-micros` as long);
+  * nullable as `["null", T]` unions. Other nested/logical types
+  * refuse.
   *
   * Scale shape: both directions are embarrassingly parallel over
   * files/partitions, no shuffle, no driver data path (only the FILE
@@ -33,20 +36,29 @@ import org.apache.spark.sql.types._
   */
 object AvroZone {
 
-  private def avroType(dt: DataType): String = dt match {
-    case LongType => "long"
-    case IntegerType => "int"
-    case DoubleType => "double"
-    case FloatType => "float"
-    case BooleanType => "boolean"
-    case StringType => "string"
+  /** The Avro type token (a JSON fragment) for a Spark type: a quoted
+    * primitive name, or a `{type, logicalType}` object for the two
+    * supported logical types (Avro spec §Logical Types: `date` =
+    * int/epoch-days, `timestamp-micros` = long/epoch-micros).
+    */
+  private def avroTypeJson(dt: DataType): String = dt match {
+    case LongType => "\"long\""
+    case IntegerType => "\"int\""
+    case DoubleType => "\"double\""
+    case FloatType => "\"float\""
+    case BooleanType => "\"boolean\""
+    case StringType => "\"string\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case TimestampType => """{"type":"long","logicalType":"timestamp-micros"}"""
     case other => throw new IllegalArgumentException(
       s"AvroZone: unsupported column type ${other.simpleString}")
   }
 
   private def sparkType(s: Schema): DataType = s.getType match {
-    case Schema.Type.LONG => LongType
-    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG =>
+      if (s.getProp("logicalType") == "timestamp-micros") TimestampType else LongType
+    case Schema.Type.INT =>
+      if (s.getProp("logicalType") == "date") DateType else IntegerType
     case Schema.Type.DOUBLE => DoubleType
     case Schema.Type.FLOAT => FloatType
     case Schema.Type.BOOLEAN => BooleanType
@@ -60,10 +72,46 @@ object AvroZone {
       s"AvroZone: unsupported Avro type $other")
   }
 
+  /** JVM value → Avro wire value for one field (identity for
+    * primitives; epoch-days int for Date, epoch-micros long for
+    * Timestamp). Null-safe at the call site.
+    */
+  private def toAvroValue(dt: DataType): Any => Any = dt match {
+    case DateType =>
+      v => v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+    case TimestampType =>
+      v => {
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      }
+    case _ => identity
+  }
+
+  /** Avro wire value → JVM value for one field. Null-safe at the call
+    * site.
+    */
+  private def fromAvroValue(dt: DataType): Any => Any = dt match {
+    case DateType =>
+      v => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+    case TimestampType =>
+      v => {
+        val micros = v.asInstanceOf[Long]
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      }
+    case StringType => {
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case v => v
+    }
+    case _ => identity
+  }
+
   /** The record schema JSON for a Spark schema (all fields nullable). */
   def avroSchemaJson(schema: StructType): String = {
     val fields = schema.fields.map { f =>
-      s"""{"name":"${f.name}","type":["null","${avroType(f.dataType)}"],"default":null}"""
+      s"""{"name":"${f.name}","type":["null",${avroTypeJson(f.dataType)}],"default":null}"""
     }.mkString(",")
     s"""{"type":"record","name":"graft_row","fields":[$fields]}"""
   }
@@ -72,6 +120,7 @@ object AvroZone {
   def write(df: DataFrame, outDir: String): Unit = {
     val schemaJson = avroSchemaJson(df.schema)
     val names = df.schema.fieldNames
+    val encoders: Array[Any => Any] = df.schema.fields.map(f => toAvroValue(f.dataType))
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val out = outDir
@@ -81,7 +130,9 @@ object AvroZone {
       else {
         val fs = new Path(out).getFileSystem(confSer.value)
         val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-        val tmp = new Path(out, s"_tmp-part-$pid-$attempt.avro")
+        // staged WITHOUT the .avro suffix: a crashed attempt's orphan
+        // must never match the reader's part-*.avro glob
+        val tmp = new Path(out, s"_tmp-part-$pid-$attempt.staging")
         val dest = new Path(out, f"part-$pid%05d.avro")
         val schema = new Schema.Parser().parse(schemaJson)
         val writer = new DataFileWriter[GenericRecord](
@@ -93,7 +144,7 @@ object AvroZone {
           val rec = new GenericData.Record(schema)
           var i = 0
           while (i < names.length) {
-            rec.put(names(i), if (row.isNullAt(i)) null else row.get(i))
+            rec.put(names(i), if (row.isNullAt(i)) null else encoders(i)(row.get(i)))
             i += 1
           }
           writer.append(rec)
@@ -109,7 +160,7 @@ object AvroZone {
     // an all-empty frame must still round-trip: land ONE empty
     // container so the reader finds the schema (and zero rows)
     val fs = new Path(out).getFileSystem(confSer.value)
-    if (fs.globStatus(new Path(out, "*.avro")).isEmpty) {
+    if (fs.globStatus(new Path(out, "part-*.avro")).isEmpty) {
       val schema = new Schema.Parser().parse(schemaJson)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
@@ -126,7 +177,7 @@ object AvroZone {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
-    val files = fs.globStatus(new Path(dir, "*.avro")).toSeq
+    val files = fs.globStatus(new Path(dir, "part-*.avro")).toSeq
       .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"AvroZone: no .avro containers under $dir")
     val first = {
@@ -140,6 +191,7 @@ object AvroZone {
       StructField(f.name(), sparkType(f.schema()), nullable = true)
     })
     val names = structType.fieldNames
+    val decoders: Array[Any => Any] = structType.fields.map(f => fromAvroValue(f.dataType))
     val confSer = new org.apache.spark.util.SerializableConfiguration(conf)
     val rowRdd = spark.sparkContext.parallelize(files, files.size).flatMap { file =>
       val input = new org.apache.avro.mapred.FsInput(new Path(file), confSer.value)
@@ -153,13 +205,12 @@ object AvroZone {
         }
         def next(): Row = {
           val rec = reader.next()
-          Row.fromSeq(names.map { n =>
-            rec.get(n) match {
+          Row.fromSeq(names.indices.map { i =>
+            rec.get(names(i)) match {
               case null => null
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case v => v
+              case v => decoders(i)(v)
             }
-          }.toSeq)
+          })
         }
       }
     }

@@ -31,6 +31,43 @@ class AvroZoneSpec extends SparkSpec {
       (1L, Some("a"), 1.5), (2L, None, 2.5), (3L, Some("c"), 3.5), (4L, Some("d"), 4.5)))
   }
 
+  test("logical types: date + timestamp-micros round-trip, nulls and epoch edges survive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-avro").toString + "/t"
+    val rows = Seq(
+      (1L, Some(java.sql.Date.valueOf("1970-01-01")),
+        Some(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))),
+      (2L, Some(java.sql.Date.valueOf("1969-12-31")), // pre-epoch: negative days
+        Some(java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"))),
+      (3L, None, None), // null through the ["null", logical] union
+      (4L, Some(java.sql.Date.valueOf("2024-02-29")), // leap day
+        Some(java.sql.Timestamp.valueOf("2024-02-29 12:34:56.123456"))))
+    AvroZone.write(rows.toDF("id", "d", "ts").repartition(2), dir)
+    val back = AvroZone.read(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", LongType), ("d", DateType), ("ts", TimestampType)),
+      "logical-type annotations must survive the embedded writer schema")
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getDate(1)), Option(r.getTimestamp(2)))).toSeq
+    assert(got == rows.map(t => (t._1, t._2, t._3)))
+    // the wire values are spec-exact: epoch-days int / epoch-micros long
+    val schemaJson = AvroZone.avroSchemaJson(back.schema)
+    assert(schemaJson.contains(""""logicalType":"date""""))
+    assert(schemaJson.contains(""""logicalType":"timestamp-micros""""))
+  }
+
+  test("a crashed attempt's staging orphan is invisible to the reader") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-avro").toString + "/t"
+    AvroZone.write(Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1), dir)
+    // simulate a task that died between create and rename: the staged
+    // file exists but was never published
+    val orphan = new java.io.File(dir, "_tmp-part-9-99.staging")
+    Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    assert(AvroZone.read(spark, dir).count() == 2,
+      "orphaned staging files must not be read as containers")
+  }
+
   test("guards: unsupported column type on write; empty dir on read") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-avro").toString
