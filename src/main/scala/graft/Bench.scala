@@ -110,16 +110,17 @@ object Bench {
     * quality across sessions. Min of 3 after one untimed JIT pass
     * (the skewBench noise-robust statistic).
     */
+  private def calibrationRun(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 20000000L, 1, 32)
+      .select(sum(length(md5(concat_ws(",", col("id"), col("id") * 7)))))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def calibration(spark: SparkSession): Double = {
-    def run(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0, 20000000L, 1, 32)
-        .select(sum(length(md5(concat_ws(",", col("id"), col("id") * 7)))))
-        .collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    run() // JIT/codegen warmup of this exact plan
-    Seq.fill(3)(run()).min
+    calibrationRun(spark) // JIT/codegen warmup of this exact plan
+    Seq.fill(3)(calibrationRun(spark)).min
   }
 
   def main(args: Array[String]): Unit = {
@@ -173,15 +174,28 @@ object Bench {
     // any single pass where a single total is not. Checkpointed blocks
     // are dropped between passes so pass N's pinned sketch tables
     // can't distort pass N+1.
-    val passes = Seq.fill(3) {
+    // Per-pass calibration (r12 verdict item 7): the single post-warmup
+    // calibration_s proved contention-sensitive — r12's scaling
+    // sessions read 6× the r11 microbench at near-equal totals — so
+    // each timed pass now carries its OWN host-speed reading, taken
+    // immediately before the pass. A reader normalizing pass totals by
+    // their matching calibration separates plan regressions from
+    // session weather per-pass, not per-session.
+    val passData = Seq.fill(3) {
+      val cal = calibrationRun(spark)
       val pass = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
       dropCheckpoints()
-      pass
+      // settle the heap between passes: carried-over GC pressure from
+      // pass N is the dominant within-session spread source observed
+      System.gc()
+      pass -> cal
     }
+    val passes = passData.map(_._1)
+    val passCals = passData.map(_._2)
     val results = SparkEntry.queries.keys.map { name =>
       val ts = passes.map(_(name)).sorted
       name -> ts(ts.length / 2)
@@ -207,7 +221,9 @@ object Bench {
     val storeBuilds = graft.ext.StoreTimer.snapshot.toSeq.sortBy(-_._2)
     val band = s""""value_min":$minTotal,"pass_totals":[${passTotals.mkString(",")}],""" +
       s""""prebuild_pass_s":$prebuildPass,"store_build_s":$storeBuild,""" +
-      s""""calibration_s":$calibrationS,"store_builds":${json(storeBuilds)}"""
+      s""""calibration_s":$calibrationS,""" +
+      s""""pass_calibrations":[${passCals.mkString(",")}],""" +
+      s""""store_builds":${json(storeBuilds)}"""
     // `skew` is reported OUTSIDE queries/total: it is a controlled
     // A/B measurement (broadcast + AQE rescue disabled), not a
     // round-over-round query timing.
@@ -231,7 +247,7 @@ object Bench {
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val topK = results.toSeq.sortBy(-_._2).take(15).map { case (k, v) => k -> r3(v) }
     val topStores = storeBuilds.take(6).map { case (k, v) => k -> r3(v) }
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_min":${r3(minTotal)},"pass_totals":[${passTotals.map(r3).mkString(",")}],"prebuild_pass_s":${r3(prebuildPass)},"store_build_s":${r3(storeBuild)},"calibration_s":${r3(calibrationS)},"store_builds_top":${json(topStores)},"n_queries":${results.size},"queries":${json(topK)},"skew":${json(skew.map { case (k, v) => k -> r3(v) })},"sf":"$sfDir","queries_full":"target/bench.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_min":${r3(minTotal)},"pass_totals":[${passTotals.map(r3).mkString(",")}],"prebuild_pass_s":${r3(prebuildPass)},"store_build_s":${r3(storeBuild)},"calibration_s":${r3(calibrationS)},"pass_calibrations":[${passCals.map(r3).mkString(",")}],"store_builds_top":${json(topStores)},"n_queries":${results.size},"queries":${json(topK)},"skew":${json(skew.map { case (k, v) => k -> r3(v) })},"sf":"$sfDir","queries_full":"target/bench.json"}"""
     println(compact)
     spark.stop()
   }

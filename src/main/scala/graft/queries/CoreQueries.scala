@@ -1978,7 +1978,7 @@ object CoreQueries {
         require(graft.sources.DeltaLog.compact(spark, S25Root) >= 0, "s25: nothing compacted")
         val after = graft.sources.DeltaLog.snapshot(spark, S25Root).files.size
         require(after < before, s"s25: compaction did not shrink files ($before -> $after)")
-        require(graft.sources.DeltaLog.vacuum(spark, S25Root, retainMs = -5000L) > 0,
+        require(graft.sources.DeltaLog.vacuum(spark, S25Root, retainMs = -5000L, force = true) > 0,
           "s25: vacuum reclaimed nothing")
         s25BuiltFor.set(dir)
       }
@@ -2192,6 +2192,132 @@ object CoreQueries {
       |  CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_micros,
       |  CAST(SUM(epoch_us(o_orderdate) // 1000000) AS BIGINT) AS sum_secs
       |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+
+  private val S30Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s30_delta_merge"
+  private val s30BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S30 — MERGE INTO a partitioned Delta table THROUGH THE LOG
+    * (reference `main.py:191-199`: the 8-source MERGE loop into the
+    * curated Year-partitioned Delta table): a base table is built from
+    * two appends (several files per partition), then ONE
+    * `DeltaLog.merge` transaction replaces the rows whose key matches
+    * an update (status 'M', price bumped) and inserts the keys the
+    * base never had — landing as remove+add pairs with
+    * `dataChange = true` in a single commit, file-level copy-on-write
+    * (only files holding a matched key are rewritten). The read-back
+    * must equal the oracle's recomputation from `orders`; any
+    * mis-routed partition value, lost survivor row, or double-applied
+    * update hash-fails.
+    */
+  def s30DeltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    def proj(df: DataFrame) = df.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), year(col("o_orderdate")).as("Year"))
+    s30BuiltFor.synchronized {
+      if (s30BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S30Root))
+        val base = proj(Tables.orders(spark, dir)).filter(col("o_orderkey") % 5 =!= 4)
+        graft.sources.DeltaLog.append(spark, S30Root,
+          base.filter(col("o_orderkey") % 2 === 0), partitionBy = Seq("Year"))
+        graft.sources.DeltaLog.append(spark, S30Root,
+          base.filter(col("o_orderkey") % 2 =!= 0), partitionBy = Seq("Year"))
+        val updated = base.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserted = proj(Tables.orders(spark, dir)).filter(col("o_orderkey") % 5 === 4)
+        graft.sources.DeltaLog.merge(spark, S30Root,
+          updated.unionByName(inserted), keys = Seq("o_orderkey"))
+        s30BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S30Root).orderBy("o_orderkey")
+  }
+
+  private val s30DeltaMergeSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
+      |       THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
+      |       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+      |  CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS Year
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  private val S31Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s31_delta_delete"
+  private val s31BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S31 — DELETE FROM a Delta table through the log (reference
+    * `main.py:231-234`: full mode deletes the reload window before
+    * re-ingesting): one `DeltaLog.delete` transaction rewrites exactly
+    * the files that hold a matching row (remove+add, dataChange=true)
+    * and drops fully-matched files with no replacement. Read-back
+    * equals the oracle's `WHERE NOT(...)` over `orders`.
+    */
+  def s31DeltaDelete(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s31BuiltFor.synchronized {
+      if (s31BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S31Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.DeltaLog.append(spark, S31Root, base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.DeltaLog.append(spark, S31Root, base.filter(col("o_orderkey") % 2 =!= 0))
+        graft.sources.DeltaLog.delete(spark, S31Root, col("o_orderkey") % 7 === 3)
+        s31BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S31Root).orderBy("o_orderkey")
+  }
+
+  private val s31DeltaDeleteSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE NOT (o_orderkey % 7 = 3) ORDER BY o_orderkey""".stripMargin
+
+  private val S32Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s32_iceberg_partitioned"
+  private val s32BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S32 — Iceberg v1 PARTITIONED append + manifest-driven file
+    * pruning: orders land Year-partitioned in two snapshots (identity
+    * transform, Hive-style `data/Year=.../` layout, per-file partition
+    * tuples in `data_file.partition`), then the read prunes to
+    * Year=1996 from the MANIFESTS alone — the Iceberg planner's move:
+    * the pruned file list is computed before Spark sees a single
+    * footer. The oracle recomputes the 1996 slice from `orders`; a
+    * mis-typed tuple, a file routed to the wrong partition dir, or a
+    * pruning miss all hash-fail.
+    */
+  def s32IcebergPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    def proj(df: DataFrame) = df.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      year(col("o_orderdate")).as("Year"))
+    s32BuiltFor.synchronized {
+      if (s32BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S32Root))
+        val src = proj(Tables.orders(spark, dir))
+        graft.sources.IcebergTable.append(spark, S32Root,
+          src.filter(col("o_orderkey") % 2 === 0), partitionBy = Seq("Year"))
+        graft.sources.IcebergTable.append(spark, S32Root,
+          src.filter(col("o_orderkey") % 2 =!= 0), partitionBy = Seq("Year"))
+        s32BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.read(spark, S32Root,
+        partitionFilter = Map("Year" -> "1996"))
+      .orderBy("o_orderkey")
+  }
+
+  private val s32IcebergPartitionedSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS Year
+      |FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 1996
+      |ORDER BY o_orderkey""".stripMargin
 
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
@@ -2432,6 +2558,9 @@ object CoreQueries {
     "s28_iceberg_time_travel" -> s28IcebergTimeTravel _,
     "s29_avro_roundtrip" -> s29AvroRoundtrip _,
     "s29b_avro_logical" -> s29bAvroLogical _,
+    "s30_delta_merge"   -> s30DeltaMerge _,
+    "s31_delta_delete"  -> s31DeltaDelete _,
+    "s32_iceberg_partitioned" -> s32IcebergPartitioned _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2750,6 +2879,9 @@ object CoreQueries {
     "s28_iceberg_time_travel" -> s28IcebergTimeTravelSql,
     "s29_avro_roundtrip" -> s29AvroRoundtripSql,
     "s29b_avro_logical" -> s29bAvroLogicalSql,
+    "s30_delta_merge" -> s30DeltaMergeSql,
+    "s31_delta_delete" -> s31DeltaDeleteSql,
+    "s32_iceberg_partitioned" -> s32IcebergPartitionedSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   * Spark already ships, and the data files are ordinary parquet.
   *
   * Scope (guarded loudly, never silently wrong):
-  *  - format-version 1, unpartitioned tables, parquet data files;
+  *  - format-version 1, parquet data files; identity-partitioned
+  *    tables read AND write (partition tuples in
+  *    `data_file.partition`, Hive-style `data/col=value/` layout,
+  *    file-level pruning from the manifests on read);
   *  - append-only snapshots (manifest entries with status DELETED (2)
   *    are honored on read by exclusion; equality/position DELETE FILES
   *    — v2 row-level deletes — are refused via the format-version
@@ -47,17 +50,42 @@ object IcebergTable {
       |  {"name":"added_snapshot_id","type":["null","long"],"default":null}
       |]}""".stripMargin)
 
-  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |  {"name":"status","type":"int"},
-      |  {"name":"snapshot_id","type":["null","long"],"default":null},
-      |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-      |    {"name":"file_path","type":"string"},
-      |    {"name":"file_format","type":"string"},
-      |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"}
-      |  ]}}
-      |]}""".stripMargin)
+  /** Manifest-entry schema; partitioned tables add the spec's
+    * `data_file.partition` struct (r102) with one nullable field per
+    * identity-transformed partition column.
+    */
+  private def manifestEntrySchema(partitionFields: Seq[(String, DataType)]): Schema = {
+    val pField =
+      if (partitionFields.isEmpty) ""
+      else {
+        val fields = partitionFields.map { case (n, dt) =>
+          require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"IcebergTable: partition column '$n' is not a valid Avro field name")
+          val t = dt match {
+            case IntegerType => "\"int\""
+            case LongType => "\"long\""
+            case StringType => "\"string\""
+            case other => throw new IllegalArgumentException(
+              s"IcebergTable: unsupported partition column type ${other.simpleString}")
+          }
+          s"""{"name":"$n","type":["null",$t],"default":null}"""
+        }.mkString(",")
+        s""",{"name":"partition","type":{"type":"record","name":"r102","fields":[$fields]}}"""
+      }
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |  {"name":"status","type":"int"},
+         |  {"name":"snapshot_id","type":["null","long"],"default":null},
+         |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+         |    {"name":"file_path","type":"string"},
+         |    {"name":"file_format","type":"string"},
+         |    {"name":"record_count","type":"long"},
+         |    {"name":"file_size_in_bytes","type":"long"}$pField
+         |  ]}}
+         |]}""".stripMargin)
+  }
+
+  private val ManifestEntrySchema: Schema = manifestEntrySchema(Seq.empty)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -156,8 +184,22 @@ object IcebergTable {
     } finally reader.close()
   }
 
-  /** The snapshot's live data-file paths + declared schema. */
-  final case class Snapshot(snapshotId: Long, files: Seq[String], schema: StructType)
+  /** The snapshot's live data-file paths + declared schema.
+    * `filePartitions` is aligned with `files`: each file's identity
+    * partition tuple from the manifest's `data_file.partition` record
+    * (stringified — the pruning comparison key), empty for
+    * unpartitioned tables or manifests written without the field.
+    */
+  final case class Snapshot(
+      snapshotId: Long, files: Seq[String], schema: StructType,
+      partitionColumns: Seq[String] = Seq.empty,
+      filePartitions: Seq[Map[String, String]] = Seq.empty)
+
+  private def specColumnNames(meta: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val spec = meta.get("partition-spec")
+    if (spec == null || !spec.isArray) Seq.empty
+    else (0 until spec.size()).map(i => spec.get(i).get("name").asText())
+  }
 
   def snapshot(
       spark: SparkSession, tablePath: String, snapshotId: Option[Long] = None): Snapshot = {
@@ -171,10 +213,10 @@ object IcebergTable {
     // partitioned tables ARE readable correctly: unlike Delta (where
     // partition values live only in the log), Iceberg data files carry
     // COMPLETE rows — the partition spec affects file placement and
-    // pruning, never row content. This reader scans all live files
-    // (no partition pruning yet); a v2 table is the thing that would
-    // be silently wrong, and that is refused above.
+    // pruning, never row content. Identity partition tuples are read
+    // from data_file.partition for FILE-level pruning in [[read]].
     val schema = parseSchema(meta.get("schema"))
+    val pcols = specColumnNames(meta)
     val snapshots = meta.get("snapshots")
     require(snapshots != null && snapshots.size() > 0, "IcebergTable: no snapshots")
     val wantId = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
@@ -193,25 +235,51 @@ object IcebergTable {
           require(fmt.equalsIgnoreCase("parquet"),
             s"IcebergTable: data file format $fmt not supported")
         }
-        (df.get("file_path").toString, status)
+        val tuple: Map[String, String] =
+          if (df.getSchema.getField("partition") == null) Map.empty
+          else df.get("partition") match {
+            case null => Map.empty
+            case r: GenericRecord =>
+              r.getSchema.getFields.toArray.map(_.asInstanceOf[Schema.Field].name())
+                .flatMap(n => Option(r.get(n)).map(v => n -> v.toString)).toMap
+            case _ => Map.empty
+          }
+        (df.get("file_path").toString, status, tuple)
       }
     }
     // DELETED entries win over adds anywhere in the snapshot's list —
     // defensive toward lists that still carry the pre-delete manifest
-    val deleted = entries.collect { case (p, 2) => p }.toSet
-    val files = entries.collect { case (p, s) if s != 2 && !deleted(p) => p }.distinct
-    Snapshot(wantId, files, schema)
+    val deleted = entries.collect { case (p, 2, _) => p }.toSet
+    val live = entries.collect { case (p, s, t) if s != 2 && !deleted(p) => (p, t) }
+      .distinctBy(_._1)
+    Snapshot(wantId, live.map(_._1), schema, pcols, live.map(_._2))
   }
 
   /** Read a snapshot as a DataFrame: metadata walk → declared-schema
     * parquet scan over the live files (pushdown/pruning intact).
+    * `partitionFilter` prunes at the FILE level from the manifests'
+    * identity partition tuples — the planning step Iceberg's own
+    * reader performs — before Spark ever sees the file list (values
+    * compared stringified, as recorded in the tuple).
     */
   def read(
-      spark: SparkSession, tablePath: String, snapshotId: Option[Long] = None): DataFrame = {
+      spark: SparkSession, tablePath: String, snapshotId: Option[Long] = None,
+      partitionFilter: Map[String, String] = Map.empty): DataFrame = {
     val snap = snapshot(spark, tablePath, snapshotId)
-    require(snap.files.nonEmpty,
-      s"IcebergTable: snapshot ${snap.snapshotId} of $tablePath has no data files")
-    spark.read.schema(snap.schema).parquet(snap.files: _*)
+    val files =
+      if (partitionFilter.isEmpty) snap.files
+      else {
+        require(partitionFilter.keySet.subsetOf(snap.partitionColumns.toSet),
+          s"IcebergTable: partition filter on ${partitionFilter.keySet} but the " +
+            s"table is partitioned by [${snap.partitionColumns.mkString(",")}]")
+        snap.files.zip(snap.filePartitions).collect {
+          case (f, pv) if partitionFilter.forall { case (k, v) => pv.get(k).contains(v) } => f
+        }
+      }
+    require(files.nonEmpty,
+      s"IcebergTable: snapshot ${snap.snapshotId} of $tablePath has no data files" +
+        (if (partitionFilter.nonEmpty) s" matching $partitionFilter" else ""))
+    spark.read.schema(snap.schema).parquet(files: _*)
   }
 
   private def writeAvro(
@@ -234,7 +302,9 @@ object IcebergTable {
     * the Iceberg spec documents — out of scope here like the Delta
     * writer's object-store caveat). Returns the new snapshot id.
     */
-  def append(spark: SparkSession, tablePath: String, df: DataFrame): Long = {
+  def append(
+      spark: SparkSession, tablePath: String, df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
@@ -251,38 +321,100 @@ object IcebergTable {
       val incoming = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
       require(have == incoming,
         s"IcebergTable: append schema mismatch — table declares $have, append brings $incoming")
+      val prevSpec = specColumnNames(m)
+      require(prevSpec == partitionBy,
+        s"IcebergTable: append partitioning mismatch — table declares " +
+          s"[${prevSpec.mkString(",")}], append brings [${partitionBy.mkString(",")}]")
     }
     df.schema.fields.foreach(f => toIcebergType(f.dataType)) // loud unsupported-type check
+    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"IcebergTable: partition column $c missing from the append schema"))
+    val pfields: Seq[(String, DataType)] =
+      partitionBy.map(c => c -> df.schema(c).dataType)
+    val entrySchema = manifestEntrySchema(pfields)
     fs.mkdirs(metaDir)
     fs.mkdirs(new Path(table, "data"))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(table, s"_ice_stage_$stamp")
-    df.write.parquet(stage.toString)
-    val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq.map(_.getPath)
-    val dataFiles = parts.zipWithIndex.map { case (p, i) =>
-      val dest = new Path(table, s"data/part-$stamp-$i.parquet")
-      require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
-      val st = fs.getFileStatus(dest)
-      (fs.makeQualified(dest).toString, st.getLen)
-    }
-    fs.delete(stage, true)
+    // (path, len, typed identity partition tuple) per moved data file
+    val dataFiles: Seq[(String, Long, Map[String, Any])] =
+      if (partitionBy.isEmpty) {
+        df.write.parquet(stage.toString)
+        val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq.map(_.getPath)
+        val m = parts.zipWithIndex.map { case (p, i) =>
+          val dest = new Path(table, s"data/part-$stamp-$i.parquet")
+          require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
+          val st = fs.getFileStatus(dest)
+          (fs.makeQualified(dest).toString, st.getLen, Map.empty[String, Any])
+        }
+        fs.delete(stage, true)
+        m
+      } else {
+        // Iceberg data files carry COMPLETE rows — identity partition
+        // source columns included — but Spark's partitionBy drops the
+        // partitioning columns from the files. Duplicating each source
+        // column under a __p_ alias keeps the real column in the data
+        // while the alias drives the Hive-style placement; the alias
+        // prefix is stripped from the directory names on the move.
+        val dup = partitionBy.foldLeft(df)((d, c) =>
+          d.withColumn(s"__p_$c", org.apache.spark.sql.functions.col(c)))
+        dup.write.partitionBy(partitionBy.map(c => s"__p_$c"): _*).parquet(stage.toString)
+        val pattern = partitionBy.map(_ => "*").mkString("/")
+        val parts = fs.globStatus(new Path(stage, s"$pattern/part-*.parquet"))
+          .toSeq.map(_.getPath).sortBy(_.toString)
+        val stagePrefix = fs.makeQualified(stage).toString + "/"
+        val ptypes = pfields.toMap
+        val m = parts.zipWithIndex.map { case (p, i) =>
+          val rel0 = fs.makeQualified(p).toString.stripPrefix(stagePrefix)
+          require(rel0.length < fs.makeQualified(p).toString.length,
+            s"IcebergTable: stage-relative path resolution failed for $p")
+          val segs = rel0.split('/').dropRight(1).map(_.stripPrefix("__p_"))
+          val tuple: Map[String, Any] = segs.map { s =>
+            val Array(k, v) = s.split("=", 2)
+            val typed: Any =
+              if (v == "__HIVE_DEFAULT_PARTITION__") null
+              else ptypes(k) match {
+                case IntegerType => Integer.valueOf(DeltaLog.unescapePathName(v).toInt)
+                case LongType => java.lang.Long.valueOf(DeltaLog.unescapePathName(v).toLong)
+                case _ => DeltaLog.unescapePathName(v)
+              }
+            k -> typed
+          }.toMap
+          require(tuple.keySet == partitionBy.toSet,
+            s"IcebergTable: unexpected partition layout under $p")
+          val rel = "data/" + segs.mkString("/") + s"/part-$stamp-$i.parquet"
+          val dest = new Path(table, rel)
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
+          val st = fs.getFileStatus(dest)
+          (fs.makeQualified(dest).toString, st.getLen, tuple)
+        }
+        fs.delete(stage, true)
+        m
+      }
 
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     // one manifest for this append
-    val entries = dataFiles.map { case (path, len) =>
-      val e = new GenericData.Record(ManifestEntrySchema)
+    val entries = dataFiles.map { case (path, len, tuple) =>
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
-      val d = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
+      val d = new GenericData.Record(entrySchema.getField("data_file").schema())
       d.put("file_path", path)
       d.put("file_format", "PARQUET")
       d.put("record_count", 0L) // stats optional for this reader; loud zeros
       d.put("file_size_in_bytes", len)
+      if (partitionBy.nonEmpty) {
+        val pr = new GenericData.Record(
+          entrySchema.getField("data_file").schema().getField("partition").schema())
+        tuple.foreach { case (k, v) => pr.put(k, v) }
+        d.put("partition", pr)
+      }
       e.put("data_file", d)
       e
     }
     val manifestPath = new Path(metaDir, s"manifest-$stamp.avro")
-    val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema, entries)
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
 
     // carry forward the prior snapshot's manifests
     val prevManifests: Seq[(String, Long)] = prevMeta.toSeq.flatMap { m =>
@@ -316,7 +448,29 @@ object IcebergTable {
     meta.put("last-updated-ms", System.currentTimeMillis())
     meta.put("last-column-id", df.schema.size)
     meta.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema", schemaJson(df.schema))
-    meta.putArray("partition-spec")
+    // v1's required legacy "partition-spec" plus the modern
+    // "partition-specs"/"default-spec-id" pair; identity transforms
+    // over the schema field ids assigned by schemaJson (index + 1)
+    val legacySpec = meta.putArray("partition-spec")
+    partitionBy.zipWithIndex.foreach { case (c, i) =>
+      val f = legacySpec.addObject()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", df.schema.fieldIndex(c) + 1)
+      f.put("field-id", 1000 + i)
+    }
+    val specs = meta.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    val specFields = spec0.putArray("fields")
+    partitionBy.zipWithIndex.foreach { case (c, i) =>
+      val f = specFields.addObject()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", df.schema.fieldIndex(c) + 1)
+      f.put("field-id", 1000 + i)
+    }
+    meta.put("default-spec-id", 0)
     meta.putObject("properties")
     meta.put("current-snapshot-id", snapshotId)
     val snaps = meta.putArray("snapshots")

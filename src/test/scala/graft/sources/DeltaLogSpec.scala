@@ -473,7 +473,7 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t, Some(2L)).count() == 6)
     // ...until vacuum(0) reclaims everything outside the live snapshot
     // negative retention: "now" mtimes must fall before the cutoff
-    val deleted = DeltaLog.vacuum(spark, t, retainMs = -5000L)
+    val deleted = DeltaLog.vacuum(spark, t, retainMs = -5000L, force = true)
     assert(deleted == 8L, s"vacuum should delete the 8 replaced files, got $deleted")
     assert(DeltaLog.read(spark, t).orderBy("id").collect().toSeq == full)
     // time travel to a vacuumed version now fails loudly at the scan
@@ -482,6 +482,214 @@ class DeltaLogSpec extends SparkSpec {
     }
     // idempotence: nothing left to compact
     assert(DeltaLog.compact(spark, t) == -1L)
+  }
+
+  test("merge: remove+add dataChange pairs in ONE commit; pre-merge travel intact; only matched files rewritten") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "v").coalesce(1))
+    DeltaLog.append(spark, t, Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "tag", "v").coalesce(1))
+    val preFiles = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    assert(preFiles.size == 2)
+    val updates = Seq((2L, "B", 99.0), (5L, "e", 50.0)).toDF("id", "tag", "v")
+    val v = DeltaLog.merge(spark, t, updates, keys = Seq("id"))
+    assert(v == 2L, s"merge should land at version 2, got $v")
+    val got = DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0), (5L, "e", 50.0)))
+    // versionAsOf the pre-merge version still serves the OLD rows
+    val old = DeltaLog.read(spark, t, Some(1L)).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(old == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // file-level copy-on-write: the (3,4) file had no matched key and survives verbatim
+    val after = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    assert((preFiles intersect after).size == 1, s"exactly one base file untouched: $after")
+    // the commit is one transaction of dataChange=true remove+add pairs
+    val lines = Files.readAllLines(Paths.get(s"$t/_delta_log/" + f"${2L}%020d.json")).asScala
+    val removes = lines.filter(_.contains("\"remove\""))
+    val adds = lines.filter(_.contains("\"add\""))
+    assert(removes.size == 1 && removes.forall(_.contains("\"dataChange\":true")))
+    assert(adds.nonEmpty && adds.forall(_.contains("\"dataChange\":true")))
+  }
+
+  test("merge: partitioned tables route survivors and inserts through partitionValues") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t,
+      Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    val updates = Seq((2L, "p1", 20.0), (9L, "p3", 9.0)).toDF("id", "part", "v")
+    DeltaLog.merge(spark, t, updates, keys = Seq("id"))
+    val got = DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "p1", 1.0), (2L, "p1", 20.0), (3L, "p2", 3.0), (9L, "p3", 9.0)))
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.forall(_.partitionValues.keySet == Set("part")))
+    assert(snap.files.exists(_.partitionValues("part") == "p3"), "insert created a new partition")
+  }
+
+  test("merge txn stamps are exactly-once; schema mismatch refuses") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq((1L, 1.0)).toDF("id", "v"))
+    val upd = Seq((1L, 2.0)).toDF("id", "v")
+    assert(DeltaLog.merge(spark, t, upd, Seq("id"), txn = Some(("m", 1L))) >= 0)
+    // same epoch replayed: NOT re-applied
+    assert(DeltaLog.merge(spark, t, Seq((1L, 3.0)).toDF("id", "v"), Seq("id"),
+      txn = Some(("m", 1L))) == -1L)
+    assert(DeltaLog.read(spark, t).head().getDouble(1) == 2.0)
+    // a later epoch applies
+    assert(DeltaLog.merge(spark, t, Seq((1L, 3.0)).toDF("id", "v"), Seq("id"),
+      txn = Some(("m", 2L))) >= 0)
+    assert(DeltaLog.read(spark, t).head().getDouble(1) == 3.0)
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.merge(spark, t, Seq(("x", 1L)).toDF("tag", "id"), Seq("id")))
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+  }
+
+  test("delete: matched rows rewritten out; a fully-matched file drops with NO add; null predicate survives") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = newTable()
+    // file 1: one matching row + a NULL-predicate row; file 2: all matching; file 3: none
+    DeltaLog.append(spark, t,
+      Seq((1L, Some(20.0)), (2L, None)).toDF("id", "v").coalesce(1))
+    DeltaLog.append(spark, t, Seq((3L, Some(30.0)), (4L, Some(40.0))).toDF("id", "v").coalesce(1))
+    DeltaLog.append(spark, t, Seq((5L, Some(5.0))).toDF("id", "v").coalesce(1))
+    val preFiles = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    val v = DeltaLog.delete(spark, t, col("v") > 15.0)
+    assert(v == 3L)
+    val got = DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(got == Seq((2L, None), (5L, Some(5.0))),
+      "NULL predicate rows survive (SQL DELETE semantics); v>15 rows are gone")
+    val lines = Files.readAllLines(Paths.get(s"$t/_delta_log/" + f"${3L}%020d.json")).asScala
+    assert(lines.count(_.contains("\"remove\"")) == 2,
+      "exactly the two files holding matches are removed")
+    assert(lines.count(_.contains("\"add\"")) == 1,
+      "the fully-matched file drops with no replacement add")
+    // untouched file is still the same physical file
+    val after = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    assert((preFiles intersect after).size == 1)
+    // no-match delete is a no-op, not an empty commit
+    assert(DeltaLog.delete(spark, t, col("id") === 999L) == -1L)
+  }
+
+  test("vacuum: retention below the 7-day floor refuses without force") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    val e = intercept[IllegalArgumentException](DeltaLog.vacuum(spark, t, retainMs = 1000L))
+    assert(e.getMessage.contains("safety floor"), e.getMessage)
+    assert(DeltaLog.vacuum(spark, t, retainMs = 1000L, force = true) == 0L)
+  }
+
+  test("checkpoint metaData carries format + configuration (spec-required fields)") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    val v = DeltaLog.writeCheckpoint(spark, t)
+    val cp = spark.read.parquet(s"$t/_delta_log/" + f"$v%020d.checkpoint.parquet")
+    val meta = cp.filter(col("metaData").isNotNull).select("metaData.*").head()
+    val fmt = meta.getStruct(meta.fieldIndex("format"))
+    assert(fmt.getString(fmt.fieldIndex("provider")) == "parquet")
+    assert(!meta.isNullAt(meta.fieldIndex("configuration")),
+      "configuration must be present (empty map, not null) for spec conformance")
+  }
+
+  test("commits land via temp+rename: no .tmp orphans, content never visible half-written") {
+    import spark.implicits._
+    val t = newTable()
+    (0 until 5).foreach(i => DeltaLog.append(spark, t, Seq((i.toLong, "x")).toDF("id", "tag")))
+    val names = new java.io.File(s"$t/_delta_log").list().toSeq
+    assert(!names.exists(_.startsWith(".tmp-")), s"staging temp leaked: $names")
+    assert(names.count(_.endsWith(".json")) == 5)
+  }
+
+  test("column mapping (name mode): physical files read back under logical names") {
+    import spark.implicits._
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val om = new ObjectMapper()
+    def metaField(phys: String, id: Long): Metadata =
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build()
+
+    // ---- unpartitioned table: data files carry PHYSICAL names
+    val t = newTable()
+    Seq((1L, "a"), (2L, "b")).toDF("col-aaaa", "col-bbbb")
+      .coalesce(1).write.parquet(s"$t/_stage")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$t/_stage/part-*.parquet"))(0).getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$t/f1.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/_stage"), true)
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, metaField("col-aaaa", 1)),
+      StructField("tag", StringType, nullable = true, metaField("col-bbbb", 2))))
+    val schemaJson = om.writeValueAsString(logical.json)
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      add("f1.parquet")))
+    val back = DeltaLog.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag"),
+      "logical names, not the physical col-uuid names")
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // ---- writes into a column-mapped table refuse loudly
+    val eW = intercept[IllegalArgumentException](
+      DeltaLog.append(spark, t, Seq((3L, "c")).toDF("id", "tag")))
+    assert(eW.getMessage.contains("column-mapped"), eW.getMessage)
+    val eM = intercept[IllegalArgumentException](
+      DeltaLog.merge(spark, t, Seq((1L, "z")).toDF("id", "tag"), Seq("id")))
+    assert(eM.getMessage.contains("column-mapped"), eM.getMessage)
+  }
+
+  test("column mapping (name mode): partitionValues are keyed by PHYSICAL names") {
+    import spark.implicits._
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val om = new ObjectMapper()
+    val t = newTable()
+    // data file holds only the data column, under its physical name
+    Seq(Tuple1(7L)).toDF("col-vvvv").coalesce(1).write.parquet(s"$t/_stage")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$t/_stage/part-*.parquet"))(0).getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$t/f1.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/_stage"), true)
+    val logical = StructType(Seq(
+      StructField("v", LongType, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", "col-vvvv").putLong("delta.columnMapping.id", 1).build()),
+      StructField("day", StringType, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", "col-dddd").putLong("delta.columnMapping.id", 2).build())))
+    val schemaJson = om.writeValueAsString(logical.json)
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":["day"],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      add("f1.parquet", """{"col-dddd":"2024-01-01"}""")))
+    val row = DeltaLog.read(spark, t).head()
+    assert(row.getLong(0) == 7L && row.getString(1) == "2024-01-01")
+  }
+
+  test("column mapping guards: id mode and reader version 3 still refuse") {
+    val t = newTable()
+    dataFile(t, "a.parquet", "a", 1)
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      add("a.parquet")))
+    val e = intercept[IllegalArgumentException](DeltaLog.read(spark, t))
+    assert(e.getMessage.contains("'id'"), e.getMessage)
+    // reader version 2 WITHOUT column mapping reads plainly (mode none)
+    val t2 = newTable()
+    dataFile(t2, "a.parquet", "a", 2)
+    commit(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      Meta, add("a.parquet")))
+    assert(DeltaLog.read(spark, t2).count() == 2)
   }
 
   test("commit retry advances past an occupied version slot without overwriting it") {

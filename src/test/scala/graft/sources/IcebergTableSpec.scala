@@ -138,6 +138,45 @@ class IcebergTableSpec extends SparkSpec {
     assert(rows == Seq((1L, "x", 2020), (2L, "y", 2021)))
   }
 
+  test("partitioned append: Hive layout under data/, partition tuples in manifests, file-level pruning") {
+    import spark.implicits._
+    val t = newTable()
+    val df1 = Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("id", "tag", "yr")
+    val df2 = Seq((3L, "c", 2020), (4L, "d", 2022)).toDF("id", "tag", "yr")
+    IcebergTable.append(spark, t, df1, partitionBy = Seq("yr"))
+    IcebergTable.append(spark, t, df2, partitionBy = Seq("yr"))
+    // full round trip: data files carry COMPLETE rows (yr included)
+    val back = IcebergTable.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(back == Seq((1L, "a", 2020), (2L, "b", 2021), (3L, "c", 2020), (4L, "d", 2022)))
+    // Hive-style placement under data/, no __p_ alias leakage
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.partitionColumns == Seq("yr"))
+    assert(snap.files.forall(f => f.contains("/data/yr=")), snap.files.toString)
+    assert(!snap.files.exists(_.contains("__p_")), "alias columns must not leak into paths")
+    // manifests carry the typed identity tuple per file
+    assert(snap.files.zip(snap.filePartitions).forall { case (f, pv) =>
+      f.contains(s"/data/yr=${pv("yr")}/")
+    }, "manifest tuple must agree with the layout")
+    // FILE-level pruning: a yr=2020 filter reads exactly the 2020 files
+    val pruned = IcebergTable.read(spark, t, partitionFilter = Map("yr" -> "2020"))
+    assert(pruned.inputFiles.length == 2, "one 2020 file per append")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // data files do NOT contain the alias; schema is the logical one
+    assert(pruned.schema.fieldNames.toSeq == Seq("id", "tag", "yr"))
+    // mismatch guards: partitioning must match the declared spec
+    val e1 = intercept[IllegalArgumentException](
+      IcebergTable.append(spark, t, df1)) // unpartitioned into partitioned
+    assert(e1.getMessage.contains("partitioning mismatch"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTable.read(spark, t, partitionFilter = Map("nope" -> "1")))
+    assert(e2.getMessage.contains("partition filter"), e2.getMessage)
+    // time travel composes with the spec: first snapshot still readable
+    val metaTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$t/metadata/v2.metadata.json"))
+    assert(metaTxt.contains("\"partition-specs\""), "modern spec list present")
+  }
+
   test("guards: v2 refusal, schema-mismatch append, unsupported type") {
     import spark.implicits._
     val t = newTable()
