@@ -240,9 +240,16 @@ object Jpeg {
     var scanStart = -1
 
     while (scanStart < 0) {
-      require(i + 4 <= bytes.length, "JPEG: truncated before SOS")
+      require(i + 2 <= bytes.length, "JPEG: truncated before SOS")
       require((bytes(i) & 0xff) == 0xff, f"JPEG: expected marker at $i, got 0x${bytes(i) & 0xff}%02X")
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may precede the marker code
+      while (i + 2 < bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
       val marker = bytes(i + 1) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        // standalone markers (TEM, stray RSTn): no length field follows
+        i += 2
+      } else {
+      require(i + 4 <= bytes.length, "JPEG: truncated before SOS")
       val len = be2(bytes, i + 2)
       val seg = i + 4
       marker match {
@@ -311,6 +318,7 @@ object Jpeg {
         case _ => () // APPn, COM, others: skip
       }
       if (scanStart < 0) i += 2 + len
+      }
     }
 
     require(width > 0 && height > 0, "JPEG: zero dimensions")

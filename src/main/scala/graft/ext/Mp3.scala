@@ -42,7 +42,10 @@ object Mp3 {
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      pos = 10 + size
+      // ID3v2.4 footer flag (header flags bit 4): a 10-byte footer follows
+      // the tag body and is NOT counted in the syncsafe size field
+      val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+      pos = 10 + size + footer
       require(pos < bytes.length, "MP3: ID3v2 tag spans the whole payload")
     }
     var frames = 0

@@ -2319,6 +2319,87 @@ object CoreQueries {
       |FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 1996
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S33Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s33_delta_dv"
+  private val s33BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S33 — DELETE via DELETION VECTORS (the modern Delta writer's
+    * row-level delete, protocol readerVersion 3): two deletes land as
+    * roaring-bitmap DVs — no data file rewritten, the second UNIONS
+    * into the first's vectors — and the read-back anti-joins the
+    * deleted positions on `_metadata.row_index` (bitmaps decoded in
+    * executor tasks, broadcast anti-join, no table shuffle). The
+    * oracle recomputes both predicates from `orders`; a mis-decoded
+    * bitmap, lost union, off-by-one row index, or resurrected row
+    * hash-fails.
+    */
+  def s33DeltaDv(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s33BuiltFor.synchronized {
+      if (s33BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S33Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.DeltaLog.append(spark, S33Root, base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.DeltaLog.append(spark, S33Root, base.filter(col("o_orderkey") % 2 =!= 0))
+        graft.sources.DeltaLog.deleteWithDv(spark, S33Root, col("o_orderkey") % 7 === 3)
+        graft.sources.DeltaLog.deleteWithDv(spark, S33Root, col("o_orderkey") % 11 === 5)
+        s33BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S33Root).orderBy("o_orderkey")
+  }
+
+  private val s33DeltaDvSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 3) AND NOT (o_orderkey % 11 = 5)
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val S34Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s34_iceberg_v2"
+  private val s34BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S34 — Iceberg v2 POSITION DELETES (merge-on-read): a v1 table of
+    * orders is upgraded in place by `deleteRows`, which writes
+    * `(file_path, pos)` tombstones + a `content=1` delete manifest at
+    * the next sequence number instead of rewriting any data file; a
+    * SECOND append then lands at a higher sequence number so the
+    * reader's `deleteSeq >= dataSeq` gate — not luck — is what keeps
+    * the new rows alive (its file reuses the tombstoned row
+    * positions). The read anti-joins the delete files per
+    * applicability group. Oracle recomputes the surviving set from
+    * `orders`; a sequence-blind reader hash-fails on the re-inserted
+    * keys.
+    */
+  def s34IcebergV2Delete(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s34BuiltFor.synchronized {
+      if (s34BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S34Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.IcebergTable.append(spark, S34Root,
+          base.filter(col("o_orderkey") % 3 =!= 2))
+        graft.sources.IcebergTable.deleteRows(spark, S34Root, col("o_orderkey") % 7 === 3)
+        // post-delete append: some keys it brings back were tombstoned
+        // at lower sequence numbers — they must survive
+        graft.sources.IcebergTable.append(spark, S34Root,
+          base.filter(col("o_orderkey") % 3 === 2))
+        s34BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.read(spark, S34Root).orderBy("o_orderkey")
+  }
+
+  private val s34IcebergV2DeleteSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 3 = 2 OR NOT (o_orderkey % 7 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2561,6 +2642,8 @@ object CoreQueries {
     "s30_delta_merge"   -> s30DeltaMerge _,
     "s31_delta_delete"  -> s31DeltaDelete _,
     "s32_iceberg_partitioned" -> s32IcebergPartitioned _,
+    "s33_delta_dv"      -> s33DeltaDv _,
+    "s34_iceberg_v2_delete" -> s34IcebergV2Delete _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2882,6 +2965,8 @@ object CoreQueries {
     "s30_delta_merge" -> s30DeltaMergeSql,
     "s31_delta_delete" -> s31DeltaDeleteSql,
     "s32_iceberg_partitioned" -> s32IcebergPartitionedSql,
+    "s33_delta_dv" -> s33DeltaDvSql,
+    "s34_iceberg_v2_delete" -> s34IcebergV2DeleteSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -19,13 +19,17 @@ import org.apache.spark.sql.types._
   * values (which live in `add.partitionValues`, NOT in the data files).
   *
   * Scope (guarded loudly, never silently wrong):
-  *  - `minReaderVersion <= 1` only — deletion vectors, column mapping,
-  *    v2 checkpoints are refused by the protocol check, and the check
-  *    is evaluated over BOTH the JSON commits and the checkpoint
-  *    parquet (real checkpoints carry `protocol`/`metaData` rows —
-  *    that is what makes the JSON prefix disposable — so a guard that
-  *    only saw JSON commits would be silently bypassed after
-  *    compaction);
+  *  - reader versions 1-3 with the features this reader implements:
+  *    column mapping (name mode, reader v2) and DELETION VECTORS
+  *    (reader v3 feature — [[DeletionVectors]] decodes the bitmaps,
+  *    [[read]] anti-joins them on `_metadata.row_index`, and
+  *    [[deleteWithDv]] WRITES them, the modern Delta DELETE). Any
+  *    other declared reader feature (v2Checkpoint, typeWidening, …)
+  *    refuses, and the check is evaluated over BOTH the JSON commits
+  *    and the checkpoint parquet (real checkpoints carry
+  *    `protocol`/`metaData` rows — that is what makes the JSON prefix
+  *    disposable — so a guard that only saw JSON commits would be
+  *    silently bypassed after compaction);
   *  - single-part classic checkpoints (multi-part names and a
   *    `_last_checkpoint` with a `parts` field are refused).
   *
@@ -56,12 +60,21 @@ object DeltaLog {
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType)))),
     StructField("protocol", StructType(Seq(
-      StructField("minReaderVersion", IntegerType)))),
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
@@ -150,13 +163,34 @@ object DeltaLog {
         })
       if (ok) col(s"$struct.$field").cast(t) else lit(null).cast(t)
     }
+    // nested one level deeper: add.deletionVector.<field>
+    def dvSub(field: String, t: DataType): Column = {
+      val ok = df.schema.fieldNames.contains("add") &&
+        (df.schema("add").dataType match {
+          case s: StructType if s.fieldNames.contains("deletionVector") =>
+            s("deletionVector").dataType match {
+              case d: StructType => d.fieldNames.contains(field)
+              case _ => false
+            }
+          case _ => false
+        })
+      if (ok) col(s"add.deletionVector.$field").cast(t) else lit(null).cast(t)
+    }
     df.select(
       sub("add", "path", StringType).as("add_path"),
       sub("add", "partitionValues", MapType(StringType, StringType)).as("add_pvals"),
       sub("add", "size", LongType).as("add_size"),
+      dvSub("storageType", StringType).as("dv_storage"),
+      dvSub("pathOrInlineDv", StringType).as("dv_path"),
+      dvSub("offset", IntegerType).as("dv_offset"),
+      dvSub("sizeInBytes", IntegerType).as("dv_size"),
+      dvSub("cardinality", LongType).as("dv_cardinality"),
       sub("remove", "path", StringType).as("remove_path"),
       sub("remove", "deletionTimestamp", LongType).as("remove_ts"),
       sub("protocol", "minReaderVersion", IntegerType).as("reader_version"),
+      sub("protocol", "minWriterVersion", IntegerType).as("writer_version"),
+      sub("protocol", "readerFeatures", ArrayType(StringType)).as("reader_features"),
+      sub("protocol", "writerFeatures", ArrayType(StringType)).as("writer_features"),
       sub("metaData", "id", StringType).as("meta_id"),
       sub("metaData", "schemaString", StringType).as("schema_string"),
       sub("metaData", "partitionColumns", ArrayType(StringType)).as("partition_cols"),
@@ -296,12 +330,19 @@ object DeltaLog {
     * within one commit it appears at most once).
     */
   private def reconcile(acts: DataFrame): DataFrame = {
-    val perPath = Window.partitionBy("path").orderBy(col("version").desc)
+    // within one version the ADD wins the tie: a DV commit (and Delta's
+    // own DELETE) removes and re-adds the SAME path in one transaction,
+    // and the add is the surviving incarnation (checkpoints never carry
+    // both actions for one path, so the tie-break is inert there)
+    val perPath = Window.partitionBy("path")
+      .orderBy(col("version").desc, col("is_add").desc)
     acts
       .select(
         coalesce(col("add_path"), col("remove_path")).as("path"),
         col("add_path").isNotNull.as("is_add"),
-        col("add_pvals"), col("add_size"), col("remove_ts"), col("version"))
+        col("add_pvals"), col("add_size"), col("remove_ts"), col("version"),
+        col("dv_storage"), col("dv_path"), col("dv_offset"),
+        col("dv_size"), col("dv_cardinality"))
       .filter(col("path").isNotNull)
       .withColumn("rn", row_number().over(perPath))
       .filter(col("rn") === 1)
@@ -311,13 +352,22 @@ object DeltaLog {
   /** A resolved snapshot: live files (with their partition values),
     * plus the latest `metaData`'s schema/partitioning and the table id.
     */
-  final case class DeltaFile(path: String, partitionValues: Map[String, String], size: Long)
+  final case class DeltaFile(
+      path: String, partitionValues: Map[String, String], size: Long,
+      dv: Option[DeletionVectors.Descriptor] = None)
   final case class Snapshot(
       files: Seq[DeltaFile],
       metaId: Option[String],
       schemaString: Option[String],
       partitionColumns: Seq[String],
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      readerVersion: Option[Int] = None,
+      readerFeatures: Set[String] = Set.empty,
+      writerVersion: Option[Int] = None,
+      writerFeatures: Set[String] = Set.empty) {
+
+    /** Live deleted-row count across all files' deletion vectors. */
+    def dvCardinality: Long = files.flatMap(_.dv).map(_.cardinality).sum
     def schema: Option[StructType] =
       schemaString.filter(_.trim.nonEmpty).flatMap(s =>
         scala.util.Try(DataType.fromJson(s)).toOption.collect { case st: StructType => st })
@@ -347,12 +397,28 @@ object DeltaLog {
     val acts = actions(spark, tablePath, versionAsOf)
     // protocol guard — a tiny filtered aggregate over the metadata-sized
     // action relation; sees checkpoint-carried protocol rows too
-    val guard = acts.agg(max(col("reader_version")).as("reader")).head()
-    if (!guard.isNullAt(0))
-      require(guard.getInt(0) <= 2,
-        s"DeltaLog: minReaderVersion ${guard.getInt(0)} requires reader features " +
-          "(deletion vectors / v2 checkpoints / timestamp-ntz) this reader does " +
-          "not implement (reader version 2 = column mapping is supported)")
+    val guard = acts.agg(
+      max(col("reader_version")).as("reader"),
+      array_distinct(flatten(collect_list(col("reader_features")))).as("features"),
+      max(col("writer_version")).as("writer"),
+      array_distinct(flatten(collect_list(col("writer_features")))).as("wfeatures")).head()
+    val readerVersion = if (guard.isNullAt(0)) None else Some(guard.getInt(0))
+    val readerFeats: Set[String] =
+      if (guard.isNullAt(1)) Set.empty else guard.getSeq[String](1).toSet
+    val writerVersion = if (guard.isNullAt(2)) None else Some(guard.getInt(2))
+    val writerFeats: Set[String] =
+      if (guard.isNullAt(3)) Set.empty else guard.getSeq[String](3).toSet
+    readerVersion.foreach { rv =>
+      // v3 tables declare their reader features explicitly; this reader
+      // implements deletionVectors and columnMapping (name mode) — any
+      // OTHER declared feature (v2Checkpoint, typeWidening, ...) refuses
+      val unsupported = readerFeats -- Set("deletionVectors", "columnMapping")
+      require(rv <= 2 || (rv == 3 && unsupported.isEmpty),
+        s"DeltaLog: minReaderVersion $rv with reader features " +
+          s"[${readerFeats.mkString(",")}] requires " +
+          s"[${unsupported.mkString(",")}] this reader does not implement " +
+          "(supported: column mapping name-mode, deletion vectors)")
+    }
     // latest metaData wins (schema evolution replaces the action)
     val metaRow = acts
       .filter(col("partition_cols").isNotNull || col("schema_string").isNotNull)
@@ -368,15 +434,26 @@ object DeltaLog {
       case None => (None, None, Seq.empty[String], Map.empty[String, String])
     }
     val live = reconcile(acts).filter(col("is_add"))
-      .select("path", "add_pvals", "add_size")
+      .select("path", "add_pvals", "add_size",
+        "dv_storage", "dv_path", "dv_offset", "dv_size", "dv_cardinality")
       .collect()
       .map { r =>
+        val dv = Option(r.getString(3)).map { st =>
+          DeletionVectors.Descriptor(
+            st,
+            r.getString(4),
+            if (r.isNullAt(5)) None else Some(r.getInt(5)),
+            r.getInt(6),
+            if (r.isNullAt(7)) 0L else r.getLong(7))
+        }
         DeltaFile(
           r.getString(0),
           Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
-          if (r.isNullAt(2)) 0L else r.getLong(2))
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          dv)
       }.toSeq.sortBy(_.path)
-    Snapshot(live, metaId, schemaStr, pcols, conf)
+    Snapshot(live, metaId, schemaStr, pcols, conf, readerVersion, readerFeats,
+      writerVersion, writerFeats)
   }
 
   /** Protocol paths are percent-encoded relative URIs (or absolute
@@ -471,11 +548,15 @@ object DeltaLog {
         versionAsOf.fold("")(v => s" at version $v") + " has no live data files")
     snap.columnMappingMode match {
       case "none" => ()
-      case "name" => return readNameMapped(spark, tablePath, snap)
+      case "name" =>
+        require(snap.files.forall(_.dv.isEmpty),
+          "DeltaLog: deletion vectors on a column-mapped table are not supported")
+        return readNameMapped(spark, tablePath, snap)
       case other => throw new IllegalArgumentException(
         s"DeltaLog: column mapping mode '$other' is not supported — only 'name' " +
           "(metadata renames) is implemented; 'id' needs parquet field-id resolution")
     }
+    if (snap.files.exists(_.dv.isDefined)) return readWithDv(spark, tablePath, snap)
     val declared = snap.schema
     if (snap.partitionColumns.isEmpty) {
       val reader = declared.fold(spark.read)(s => spark.read.schema(s))
@@ -566,6 +647,56 @@ object DeltaLog {
     branches.reduce(_.unionByName(_)).select(logical.fieldNames.map(col).toSeq: _*)
   }
 
+  /** `_metadata.file_path` (a URI like `file:///x` or `hdfs://nn/x`)
+    * reduced to its scheme-less absolute path — the same identity
+    * [[fileIdentity]] computes driver-side with `Path.toUri.getPath`,
+    * expressed as a codegen'd column so the scan side never collects.
+    */
+  private[sources] def normalizedFileId(c: Column): Column =
+    regexp_replace(regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
+
+  /** Read a snapshot that carries live DELETION VECTORS: files WITHOUT
+    * a DV scan exactly as before; files WITH one scan with their
+    * `_metadata.row_index` and ANTI-JOIN the deleted (file, position)
+    * relation away. The bitmaps are decoded in EXECUTOR tasks — one
+    * task per descriptor, positions never funnel through the driver —
+    * and the join side is broadcast when the descriptors' declared
+    * total cardinality fits, so the common case (sparse deletes over a
+    * huge table) costs a broadcast hash anti-join inside the scan
+    * stage, no shuffle of the table.
+    */
+  private def readWithDv(spark: SparkSession, tablePath: String, snap: Snapshot): DataFrame = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val (dvFiles, plainFiles) = snap.files.partition(_.dv.isDefined)
+    val descs: Seq[(String, String, String, Int, Int)] = dvFiles.map { f =>
+      val d = f.dv.get
+      (fileIdentity(fs, tablePath, f), d.storageType, d.pathOrInlineDv,
+        d.offset.getOrElse(1), d.sizeInBytes)
+    }
+    import spark.implicits._
+    val tp = tablePath
+    val deleted = spark.createDataset(descs).flatMap { case (fid, st, tok, off, size) =>
+      val taskFs = new Path(tp).getFileSystem(new org.apache.hadoop.conf.Configuration())
+      DeletionVectors.readPositions(taskFs, tp,
+        DeletionVectors.Descriptor(st, tok, Some(off), size, 0L)).toSeq.map(p => (fid, p))
+    }.toDF("__dv_file", "__dv_pos")
+    val delSide = if (snap.dvCardinality <= 4000000L) broadcast(deleted) else deleted
+    val scanned = readSnapshotFiles(spark, tablePath, snap, dvFiles,
+        addFileColumn = true, addRowIndex = true)
+      .withColumn("__fid", normalizedFileId(col("__file")))
+    val kept = scanned
+      .join(delSide,
+        scanned("__fid") === delSide("__dv_file") && scanned("__pos") === delSide("__dv_pos"),
+        "left_anti")
+      .drop("__file", "__pos", "__fid")
+    val all =
+      if (plainFiles.isEmpty) kept
+      else kept.unionByName(
+        readSnapshotFiles(spark, tablePath, snap, plainFiles, addFileColumn = false))
+    snap.schema.fold(all)(s => all.select(s.fieldNames.map(col).toSeq: _*))
+  }
+
   private def writeAtomic(fs: FileSystem, target: Path, bytes: Array[Byte], overwrite: Boolean): Unit = {
     val out = fs.create(target, overwrite)
     try out.write(bytes) finally out.close()
@@ -593,14 +724,24 @@ object DeltaLog {
           lit(null).cast(MapType(StringType, StringType))).as("partitionValues"),
         coalesce(col("add_size"), lit(0L)).as("size"),
         lit(0L).as("modificationTime"),
-        lit(true).as("dataChange"))).as("add"),
+        lit(true).as("dataChange"),
+        // live deletion vectors survive checkpointing — dropping the
+        // descriptor would RESURRECT every DV-deleted row after cleanup
+        when(col("dv_storage").isNotNull, struct(
+          col("dv_storage").as("storageType"),
+          col("dv_path").as("pathOrInlineDv"),
+          col("dv_offset").as("offset"),
+          col("dv_size").as("sizeInBytes"),
+          col("dv_cardinality").as("cardinality"))).as("deletionVector"))).as("add"),
       when(!col("is_add"), struct(
         col("path"),
         coalesce(col("remove_ts"), lit(0L)).as("deletionTimestamp"),
         lit(true).as("dataChange"))).as("remove"))
       .withColumn("protocol", lit(null).cast(StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))))
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))))
       .withColumn("metaData", lit(null).cast(StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -612,10 +753,21 @@ object DeltaLog {
       .withColumn("txn", lit(null).cast(StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType)))))
+    // the checkpoint's protocol row mirrors the TABLE's protocol — a
+    // DV'd table checkpoints as (3, 7) with its feature sets, not the
+    // writer's own floor
+    val cpReader = snap.readerVersion.getOrElse(1)
+    val cpWriter = snap.writerVersion.getOrElse(if (cpReader >= 3) 7 else 2)
+    def featArray(s: Set[String]): Column =
+      if (s.isEmpty) lit(null).cast(ArrayType(StringType))
+      else array(s.toSeq.sorted.map(lit): _*)
     val headRow = spark.range(1).select(
       lit(null).cast(actionRows.schema("add").dataType).as("add"),
       lit(null).cast(actionRows.schema("remove").dataType).as("remove"),
-      struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"),
+      struct(
+        lit(cpReader).as("minReaderVersion"), lit(cpWriter).as("minWriterVersion"),
+        featArray(snap.readerFeatures).as("readerFeatures"),
+        featArray(snap.writerFeatures).as("writerFeatures")).as("protocol"),
       struct(
         lit(snap.metaId.getOrElse("graft")).as("id"),
         // the spec's metaData carries format + configuration — a real
@@ -806,11 +958,14 @@ object DeltaLog {
     */
   private def readSnapshotFiles(
       spark: SparkSession, tablePath: String, snap: Snapshot,
-      files: Seq[DeltaFile], addFileColumn: Boolean): DataFrame = {
+      files: Seq[DeltaFile], addFileColumn: Boolean,
+      addRowIndex: Boolean = false): DataFrame = {
     val declared = snap.schema
     val pcols = snap.partitionColumns
-    def withFile(d: DataFrame): DataFrame =
-      if (addFileColumn) d.withColumn("__file", col("_metadata.file_path")) else d
+    def withFile(d: DataFrame): DataFrame = {
+      val a = if (addFileColumn) d.withColumn("__file", col("_metadata.file_path")) else d
+      if (addRowIndex) a.withColumn("__pos", col("_metadata.row_index")) else a
+    }
     if (pcols.isEmpty) {
       val reader = declared.fold(spark.read)(s => spark.read.schema(s))
       withFile(reader.parquet(files.map(f => resolve(tablePath, f.path)): _*))
@@ -847,6 +1002,14 @@ object DeltaLog {
       s"DeltaLog: $op into a column-mapped table is not supported (read-only here)")
     require(snap.schema.isDefined,
       s"DeltaLog: $op requires a parseable metaData.schemaString at $tablePath")
+    // a writer must implement every declared writer feature; the legacy
+    // pair (appendOnly, invariants) is implied by minWriterVersion 2
+    // and our own tables never declare invariants to enforce
+    val unknown = snap.writerFeatures --
+      Set("appendOnly", "invariants", "deletionVectors")
+    require(unknown.isEmpty,
+      s"DeltaLog: $op into a table declaring writer features " +
+        s"[${unknown.mkString(",")}] this writer does not implement")
   }
 
   /** MERGE (full upsert) as ONE Delta transaction — the reference's
@@ -880,6 +1043,9 @@ object DeltaLog {
     }
     val snap = snapshot(spark, tablePath, None)
     writeGuards(snap, tablePath, "merge")
+    require(snap.files.forall(_.dv.isEmpty),
+      "DeltaLog: merge (copy-on-write) over files carrying deletion vectors is " +
+        "not supported — the rewrite scan would resurrect DV-deleted rows")
     val schema = snap.schema.get
     val have = schema.fields.map(f => (f.name, f.dataType)).toSeq
     val incoming = updates.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -936,6 +1102,9 @@ object DeltaLog {
     }
     val snap = snapshot(spark, tablePath, None)
     writeGuards(snap, tablePath, "delete")
+    require(snap.files.forall(_.dv.isEmpty),
+      "DeltaLog: delete (copy-on-write) over files carrying deletion vectors is " +
+        "not supported — use deleteWithDv, which merges the vectors")
     require(!snap.schema.get.fieldNames.contains("__file"),
       "DeltaLog: a physical column named __file shadows the delete provenance column")
     if (snap.files.isEmpty) return -1L
@@ -955,6 +1124,136 @@ object DeltaLog {
       else stageAndMove(fs, table, survivors, snap.partitionColumns, "part-d", dropEmptyFiles = true)
     commitRewrite(spark, fs, logDir, tablePath, snap, affectedFiles, moved,
       checkpointInterval, txn)
+  }
+
+  /** DELETE via DELETION VECTORS — the modern writer's row-level
+    * delete: no data file is rewritten; instead each affected file's
+    * matching row POSITIONS are serialized into a roaring bitmap, all
+    * bitmaps land packed in ONE new `deletion_vector_<uuid>.bin`, and
+    * the commit swaps each affected `add` for an identical `add`
+    * carrying the DV descriptor (`remove`+`add`, `dataChange = true`).
+    * A file that already carries a vector gets the UNION of old and
+    * new positions (the protocol forbids stacking — one DV per file).
+    * First DV commit upgrades the protocol to readerVersion 3 /
+    * writerVersion 7 with the feature sets a real Delta writer
+    * declares on this upgrade path.
+    *
+    * Scale shape: the position scan is one pass over the table with
+    * the predicate pushed down; per-file bitmaps are built and
+    * serialized in EXECUTOR tasks (`groupByKey` on the file identity —
+    * the shuffle moves only matched row positions), and only the
+    * compressed frames reach the driver. At 100 TB a delete touching
+    * 10^9 rows moves ~10^9 longs through one shuffle and a few hundred
+    * MB of roaring bytes to the driver — against copy-on-write's full
+    * rewrite of every affected file.
+    *
+    * NULL predicate rows survive (SQL DELETE semantics). Returns the
+    * committed version, or -1 when no row matched.
+    */
+  def deleteWithDv(
+      spark: SparkSession, tablePath: String, predicate: Column,
+      txn: Option[(String, Long)] = None): Long = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val logDir = logDirOf(tablePath)
+    require(fs.exists(logDir), s"not a Delta table: no _delta_log under $tablePath")
+    txn.foreach { case (appId, epoch) =>
+      if (lastTxnVersion(spark, tablePath, appId).exists(_ >= epoch)) return -1L
+    }
+    val snap = snapshot(spark, tablePath, None)
+    writeGuards(snap, tablePath, "deleteWithDv")
+    require(!snap.schema.get.fieldNames.contains("__file"),
+      "DeltaLog: a physical column named __file shadows the delete provenance column")
+    if (snap.files.isEmpty) return -1L
+    val byIdentity: Map[String, DeltaFile] =
+      snap.files.map(f => fileIdentity(fs, tablePath, f) -> f).toMap
+    val existingDv: Map[String, DeletionVectors.Descriptor] =
+      snap.files.flatMap(f => f.dv.map(fileIdentity(fs, tablePath, f) -> _)).toMap
+    // positions already deleted must NOT count as fresh matches: a
+    // predicate matching only DV-dead rows is a no-op commit otherwise
+    val scanned = readSnapshotFiles(spark, tablePath, snap, snap.files,
+        addFileColumn = true, addRowIndex = true)
+      .filter(predicate)
+      .select(normalizedFileId(col("__file")).as("__fid"), col("__pos"))
+    import spark.implicits._
+    val tp = tablePath
+    val existingB = spark.sparkContext.broadcast(existingDv)
+    val packed: Array[(String, Array[Byte], Long, Long)] = scanned
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fid, it) =>
+        val fresh = it.map(_._2).toArray
+        val old: Array[Long] = existingB.value.get(fid) match {
+          case Some(d) =>
+            val taskFs = new Path(tp).getFileSystem(new org.apache.hadoop.conf.Configuration())
+            DeletionVectors.readPositions(taskFs, tp, d)
+          case None => Array.empty[Long]
+        }
+        val union = (fresh ++ old).distinct.sorted
+        val freshCount = union.length - old.length
+        (fid, DeletionVectors.serialize(union), union.length.toLong, freshCount.toLong)
+      }
+      .collect()
+      .filter(_._4 > 0) // files where the predicate only re-hit DV-dead rows: no-op
+      .sortBy(_._1)
+    if (packed.isEmpty) return -1L
+    val descriptors = DeletionVectors.writePacked(
+      fs, tablePath, packed.map(p => (p._2, p._3)).toSeq)
+    val fidToDesc: Map[String, DeletionVectors.Descriptor] =
+      packed.map(_._1).zip(descriptors).toMap
+    val needsUpgrade =
+      !(snap.readerVersion.exists(_ >= 3) && snap.readerFeatures.contains("deletionVectors"))
+    val protocolLines = if (!needsUpgrade) Seq.empty else Seq(
+      actionLineStatic { root =>
+        val p = root.putObject("protocol")
+        p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+        p.putArray("readerFeatures").add("deletionVectors")
+        val wf = p.putArray("writerFeatures")
+        // the legacy features implied by the (1,2) protocol this table
+        // upgraded from must be re-declared explicitly at writer v7
+        Seq("appendOnly", "invariants", "deletionVectors").foreach(wf.add)
+      })
+    val txnLines = txn.toSeq.map { case (appId, epoch) =>
+      actionLineStatic { root =>
+        val t = root.putObject("txn")
+        t.put("appId", appId); t.put("version", epoch)
+      }
+    }
+    val affected = packed.map(_._1).map(byIdentity)
+    val removeLines = affected.map { f =>
+      actionLineStatic { root =>
+        val r = root.putObject("remove")
+        r.put("path", f.path) // verbatim: the log's reconciliation identity
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", true)
+      }
+    }
+    val addLines = packed.map(_._1).map { fid =>
+      val f = byIdentity(fid)
+      val d = fidToDesc(fid)
+      actionLineStatic { root =>
+        val a = root.putObject("add")
+        a.put("path", f.path)
+        val pv = a.putObject("partitionValues")
+        snap.partitionColumns.foreach { c =>
+          f.partitionValues.get(c).flatMap(Option(_)) match {
+            case Some(v) => pv.put(c, v)
+            case None => pv.putNull(c)
+          }
+        }
+        a.put("size", f.size)
+        a.put("modificationTime", System.currentTimeMillis())
+        a.put("dataChange", true)
+        val dv = a.putObject("deletionVector")
+        dv.put("storageType", d.storageType)
+        dv.put("pathOrInlineDv", d.pathOrInlineDv)
+        d.offset.foreach(o => dv.put("offset", o))
+        dv.put("sizeInBytes", d.sizeInBytes)
+        dv.put("cardinality", d.cardinality)
+      }
+    }
+    commitActions(fs, logDir, tablePath,
+      _ => protocolLines ++ txnLines ++ removeLines.toSeq ++ addLines.toSeq)
   }
 
   /** Shared commit tail of [[merge]] and [[delete]]: one transaction
@@ -1155,6 +1454,9 @@ object DeltaLog {
     val snap = snapshot(spark, tablePath, None)
     require(snap.columnMappingMode == "none",
       "DeltaLog: compaction of a column-mapped table is not supported (read-only here)")
+    require(snap.files.forall(_.dv.isEmpty),
+      "DeltaLog: compaction of files carrying deletion vectors is not supported — " +
+        "the bin-pack scan would resurrect DV-deleted rows")
     val dataSchema = snap.schema.map(s =>
       StructType(s.filterNot(f => snap.partitionColumns.contains(f.name))))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
@@ -1255,8 +1557,15 @@ object DeltaLog {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(logDirOf(tablePath)), s"not a Delta table: no _delta_log under $tablePath")
-    val live = snapshotFiles(spark, tablePath, None)
-      .map(p => fs.makeQualified(new Path(p)).toString).toSet
+    val snapNow = snapshot(spark, tablePath, None)
+    val live = snapNow.files
+      .map(f => fs.makeQualified(new Path(resolve(tablePath, f.path))).toString).toSet
+    // live DELETION-VECTOR files are referenced by add.deletionVector,
+    // not by data paths — reclaiming one corrupts every current read;
+    // orphaned ones (replaced by a later DV union) age out like data
+    val liveDv = snapNow.files.flatMap(_.dv)
+      .filter(d => d.storageType == "u" || d.storageType == "p")
+      .map(d => fs.makeQualified(d.absolutePath(tablePath)).toString).toSet
     val cutoff = System.currentTimeMillis() - retainMs
     var deleted = 0L
     def walk(dir: Path): Unit = {
@@ -1268,6 +1577,10 @@ object DeltaLog {
             walk(st.getPath)
         } else if (name.endsWith(".parquet") &&
             !live.contains(fs.makeQualified(st.getPath).toString) &&
+            st.getModificationTime < cutoff) {
+          if (fs.delete(st.getPath, false)) deleted += 1
+        } else if (name.startsWith("deletion_vector_") && name.endsWith(".bin") &&
+            !liveDv.contains(fs.makeQualified(st.getPath).toString) &&
             st.getModificationTime < cutoff) {
           if (fs.delete(st.getPath, false)) deleted += 1
         }

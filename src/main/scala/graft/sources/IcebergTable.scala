@@ -50,6 +50,40 @@ object IcebergTable {
       |  {"name":"added_snapshot_id","type":["null","long"],"default":null}
       |]}""".stripMargin)
 
+  /** v2 manifest-list rows add `content` (0 data / 1 deletes) and the
+    * manifest's sequence numbers — what entry-level inheritance and
+    * delete-applicability are gated on.
+    */
+  private val ManifestListSchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string"},
+      |  {"name":"manifest_length","type":"long"},
+      |  {"name":"partition_spec_id","type":"int"},
+      |  {"name":"content","type":"int"},
+      |  {"name":"sequence_number","type":"long"},
+      |  {"name":"min_sequence_number","type":"long"},
+      |  {"name":"added_snapshot_id","type":["null","long"],"default":null}
+      |]}""".stripMargin)
+
+  /** v2 DELETE-manifest entries: `data_file.content = 1` marks a
+    * position-delete parquet (columns `file_path`, `pos`), and the
+    * explicit entry `sequence_number` gates which data files it
+    * applies to.
+    */
+  private val DeleteManifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int"},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null},
+      |  {"name":"sequence_number","type":["null","long"],"default":null},
+      |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |    {"name":"content","type":"int"},
+      |    {"name":"file_path","type":"string"},
+      |    {"name":"file_format","type":"string"},
+      |    {"name":"record_count","type":"long"},
+      |    {"name":"file_size_in_bytes","type":"long"}
+      |  ]}}
+      |]}""".stripMargin)
+
   /** Manifest-entry schema; partitioned tables add the spec's
     * `data_file.partition` struct (r102) with one nullable field per
     * identity-transformed partition column.
@@ -190,15 +224,58 @@ object IcebergTable {
     * (stringified — the pruning comparison key), empty for
     * unpartitioned tables or manifests written without the field.
     */
+  /** One live data file with its v2 data sequence number (0 for v1 /
+    * upgraded files) and its identity partition tuple.
+    */
+  final case class DataFileRef(path: String, sequence: Long, partition: Map[String, String])
+
+  /** One position-delete file with the sequence number that gates
+    * which data files it applies to (`deleteSeq >= dataSeq`).
+    */
+  final case class DeleteFileRef(path: String, sequence: Long, records: Long = 0L)
+
   final case class Snapshot(
       snapshotId: Long, files: Seq[String], schema: StructType,
       partitionColumns: Seq[String] = Seq.empty,
-      filePartitions: Seq[Map[String, String]] = Seq.empty)
+      filePartitions: Seq[Map[String, String]] = Seq.empty,
+      dataRefs: Seq[DataFileRef] = Seq.empty,
+      deleteFiles: Seq[DeleteFileRef] = Seq.empty,
+      formatVersion: Int = 1)
 
   private def specColumnNames(meta: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
-    val spec = meta.get("partition-spec")
-    if (spec == null || !spec.isArray) Seq.empty
-    else (0 until spec.size()).map(i => spec.get(i).get("name").asText())
+    // modern pair first (the only shape v2 requires), legacy fallback
+    val specs = meta.get("partition-specs")
+    if (specs != null && specs.isArray && specs.size() > 0) {
+      val wantId =
+        if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt() else 0
+      (0 until specs.size()).map(specs.get)
+        .find(s => s.get("spec-id").asInt() == wantId)
+        .map { s =>
+          val fields = s.get("fields")
+          (0 until fields.size()).map(i => fields.get(i).get("name").asText())
+        }
+        .getOrElse(Seq.empty)
+    } else {
+      val spec = meta.get("partition-spec")
+      if (spec == null || !spec.isArray) Seq.empty
+      else (0 until spec.size()).map(i => spec.get(i).get("name").asText())
+    }
+  }
+
+  /** The current schema: v2's `schemas` + `current-schema-id` pair
+    * when present, v1's inline `schema` otherwise.
+    */
+  private def currentSchema(meta: com.fasterxml.jackson.databind.JsonNode): StructType = {
+    val schemas = meta.get("schemas")
+    if (schemas != null && schemas.isArray && schemas.size() > 0) {
+      val wantId =
+        if (meta.has("current-schema-id")) meta.get("current-schema-id").asInt() else 0
+      val node = (0 until schemas.size()).map(schemas.get)
+        .find(s => !s.has("schema-id") || s.get("schema-id").asInt() == wantId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"IcebergTable: current-schema-id $wantId not found in schemas"))
+      parseSchema(node)
+    } else parseSchema(meta.get("schema"))
   }
 
   def snapshot(
@@ -207,15 +284,14 @@ object IcebergTable {
     val fs = fsOf(spark, new Path(tablePath))
     val meta = readJson(fs, currentMetadataPath(fs, tablePath))
     val fv = meta.get("format-version").asInt()
-    require(fv == 1,
-      s"IcebergTable: format-version $fv not supported (v2 row-level deletes " +
-        "would be silently wrong — refusing)")
+    require(fv == 1 || fv == 2,
+      s"IcebergTable: format-version $fv not supported (v1 and v2 only)")
     // partitioned tables ARE readable correctly: unlike Delta (where
     // partition values live only in the log), Iceberg data files carry
     // COMPLETE rows — the partition spec affects file placement and
     // pruning, never row content. Identity partition tuples are read
     // from data_file.partition for FILE-level pruning in [[read]].
-    val schema = parseSchema(meta.get("schema"))
+    val schema = currentSchema(meta)
     val pcols = specColumnNames(meta)
     val snapshots = meta.get("snapshots")
     require(snapshots != null && snapshots.size() > 0, "IcebergTable: no snapshots")
@@ -225,9 +301,20 @@ object IcebergTable {
       .getOrElse(throw new IllegalArgumentException(
         s"IcebergTable: snapshot $wantId not found (expired?)"))
     val listPath = new Path(snap.get("manifest-list").asText())
-    val manifests = readAvro(fs, listPath, conf).map(_.get("manifest_path").toString)
-    val entries = manifests.flatMap { mp =>
-      readAvro(fs, new Path(mp), conf).map { e =>
+    def recOpt(r: GenericRecord, name: String): Option[AnyRef] =
+      if (r.getSchema.getField(name) == null) None else Option(r.get(name))
+    // manifest list rows: v2 adds content (0 data / 1 deletes) and the
+    // manifest's sequence number (inherited by entries that carry null)
+    val manifests: Seq[(String, Int, Long)] = readAvro(fs, listPath, conf).map { r =>
+      (r.get("manifest_path").toString,
+        recOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+        recOpt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    // (path, status, tuple, dataSeq) / (path, status, deleteSeq, recs)
+    val dataEntries = Seq.newBuilder[(String, Int, Map[String, String], Long)]
+    val deleteEntries = Seq.newBuilder[(String, Int, Long, Long)]
+    manifests.foreach { case (mp, mContent, mSeq) =>
+      readAvro(fs, new Path(mp), conf).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         if (status != 2) {
@@ -235,24 +322,46 @@ object IcebergTable {
           require(fmt.equalsIgnoreCase("parquet"),
             s"IcebergTable: data file format $fmt not supported")
         }
-        val tuple: Map[String, String] =
-          if (df.getSchema.getField("partition") == null) Map.empty
-          else df.get("partition") match {
-            case null => Map.empty
-            case r: GenericRecord =>
-              r.getSchema.getFields.toArray.map(_.asInstanceOf[Schema.Field].name())
-                .flatMap(n => Option(r.get(n)).map(v => n -> v.toString)).toMap
-            case _ => Map.empty
-          }
-        (df.get("file_path").toString, status, tuple)
+        val entrySeq: Long =
+          recOpt(e, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(mSeq)
+        // v2 file content: 0 data, 1 position deletes, 2 EQUALITY deletes
+        val fContent: Int = recOpt(df, "content").map(_.asInstanceOf[Int])
+          .getOrElse(if (mContent == 1) 1 else 0)
+        require(fContent != 2,
+          "IcebergTable: equality delete files are not supported — refusing " +
+            "rather than resurrecting deleted rows")
+        val path = df.get("file_path").toString
+        if (fContent == 1) {
+          val recs = recOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L)
+          deleteEntries += ((path, status, entrySeq, recs))
+        } else {
+          val tuple: Map[String, String] =
+            if (df.getSchema.getField("partition") == null) Map.empty
+            else df.get("partition") match {
+              case null => Map.empty
+              case r: GenericRecord =>
+                r.getSchema.getFields.toArray.map(_.asInstanceOf[Schema.Field].name())
+                  .flatMap(n => Option(r.get(n)).map(v => n -> v.toString)).toMap
+              case _ => Map.empty
+            }
+          dataEntries += ((path, status, tuple, entrySeq))
+        }
       }
     }
     // DELETED entries win over adds anywhere in the snapshot's list —
     // defensive toward lists that still carry the pre-delete manifest
-    val deleted = entries.collect { case (p, 2, _) => p }.toSet
-    val live = entries.collect { case (p, s, t) if s != 2 && !deleted(p) => (p, t) }
-      .distinctBy(_._1)
-    Snapshot(wantId, live.map(_._1), schema, pcols, live.map(_._2))
+    val dataSeq = dataEntries.result()
+    val delSeq = deleteEntries.result()
+    val deadData = dataSeq.collect { case (p, 2, _, _) => p }.toSet
+    val live = dataSeq.collect {
+      case (p, s, t, q) if s != 2 && !deadData(p) => (p, t, q)
+    }.distinctBy(_._1)
+    val deadDel = delSeq.collect { case (p, 2, _, _) => p }.toSet
+    val liveDel = delSeq.collect {
+      case (p, s, q, recs) if s != 2 && !deadDel(p) => DeleteFileRef(p, q, recs)
+    }.distinctBy(_.path)
+    Snapshot(wantId, live.map(_._1), schema, pcols, live.map(_._2),
+      live.map { case (p, t, q) => DataFileRef(p, q, t) }, liveDel, fv)
   }
 
   /** Read a snapshot as a DataFrame: metadata walk → declared-schema
@@ -266,20 +375,64 @@ object IcebergTable {
       spark: SparkSession, tablePath: String, snapshotId: Option[Long] = None,
       partitionFilter: Map[String, String] = Map.empty): DataFrame = {
     val snap = snapshot(spark, tablePath, snapshotId)
-    val files =
-      if (partitionFilter.isEmpty) snap.files
+    val refs =
+      if (partitionFilter.isEmpty) snap.dataRefs
       else {
         require(partitionFilter.keySet.subsetOf(snap.partitionColumns.toSet),
           s"IcebergTable: partition filter on ${partitionFilter.keySet} but the " +
             s"table is partitioned by [${snap.partitionColumns.mkString(",")}]")
-        snap.files.zip(snap.filePartitions).collect {
-          case (f, pv) if partitionFilter.forall { case (k, v) => pv.get(k).contains(v) } => f
-        }
+        snap.dataRefs.filter(r =>
+          partitionFilter.forall { case (k, v) => r.partition.get(k).contains(v) })
       }
-    require(files.nonEmpty,
+    require(refs.nonEmpty,
       s"IcebergTable: snapshot ${snap.snapshotId} of $tablePath has no data files" +
         (if (partitionFilter.nonEmpty) s" matching $partitionFilter" else ""))
-    spark.read.schema(snap.schema).parquet(files: _*)
+    if (snap.deleteFiles.isEmpty) spark.read.schema(snap.schema).parquet(refs.map(_.path): _*)
+    else readWithPositionDeletes(spark, snap, refs)
+  }
+
+  /** Apply v2 POSITION DELETES: a delete file tombstones `(file_path,
+    * pos)` pairs and applies to data files whose data sequence number
+    * is <= its own. Data files are grouped by their APPLICABLE
+    * delete-file set (usually one or two groups — the pre/post-delete
+    * generations), each group scans with `_metadata.row_index` and
+    * anti-joins the union of its delete files; files no delete touches
+    * scan plainly. The per-pair identity is the scheme-less absolute
+    * path on both sides (manifests store qualified URIs, the scan
+    * metadata another dialect of the same).
+    *
+    * Scale shape: delete files are data-proportional but SMALL (two
+    * columns); the anti-join broadcasts when the manifests' declared
+    * record counts fit, and the grouping itself is metadata-sized.
+    */
+  private def readWithPositionDeletes(
+      spark: SparkSession, snap: Snapshot, refs: Seq[DataFileRef]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val groups = refs
+      .groupBy(r => snap.deleteFiles.filter(_.sequence >= r.sequence).map(_.path).sorted)
+      .toSeq.sortBy(_._2.head.path)
+    val branches = groups.map { case (delPaths, files) =>
+      val scan = spark.read.schema(snap.schema).parquet(files.map(_.path): _*)
+      if (delPaths.isEmpty) scan
+      else {
+        val withMeta = scan.select(col("*"),
+          DeltaLog.normalizedFileId(col("_metadata.file_path")).as("__fid"),
+          col("_metadata.row_index").as("__pos"))
+        val dels0 = spark.read.parquet(delPaths: _*)
+          .select(DeltaLog.normalizedFileId(col("file_path")).as("__dfid"),
+            col("pos").cast(LongType).as("__dpos"))
+        // manifests declare record_count per delete file (required in
+        // v2) — broadcast when the tombstone set provably fits
+        val declared = snap.deleteFiles.filter(d => delPaths.contains(d.path)).map(_.records)
+        val dels =
+          if (declared.forall(_ > 0L) && declared.sum <= 4000000L) broadcast(dels0) else dels0
+        val joined = withMeta.join(dels,
+          withMeta("__fid") === dels("__dfid") && withMeta("__pos") === dels("__dpos"),
+          "left_anti")
+        joined.drop("__fid", "__pos")
+      }
+    }
+    branches.reduce(_.unionByName(_))
   }
 
   private def writeAvro(
@@ -316,8 +469,11 @@ object IcebergTable {
         (Some(readJson(fs, p)),
           p.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
       } else (None, 0L)
+    val fv = prevMeta.map(_.get("format-version").asInt()).getOrElse(1)
+    require(fv == 1 || fv == 2,
+      s"IcebergTable: append into format-version $fv is not supported")
     prevMeta.foreach { m =>
-      val have = parseSchema(m.get("schema")).fields.map(f => (f.name, f.dataType)).toSeq
+      val have = currentSchema(m).fields.map(f => (f.name, f.dataType)).toSeq
       val incoming = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
       require(have == incoming,
         s"IcebergTable: append schema mismatch — table declares $have, append brings $incoming")
@@ -416,38 +572,66 @@ object IcebergTable {
     val manifestPath = new Path(metaDir, s"manifest-$stamp.avro")
     val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
 
-    // carry forward the prior snapshot's manifests
-    val prevManifests: Seq[(String, Long)] = prevMeta.toSeq.flatMap { m =>
+    // the new data manifest's sequence number (v2 only; v1 has none)
+    val newSeq: Long =
+      prevMeta.filter(_ => fv == 2)
+        .map(m => (if (m.has("last-sequence-number")) m.get("last-sequence-number").asLong() else 0L) + 1)
+        .getOrElse(1L)
+    // carry forward the prior snapshot's manifests WITH their v2
+    // content/sequence fields (default 0 for v1-era manifests)
+    val prevManifests: Seq[(String, Long, Int, Long, Long)] = prevMeta.toSeq.flatMap { m =>
       val curId = m.get("current-snapshot-id").asLong()
       val snaps = m.get("snapshots")
       (0 until snaps.size()).map(snaps.get)
         .find(_.get("snapshot-id").asLong() == curId).toSeq
         .flatMap { s =>
-          readAvro(fs, new Path(s.get("manifest-list").asText()), conf)
-            .map(r => (r.get("manifest_path").toString, r.get("manifest_length").asInstanceOf[Long]))
+          readAvro(fs, new Path(s.get("manifest-list").asText()), conf).map { r =>
+            def opt(n: String): Option[AnyRef] =
+              if (r.getSchema.getField(n) == null) None else Option(r.get(n))
+            (r.get("manifest_path").toString,
+              r.get("manifest_length").asInstanceOf[Long],
+              opt("content").map(_.asInstanceOf[Int]).getOrElse(0),
+              opt("sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+              opt("min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
+          }
         }
     }
+    val listSchema = if (fv == 2) ManifestListSchemaV2 else ManifestListSchema
     val listRecords = (prevManifests :+
-      (fs.makeQualified(manifestPath).toString, manifestLen)).map { case (p, len) =>
-      val r = new GenericData.Record(ManifestListSchema)
-      r.put("manifest_path", p)
-      r.put("manifest_length", len)
-      r.put("partition_spec_id", 0)
-      r.put("added_snapshot_id", snapshotId)
-      r
-    }
+      (fs.makeQualified(manifestPath).toString, manifestLen, 0, newSeq, newSeq))
+      .map { case (p, len, content, seq, minSeq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        if (fv == 2) {
+          r.put("content", content)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", minSeq)
+        }
+        r.put("added_snapshot_id", snapshotId)
+        r
+      }
     val listPath = new Path(metaDir, s"snap-$snapshotId-$stamp.avro")
-    writeAvro(fs, listPath, ManifestListSchema, listRecords)
+    writeAvro(fs, listPath, listSchema, listRecords)
 
     // new metadata json: prior snapshots + this one
     val meta = mapper.createObjectNode()
-    meta.put("format-version", 1)
+    meta.put("format-version", fv)
+    if (fv == 2) meta.put("last-sequence-number", newSeq)
     meta.put("table-uuid",
       prevMeta.map(_.get("table-uuid").asText()).getOrElse(java.util.UUID.randomUUID().toString))
     meta.put("location", tablePath)
     meta.put("last-updated-ms", System.currentTimeMillis())
     meta.put("last-column-id", df.schema.size)
     meta.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema", schemaJson(df.schema))
+    // v2's required "schemas"/"current-schema-id" pair (also legal —
+    // and ignored — under v1 readers that use the legacy "schema")
+    val schemasArr = meta.putArray("schemas")
+    val schema0 = schemaJson(df.schema)
+    schema0.put("schema-id", 0)
+    schemasArr.add(schema0)
+    meta.put("current-schema-id", 0)
     // v1's required legacy "partition-spec" plus the modern
     // "partition-specs"/"default-spec-id" pair; identity transforms
     // over the schema field ids assigned by schemaJson (index + 1)
@@ -471,6 +655,13 @@ object IcebergTable {
       f.put("field-id", 1000 + i)
     }
     meta.put("default-spec-id", 0)
+    if (fv == 2) {
+      val orders = meta.putArray("sort-orders")
+      val o0 = orders.addObject()
+      o0.put("order-id", 0)
+      o0.putArray("fields")
+      meta.put("default-sort-order-id", 0)
+    }
     meta.putObject("properties")
     meta.put("current-snapshot-id", snapshotId)
     val snaps = meta.putArray("snapshots")
@@ -480,6 +671,7 @@ object IcebergTable {
     }
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
+    if (fv == 2) sn.put("sequence-number", newSeq)
     sn.put("timestamp-ms", System.currentTimeMillis())
     sn.put("manifest-list", fs.makeQualified(listPath).toString)
     sn.putObject("summary").put("operation", "append")
@@ -490,6 +682,182 @@ object IcebergTable {
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
     finally out.close()
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
+    snapshotId
+  }
+
+  private def parquetRowCount(fs: FileSystem, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromStatus(fs.getFileStatus(p), fs.getConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** DELETE rows via v2 POSITION DELETES — Iceberg's merge-on-read
+    * path: no data file is rewritten; the matching `(file_path, pos)`
+    * pairs land in position-delete parquet files, a DELETE manifest
+    * (`content = 1`) carries them at the next sequence number, and the
+    * new snapshot publishes under format-version 2 (upgrading a v1
+    * table in place, as the spec allows — its existing snapshots keep
+    * sequence number 0, so the delete gates correctly onto them while
+    * LATER appends, stamped with higher sequence numbers, are never
+    * affected).
+    *
+    * Unpartitioned tables only (a delete manifest for a partitioned
+    * table must carry the matching partition tuples — refused loudly
+    * rather than half-written). Re-deleting an already-dead row is
+    * idempotent (both delete files tombstone the same pair). Returns
+    * the new snapshot id, or -1 when no LIVE row matches.
+    *
+    * Scale shape: one predicate-pushed scan over the live files; the
+    * pairs are written distributed (no driver materialization); the
+    * metadata walk is manifest-sized.
+    */
+  def deleteRows(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val metaPath = currentMetadataPath(fs, tablePath)
+    val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(fs, metaPath)
+    val snap = snapshot(spark, tablePath, None)
+    require(snap.partitionColumns.isEmpty,
+      "IcebergTable: deleteRows on a partitioned table is not supported — the " +
+        "delete manifest would need matching partition tuples")
+    // live-row scan WITH existing position deletes applied, so a
+    // predicate matching only already-dead rows is a no-op, plus the
+    // row provenance the delete file needs
+    val scanned = {
+      val base = spark.read.schema(snap.schema).parquet(snap.files: _*)
+        .select(col("*"),
+          DeltaLog.normalizedFileId(col("_metadata.file_path")).as("__fid"),
+          col("_metadata.row_index").as("__pos"))
+      if (snap.deleteFiles.isEmpty) base
+      else {
+        val dels = spark.read.parquet(snap.deleteFiles.map(_.path): _*)
+          .select(DeltaLog.normalizedFileId(col("file_path")).as("__dfid"),
+            col("pos").cast(LongType).as("__dpos"))
+        base.join(dels,
+          base("__fid") === dels("__dfid") && base("__pos") === dels("__dpos"), "left_anti")
+      }
+    }
+    // restore the manifests' EXACT path strings (the identity a real
+    // reader matches on) from the scheme-less scan identity
+    import spark.implicits._
+    val pathMap = snap.files
+      .map(p => (new Path(p).toUri.getPath, p)).toDF("__fid", "file_path")
+    val matches = scanned.filter(predicate)
+      .select(col("__fid"), col("__pos"))
+      .join(broadcast(pathMap), "__fid")
+      .select(col("file_path"), col("__pos").cast(LongType).as("pos"))
+      .orderBy("file_path", "pos")
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(table, s"_ice_stage_del_$stamp")
+    matches.write.parquet(stage.toString)
+    val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq
+      .map(_.getPath).sortBy(_.toString)
+    val moved: Seq[(String, Long, Long)] = parts.zipWithIndex.flatMap { case (p, i) =>
+      val n = parquetRowCount(fs, p)
+      if (n == 0) None // an empty part is no tombstone
+      else {
+        val dest = new Path(table, s"data/delete-$stamp-$i.parquet")
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
+        Some((fs.makeQualified(dest).toString, fs.getFileStatus(dest).getLen, n))
+      }
+    }
+    fs.delete(stage, true)
+    if (moved.isEmpty) return -1L
+
+    val newSeq =
+      (if (meta.has("last-sequence-number")) meta.get("last-sequence-number").asLong() else 0L) + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val entries = moved.map { case (path, len, n) =>
+      val e = new GenericData.Record(DeleteManifestEntrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", newSeq)
+      val d = new GenericData.Record(DeleteManifestEntrySchema.getField("data_file").schema())
+      d.put("content", 1) // POSITION DELETES
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", n)
+      d.put("file_size_in_bytes", len)
+      e.put("data_file", d)
+      e
+    }
+    val metaDir0 = metadataDir(tablePath)
+    val manifestPath = new Path(metaDir0, s"manifest-del-$stamp.avro")
+    val manifestLen = writeAvro(fs, manifestPath, DeleteManifestEntrySchema, entries)
+
+    // carry forward the current snapshot's manifests with their
+    // content/sequence fields (0 for v1-era ones, per the upgrade rule)
+    val curId = meta.get("current-snapshot-id").asLong()
+    val curSnap = {
+      val snaps = meta.get("snapshots")
+      (0 until snaps.size()).map(snaps.get)
+        .find(_.get("snapshot-id").asLong() == curId).get
+    }
+    val carried = readAvro(fs, new Path(curSnap.get("manifest-list").asText()), conf).map { r =>
+      def opt(n: String): Option[AnyRef] =
+        if (r.getSchema.getField(n) == null) None else Option(r.get(n))
+      (r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[Long],
+        opt("content").map(_.asInstanceOf[Int]).getOrElse(0),
+        opt("sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+        opt("min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    val listRecords = (carried :+
+      (fs.makeQualified(manifestPath).toString, manifestLen, 1, newSeq, newSeq))
+      .map { case (p, len, content, seq, minSeq) =>
+        val r = new GenericData.Record(ManifestListSchemaV2)
+        r.put("manifest_path", p)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", minSeq)
+        r.put("added_snapshot_id", snapshotId)
+        r
+      }
+    val listPath = new Path(metaDir0, s"snap-$snapshotId-$stamp.avro")
+    writeAvro(fs, listPath, ManifestListSchemaV2, listRecords)
+
+    // publish: deep-copy the prior metadata, upgrade to v2 in place
+    val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    newMeta.put("format-version", 2)
+    newMeta.put("last-sequence-number", newSeq)
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    if (!newMeta.has("schemas")) {
+      val arr = newMeta.putArray("schemas")
+      val s0 = meta.get("schema").deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      s0.put("schema-id", 0)
+      arr.add(s0)
+      newMeta.put("current-schema-id", 0)
+    }
+    if (!newMeta.has("sort-orders")) {
+      val orders = newMeta.putArray("sort-orders")
+      val o0 = orders.addObject()
+      o0.put("order-id", 0)
+      o0.putArray("fields")
+      newMeta.put("default-sort-order-id", 0)
+    }
+    newMeta.put("current-snapshot-id", snapshotId)
+    val sn = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", newSeq)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.put("manifest-list", fs.makeQualified(listPath).toString)
+    sn.putObject("summary").put("operation", "delete")
+    val newVersion = prevVersion + 1
+    val outPath = new Path(metaDir0, s"v$newVersion.metadata.json")
+    val out = fs.create(outPath, false) // put-if-absent publish
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
+    finally out.close()
+    val hint = fs.create(new Path(metaDir0, "version-hint.text"), true)
     try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
     snapshotId
   }

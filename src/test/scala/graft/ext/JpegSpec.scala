@@ -72,6 +72,18 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("fill bytes and standalone markers before SOS are legal (T.81 B.1.1.2)") {
+    val rgb = Array.tabulate(8 * 8 * 3)(i => ((i * 7 + 31) % 256).toByte)
+    val clean = Jpeg.encode(8, 8, rgb, subsample = false)
+    // after SOI: two 0xFF fill bytes, then a standalone TEM (FF 01),
+    // then one more fill byte gluing onto the original first marker's FF
+    val doctored = clean.take(2) ++
+      Array(0xff.toByte, 0xff.toByte, 0x01.toByte, 0xff.toByte) ++ clean.drop(2)
+    val img = Jpeg.decode(doctored)
+    assert(img.pixels.sameElements(Jpeg.decode(clean).pixels),
+      "fill bytes + TEM must not change the decode")
+  }
+
   test("our encoder's bytes agree with the JDK ImageIO decoder within IDCT rounding") {
     val rgb = Array.tabulate(24 * 16 * 3)(i => ((i * 11 + 5) % 256).toByte)
     val payload = Jpeg.encode(24, 16, rgb, subsample = false)

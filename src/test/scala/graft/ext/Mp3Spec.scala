@@ -27,6 +27,16 @@ class Mp3Spec extends AnyFunSuite {
     assert(m.frames == 3 && m.bitrateKbps == 112 && m.cbr)
   }
 
+  test("ID3v2.4 footer flag adds 10 bytes not counted in the syncsafe size") {
+    val frames = cbr(3, 8)
+    // flags byte 0x10 = footer present; body 0x20 bytes + 10-byte footer
+    val header = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 0x20)
+    val body = Array.fill(0x20)(0x61.toByte)
+    val footer = Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 0, 0x20)
+    val m = Mp3.scan(header ++ body ++ footer ++ frames)
+    assert(m.frames == 3 && m.bitrateKbps == 112 && m.cbr)
+  }
+
   test("VBR: a bitrate change mid-stream clears the CBR flag") {
     val m = Mp3.scan(cbr(2, 9) ++ cbr(2, 11)) // 128 then 192 kbps
     assert(m.frames == 4 && !m.cbr && m.bitrateKbps == 128) // first frame's rate

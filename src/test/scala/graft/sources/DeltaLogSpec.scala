@@ -162,7 +162,9 @@ class DeltaLogSpec extends SparkSpec {
     // protocol row trips the guard.
     val t = newTable()
     dataFile(t, "a.parquet", "a", 2)
-    writeCraftedCheckpoint(t, 0, Seq("a.parquet"), minReader = 3)
+    // minReader 4 (not 3): version 3 with no unsupported features now
+    // reads legitimately since the deletion-vector support landed
+    writeCraftedCheckpoint(t, 0, Seq("a.parquet"), minReader = 4)
     val e = intercept[IllegalArgumentException](DeltaLog.read(spark, t))
     assert(e.getMessage.contains("minReaderVersion"), e.getMessage)
   }
@@ -341,14 +343,29 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot time-travel"), e.getMessage)
   }
 
-  test("guards: unsupported reader version, log gap, no live files") {
+  test("guards: unsupported reader version/features, log gap, no live files") {
     val t1 = newTable()
     dataFile(t1, "a.parquet", "a", 1)
     commit(t1, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
       Meta, add("a.parquet")))
     val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark, t1))
-    assert(e1.getMessage.contains("minReaderVersion"), e1.getMessage)
+    assert(e1.getMessage.contains("v2Checkpoint"), e1.getMessage)
+    // reader version 4 refuses even with supported features alone
+    val t1b = newTable()
+    dataFile(t1b, "a.parquet", "a", 1)
+    commit(t1b, 0, Seq(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      Meta, add("a.parquet")))
+    val e1b = intercept[IllegalArgumentException](DeltaLog.read(spark, t1b))
+    assert(e1b.getMessage.contains("minReaderVersion 4"), e1b.getMessage)
+    // version 3 declaring ONLY deletionVectors (none live) reads plainly
+    val t1c = newTable()
+    dataFile(t1c, "a.parquet", "a", 3)
+    commit(t1c, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      Meta, add("a.parquet")))
+    assert(DeltaLog.read(spark, t1c).count() == 3)
 
     val t3 = newTable()
     dataFile(t3, "a.parquet", "a", 1)
@@ -574,6 +591,117 @@ class DeltaLogSpec extends SparkSpec {
     assert((preFiles intersect after).size == 1)
     // no-match delete is a no-op, not an empty commit
     assert(DeltaLog.delete(spark, t, col("id") === 999L) == -1L)
+  }
+
+  test("deleteWithDv: no file rewritten, vectors union, pre-delete travel intact, protocol upgraded") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = newTable()
+    DeltaLog.append(spark, t,
+      (1L to 8L).map(i => (i, i * 10.0)).toDF("id", "v").coalesce(1))
+    DeltaLog.append(spark, t,
+      (9L to 16L).map(i => (i, i * 10.0)).toDF("id", "v").coalesce(1))
+    val preFiles = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    val v = DeltaLog.deleteWithDv(spark, t, col("id") % 4 === 0)
+    assert(v == 2L)
+    // the SAME physical files stay referenced — only the DV changed
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.map(_.path).toSet == preFiles, "no data file rewritten")
+    assert(snap.files.forall(_.dv.isDefined) && snap.dvCardinality == 4L)
+    assert(snap.readerVersion.contains(3) && snap.readerFeatures == Set("deletionVectors"))
+    assert(DeltaLog.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      (1L to 16L).filterNot(_ % 4 == 0))
+    // pre-delete version still serves every row
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(1L)).count() == 16)
+    // second DV delete on the same files UNIONS the vectors (one DV per file)
+    assert(DeltaLog.deleteWithDv(spark, t, col("id") % 5 === 0) == 3L)
+    val snap2 = DeltaLog.snapshot(spark, t)
+    assert(snap2.dvCardinality == 7L, "4, 8, 12, 16 ∪ 5, 10, 15")
+    assert(DeltaLog.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      (1L to 16L).filterNot(i => i % 4 == 0 || i % 5 == 0))
+    // a predicate matching ONLY DV-dead rows is a no-op, not an empty commit
+    assert(DeltaLog.deleteWithDv(spark, t, col("id") === 4L) == -1L)
+    // the upgrade landed exactly once, in commit 2
+    val lines = Files.readAllLines(Paths.get(s"$t/_delta_log/" + f"${2L}%020d.json")).asScala
+    assert(lines.count(_.contains("\"protocol\"")) == 1)
+    assert(lines.exists(_.contains("\"deletionVectors\"")))
+    val lines3 = Files.readAllLines(Paths.get(s"$t/_delta_log/" + f"${3L}%020d.json")).asScala
+    assert(!lines3.exists(_.contains("\"protocol\"")), "no re-upgrade on the second delete")
+  }
+
+  test("deleteWithDv: partitioned tables keep partitionValues; txn exactly-once; CoW ops refuse") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t,
+      (1L to 12L).map(i => (i, (i % 3).toString)).toDF("id", "p"),
+      partitionBy = Seq("p"))
+    assert(DeltaLog.deleteWithDv(spark, t, col("id") <= 3L, txn = Some(("dv", 1L))) >= 0)
+    assert(DeltaLog.deleteWithDv(spark, t, col("id") <= 6L, txn = Some(("dv", 1L))) == -1L,
+      "same txn epoch must not re-apply")
+    val got = DeltaLog.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == (4L to 12L).map(i => (i, (i % 3).toString)))
+    // the DV'd adds kept their partitionValues (read attaches p from them)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.filter(_.dv.isDefined).forall(_.partitionValues.keySet == Set("p")))
+    // copy-on-write writers refuse rather than resurrect DV-deleted rows
+    val eM = intercept[IllegalArgumentException](
+      DeltaLog.merge(spark, t, Seq((1L, "1")).toDF("id", "p"), Seq("id")))
+    assert(eM.getMessage.contains("deletion vectors"), eM.getMessage)
+    val eD = intercept[IllegalArgumentException](
+      DeltaLog.delete(spark, t, col("id") === 5L))
+    assert(eD.getMessage.contains("deletion vectors"), eD.getMessage)
+    val eC = intercept[IllegalArgumentException](DeltaLog.compact(spark, t))
+    assert(eC.getMessage.contains("deletion vectors"), eC.getMessage)
+  }
+
+  test("DV tables checkpoint faithfully: descriptor + protocol survive log compaction") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    DeltaLog.deleteWithDv(spark, t, col("id") > 7L)
+    DeltaLog.writeCheckpoint(spark, t)
+    // delete the JSON prefix — the checkpoint must carry everything
+    (0L to 1L).foreach { v =>
+      Files.delete(Paths.get(s"$t/_delta_log/" + f"$v%020d.json"))
+    }
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.readerVersion.contains(3) && snap.readerFeatures == Set("deletionVectors"))
+    assert(snap.dvCardinality == 3L)
+    assert(DeltaLog.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      (1L to 7L))
+  }
+
+  test("inline deletion vectors (storageType i) read through the log") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = newTable()
+    DeltaLog.append(spark, t, (0L until 6L).map(i => (i, s"r$i")).toDF("id", "tag").coalesce(1))
+    val file = DeltaLog.snapshot(spark, t).files.head.path
+    val data = DeletionVectors.serialize(Array(1L, 3L))
+    val padded = java.util.Arrays.copyOf(data, (data.length + 3) / 4 * 4)
+    val inline = DeletionVectors.z85Encode(padded)
+    commit(t, 1, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"remove":{"path":"$file","deletionTimestamp":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$file","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${data.length},"cardinality":2}}}"""))
+    assert(DeltaLog.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(0L, 2L, 4L, 5L))
+  }
+
+  test("vacuum reclaims orphaned DV files but never live ones") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    DeltaLog.deleteWithDv(spark, t, col("id") === 1L)
+    DeltaLog.deleteWithDv(spark, t, col("id") === 2L) // unions → first DV file orphaned
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(t))
+      .map(_.getPath.getName).count(_.startsWith("deletion_vector_"))
+    assert(before == 2)
+    assert(DeltaLog.vacuum(spark, t, retainMs = -1000L, force = true) == 1L)
+    assert(DeltaLog.read(spark, t).count() == 8L, "live DV intact after vacuum")
   }
 
   test("vacuum: retention below the 7-day floor refuses without force") {

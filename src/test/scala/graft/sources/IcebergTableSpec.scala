@@ -177,12 +177,11 @@ class IcebergTableSpec extends SparkSpec {
     assert(metaTxt.contains("\"partition-specs\""), "modern spec list present")
   }
 
-  test("guards: v2 refusal, schema-mismatch append, unsupported type") {
+  test("guards: format-version 3 refusal, schema-mismatch append, unsupported type") {
     import spark.implicits._
     val t = newTable()
     IcebergTable.append(spark, t, Seq((1L, "a")).toDF("id", "tag"))
-    // bump format-version -> refuse (v2 row-level deletes would be
-    // silently wrong)
+    // bump format-version past the supported pair -> refuse
     val p = java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json")
     // drop Hadoop's checksum sidecar: the raw-nio edit below would
     // otherwise fail the local FS's CRC verification on read
@@ -190,7 +189,7 @@ class IcebergTableSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$t/metadata/.v1.metadata.json.crc"))
     val txt = java.nio.file.Files.readString(p)
     java.nio.file.Files.writeString(p,
-      txt.replace("\"format-version\" : 1", "\"format-version\" : 2"))
+      txt.replace("\"format-version\" : 1", "\"format-version\" : 3"))
     val e1 = intercept[IllegalArgumentException](IcebergTable.read(spark, t))
     assert(e1.getMessage.contains("format-version"), e1.getMessage)
     java.nio.file.Files.writeString(p, txt) // restore
@@ -200,5 +199,149 @@ class IcebergTableSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       IcebergTable.append(spark, newTable(), Seq((1L, Seq("x"))).toDF("id", "arr")))
     assert(e3.getMessage.contains("unsupported column type"), e3.getMessage)
+  }
+
+  test("v2 deleteRows: merge-on-read round trip, upgrade in place, pre-delete travel") {
+    import spark.implicits._
+    val t = newTable()
+    val s1 = IcebergTable.append(spark, t,
+      (1L to 10L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    val s2 = IcebergTable.deleteRows(spark, t, col("id") % 3 === 0)
+    assert(s2 > 0 && s2 != s1)
+    // no data file rewritten — merge-on-read
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.formatVersion == 2 && snap.deleteFiles.nonEmpty)
+    assert(snap.files == IcebergTable.snapshot(spark, t, Some(s1)).files,
+      "delete must not rewrite data files")
+    assert(IcebergTable.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      (1L to 10L).filterNot(_ % 3 == 0))
+    // time travel to the pre-delete snapshot serves every row
+    assert(IcebergTable.read(spark, t, Some(s1)).count() == 10)
+    // second delete stacks (both files anti-join)
+    IcebergTable.deleteRows(spark, t, col("id") % 5 === 0)
+    assert(IcebergTable.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      (1L to 10L).filterNot(i => i % 3 == 0 || i % 5 == 0))
+    // a predicate matching only dead rows is a no-op, not a new snapshot
+    assert(IcebergTable.deleteRows(spark, t, col("id") === 3L) == -1L)
+  }
+
+  test("v2 sequence numbers: appends AFTER a delete are never affected by it") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t, Seq((1L, "old"), (2L, "old")).toDF("id", "tag"))
+    IcebergTable.deleteRows(spark, t, col("id") === 2L)
+    // the appended file reuses row position 0 — a sequence-blind reader
+    // would tombstone (newfile, 0) if it matched deletes by pos alone;
+    // the REAL hazard is a delete with seq N applying to data seq > N
+    IcebergTable.append(spark, t, Seq((2L, "new")).toDF("id", "tag"))
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.formatVersion == 2)
+    val newRef = snap.dataRefs.find(_.sequence > snap.deleteFiles.map(_.sequence).max)
+    assert(newRef.isDefined, "the post-delete append must carry a HIGHER sequence number")
+    val got = IcebergTable.read(spark, t).orderBy("id", "tag")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "old"), (2L, "new")))
+    // and deleting from the merged state still works across generations
+    IcebergTable.deleteRows(spark, t, col("id") === 1L)
+    assert(IcebergTable.read(spark, t).collect().map(_.getString(1)).toSeq == Seq("new"))
+  }
+
+  test("v2 guards: partitioned deleteRows refuses; equality deletes refuse on read") {
+    import spark.implicits._
+    import org.apache.avro.Schema
+    val t = newTable()
+    IcebergTable.append(spark, t,
+      Seq((1L, 1996), (2L, 1997)).toDF("id", "Year"), partitionBy = Seq("Year"))
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.deleteRows(spark, t, col("id") === 1L))
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+
+    // equality-delete refusal: splice an equality-delete manifest into
+    // an unpartitioned v2 table (spec-local avro, reader works by name)
+    val t2 = newTable()
+    IcebergTable.append(spark, t2, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    IcebergTable.deleteRows(spark, t2, col("id") === 1L) // now v2
+    val fs = new org.apache.hadoop.fs.Path(t2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"sequence_number","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |    {"name":"content","type":"int"},
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"file_size_in_bytes","type":"long"}
+        |  ]}}
+        |]}""".stripMargin)
+    val eq = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    eq.put("status", 1)
+    eq.put("sequence_number", 9L)
+    val d = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    d.put("content", 2) // EQUALITY deletes
+    d.put("file_path", s"$t2/data/eq-del.parquet")
+    d.put("file_format", "PARQUET")
+    d.put("record_count", 1L)
+    d.put("file_size_in_bytes", 1L)
+    eq.put("data_file", d)
+    val mp = new org.apache.hadoop.fs.Path(s"$t2/metadata/manifest-eq.avro")
+    val out = fs.create(mp, false)
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](entrySchema))
+    try { w.create(entrySchema, out); w.append(eq) } finally w.close()
+    // splice it into the current manifest list by appending a row
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaP = new org.apache.hadoop.fs.Path(s"$t2/metadata/v2.metadata.json")
+    val meta = { val in = fs.open(metaP); try mapper.readTree(in) finally in.close() }
+    val curId = meta.get("current-snapshot-id").asLong()
+    val snaps = meta.get("snapshots")
+    val listP = (0 until snaps.size()).map(snaps.get)
+      .find(_.get("snapshot-id").asLong() == curId).get.get("manifest-list").asText()
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"},
+        |  {"name":"content","type":"int"},
+        |  {"name":"sequence_number","type":"long"},
+        |  {"name":"min_sequence_number","type":"long"}
+        |]}""".stripMargin)
+    val reader = new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]()
+    val din = new org.apache.avro.file.DataFileReader(
+      new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(listP),
+        spark.sparkContext.hadoopConfiguration), reader)
+    val rows = try {
+      val b = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+      while (din.hasNext) b += din.next()
+      b.result()
+    } finally din.close()
+    val rewritten = rows.map { r =>
+      val n = new org.apache.avro.generic.GenericData.Record(listSchema)
+      n.put("manifest_path", r.get("manifest_path").toString)
+      n.put("manifest_length", r.get("manifest_length"))
+      n.put("partition_spec_id", 0)
+      n.put("content", r.get("content"))
+      n.put("sequence_number", r.get("sequence_number"))
+      n.put("min_sequence_number", r.get("min_sequence_number"))
+      n
+    } :+ {
+      val n = new org.apache.avro.generic.GenericData.Record(listSchema)
+      n.put("manifest_path", fs.makeQualified(mp).toString)
+      n.put("manifest_length", fs.getFileStatus(mp).getLen)
+      n.put("partition_spec_id", 0)
+      n.put("content", 1)
+      n.put("sequence_number", 9L)
+      n.put("min_sequence_number", 9L)
+      n
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(listP), false)
+    val out2 = fs.create(new org.apache.hadoop.fs.Path(listP), true)
+    val w2 = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](listSchema))
+    try { w2.create(listSchema, out2); rewritten.foreach(w2.append) } finally w2.close()
+    val e2 = intercept[IllegalArgumentException](IcebergTable.read(spark, t2))
+    assert(e2.getMessage.contains("equality delete"), e2.getMessage)
   }
 }
