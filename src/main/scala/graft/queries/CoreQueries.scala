@@ -2400,6 +2400,117 @@ object CoreQueries {
       |WHERE o_orderkey % 3 = 2 OR NOT (o_orderkey % 7 = 3)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S35Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s35_delta_zorder"
+  private val s35BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S35 — OPTIMIZE ZORDER + stats-based DATA SKIPPING: orders land
+    * scattered across 8 files, `compact(zorderBy = (o_custkey,
+    * o_orderkey))` rewrites them clustered by the interleaved z-key
+    * (each output file a tight rectangle in key space, real
+    * footer-derived min/max in `add.stats`), and `readRange` serves a
+    * `o_custkey BETWEEN` slice opening ONLY the files whose stats
+    * admit it — Delta's skipping index, measured by the spec and
+    * exact by construction here (the range predicate re-applies on
+    * the survivors). Oracle recomputes the slice from `orders`.
+    */
+  def s35DeltaZorder(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s35BuiltFor.synchronized {
+      if (s35BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S35Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.DeltaLog.append(spark, S35Root, base.repartition(8))
+        // small target so the clustering yields SEVERAL z-disjoint files
+        graft.sources.DeltaLog.compact(spark, S35Root,
+          targetFileBytes = 16L * 1024,
+          zorderBy = Seq("o_custkey", "o_orderkey"))
+        s35BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.readRange(spark, S35Root, "o_custkey", 100L, 200L)
+      .orderBy("o_orderkey")
+  }
+
+  private val s35DeltaZorderSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_custkey BETWEEN 100 AND 200
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val S36Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s36_delta_restore"
+  private val s36BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S36 — RESTORE TABLE ... TO VERSION AS OF: after a DELETE rewrote
+    * files, one restore commit removes the rewritten files and
+    * re-adds the originals (their stats travel along) — the full table
+    * is back, history intact. The oracle is the unfiltered `orders`
+    * projection: a restore that loses a file, resurrects the delete,
+    * or re-adds with wrong partitionValues hash-fails.
+    */
+  def s36DeltaRestore(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s36BuiltFor.synchronized {
+      if (s36BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S36Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.DeltaLog.append(spark, S36Root, base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.DeltaLog.append(spark, S36Root, base.filter(col("o_orderkey") % 2 =!= 0))
+        graft.sources.DeltaLog.delete(spark, S36Root, col("o_orderkey") % 3 === 0)
+        graft.sources.DeltaLog.restore(spark, S36Root, 1L)
+        s36BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S36Root).orderBy("o_orderkey")
+  }
+
+  private val s36DeltaRestoreSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  private val S37Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s37_iceberg_eq"
+  private val s37BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S37 — Iceberg v2 EQUALITY DELETES: the CDC-writer shape — a key
+    * SET (customers with `o_custkey % 10 = 4`) tombstones every
+    * matching row without scanning the table, then a later append
+    * re-inserts some of those keys (`o_orderkey % 13 = 0` within the
+    * tombstoned set) and SURVIVES because equality deletes gate
+    * STRICTLY on `dataSeq < deleteSeq`. The oracle recomputes the
+    * final state from `orders`; an inclusive gate, a missed key, or a
+    * non-null-safe match hash-fails.
+    */
+  def s37IcebergEqDelete(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s37BuiltFor.synchronized {
+      if (s37BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S37Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.IcebergTable.append(spark, S37Root, base)
+        graft.sources.IcebergTable.deleteRowsEquality(spark, S37Root,
+          Seq("o_custkey"),
+          base.filter(col("o_custkey") % 10 === 4).select("o_custkey").distinct())
+        graft.sources.IcebergTable.append(spark, S37Root,
+          base.filter(col("o_custkey") % 10 === 4 && col("o_orderkey") % 13 === 0))
+        s37BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.read(spark, S37Root).orderBy("o_orderkey")
+  }
+
+  private val s37IcebergEqDeleteSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_custkey % 10 <> 4 OR o_orderkey % 13 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2644,6 +2755,9 @@ object CoreQueries {
     "s32_iceberg_partitioned" -> s32IcebergPartitioned _,
     "s33_delta_dv"      -> s33DeltaDv _,
     "s34_iceberg_v2_delete" -> s34IcebergV2Delete _,
+    "s35_delta_zorder"  -> s35DeltaZorder _,
+    "s36_delta_restore" -> s36DeltaRestore _,
+    "s37_iceberg_eq_delete" -> s37IcebergEqDelete _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -2967,6 +3081,9 @@ object CoreQueries {
     "s32_iceberg_partitioned" -> s32IcebergPartitionedSql,
     "s33_delta_dv" -> s33DeltaDvSql,
     "s34_iceberg_v2_delete" -> s34IcebergV2DeleteSql,
+    "s35_delta_zorder" -> s35DeltaZorderSql,
+    "s36_delta_restore" -> s36DeltaRestoreSql,
+    "s37_iceberg_eq_delete" -> s37IcebergEqDeleteSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -61,6 +61,7 @@ object DeltaLog {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
         StructField("pathOrInlineDv", StringType),
@@ -180,6 +181,7 @@ object DeltaLog {
       sub("add", "path", StringType).as("add_path"),
       sub("add", "partitionValues", MapType(StringType, StringType)).as("add_pvals"),
       sub("add", "size", LongType).as("add_size"),
+      sub("add", "stats", StringType).as("add_stats"),
       dvSub("storageType", StringType).as("dv_storage"),
       dvSub("pathOrInlineDv", StringType).as("dv_path"),
       dvSub("offset", IntegerType).as("dv_offset"),
@@ -340,7 +342,8 @@ object DeltaLog {
       .select(
         coalesce(col("add_path"), col("remove_path")).as("path"),
         col("add_path").isNotNull.as("is_add"),
-        col("add_pvals"), col("add_size"), col("remove_ts"), col("version"),
+        col("add_pvals"), col("add_size"), col("add_stats"),
+        col("remove_ts"), col("version"),
         col("dv_storage"), col("dv_path"), col("dv_offset"),
         col("dv_size"), col("dv_cardinality"))
       .filter(col("path").isNotNull)
@@ -354,7 +357,8 @@ object DeltaLog {
     */
   final case class DeltaFile(
       path: String, partitionValues: Map[String, String], size: Long,
-      dv: Option[DeletionVectors.Descriptor] = None)
+      dv: Option[DeletionVectors.Descriptor] = None,
+      stats: Option[String] = None)
   final case class Snapshot(
       files: Seq[DeltaFile],
       metaId: Option[String],
@@ -434,23 +438,24 @@ object DeltaLog {
       case None => (None, None, Seq.empty[String], Map.empty[String, String])
     }
     val live = reconcile(acts).filter(col("is_add"))
-      .select("path", "add_pvals", "add_size",
+      .select("path", "add_pvals", "add_size", "add_stats",
         "dv_storage", "dv_path", "dv_offset", "dv_size", "dv_cardinality")
       .collect()
       .map { r =>
-        val dv = Option(r.getString(3)).map { st =>
+        val dv = Option(r.getString(4)).map { st =>
           DeletionVectors.Descriptor(
             st,
-            r.getString(4),
-            if (r.isNullAt(5)) None else Some(r.getInt(5)),
-            r.getInt(6),
-            if (r.isNullAt(7)) 0L else r.getLong(7))
+            r.getString(5),
+            if (r.isNullAt(6)) None else Some(r.getInt(6)),
+            r.getInt(7),
+            if (r.isNullAt(8)) 0L else r.getLong(8))
         }
         DeltaFile(
           r.getString(0),
           Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
           if (r.isNullAt(2)) 0L else r.getLong(2),
-          dv)
+          dv,
+          Option(r.getString(3)))
       }.toSeq.sortBy(_.path)
     Snapshot(live, metaId, schemaStr, pcols, conf, readerVersion, readerFeats,
       writerVersion, writerFeats)
@@ -697,6 +702,129 @@ object DeltaLog {
     snap.schema.fold(all)(s => all.select(s.fieldNames.map(col).toSeq: _*))
   }
 
+  // -------------------------------------------- stats-based file skipping
+
+  /** A value in its skipping-comparable form: Left(double) for
+    * numeric/temporal columns, Right(string) for strings.
+    */
+  private def comparable(dt: DataType, v: Any): Option[Either[Double, String]] = (dt, v) match {
+    case (_, null) => None
+    case (ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType, n: Number) =>
+      Some(Left(n.doubleValue))
+    case (_: DecimalType, n: Number) => Some(Left(n.doubleValue))
+    case (_: DecimalType, n: BigDecimal) => Some(Left(n.doubleValue))
+    case (StringType, s: String) => Some(Right(s))
+    case (DateType, d: java.sql.Date) => Some(Left(d.toLocalDate.toEpochDay.toDouble))
+    case (DateType, d: java.time.LocalDate) => Some(Left(d.toEpochDay.toDouble))
+    case (DateType, s: String) =>
+      scala.util.Try(java.time.LocalDate.parse(s).toEpochDay.toDouble).toOption.map(Left(_))
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(Left(t.getTime / 1000.0 * 1e6 + (t.getNanos / 1000) % 1000000))
+    case (TimestampType, t: java.time.Instant) =>
+      Some(Left(t.getEpochSecond * 1e6 + t.getNano / 1000.0))
+    case (TimestampType, s: String) =>
+      scala.util.Try(java.time.Instant.parse(s)).toOption
+        .map(t => Left(t.getEpochSecond * 1e6 + t.getNano / 1000.0))
+    case _ => None
+  }
+
+  private def jsonComparable(
+      dt: DataType, node: com.fasterxml.jackson.databind.JsonNode): Option[Either[Double, String]] =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType | _: DecimalType =>
+        if (node.isNumber) Some(Left(node.asDouble())) else None
+      case StringType => if (node.isTextual) Some(Right(node.asText())) else None
+      case DateType if node.isTextual => comparable(dt, node.asText())
+      case TimestampType if node.isTextual => comparable(dt, node.asText())
+      case _ => None
+    }
+
+  private def lessThan(a: Either[Double, String], b: Either[Double, String]): Boolean =
+    (a, b) match {
+      case (Left(x), Left(y)) => x < y
+      case (Right(x), Right(y)) => x < y
+      case _ => false
+    }
+
+  /** The live files that can POSSIBLY hold a row with
+    * `lower <= column <= upper` — Delta's data skipping, over the
+    * `add.stats` min/max this writer records from parquet footers (a
+    * file missing stats for the column is conservatively kept). When
+    * `column` is a PARTITION column, its `partitionValues` prune
+    * instead. Public so specs and planners can measure the skip rate.
+    */
+  def rangePruneFiles(
+      snap: Snapshot, column: String, lower: Any, upper: Any): Seq[DeltaFile] = {
+    val dtOpt =
+      snap.schema.flatMap(_.find(_.name == column)).map(_.dataType)
+    dtOpt match {
+      case None => snap.files
+      case Some(dt) =>
+        (comparable(dt, lower), comparable(dt, upper)) match {
+          case (Some(lo), Some(hi)) =>
+            if (snap.partitionColumns.contains(column)) {
+              snap.files.filter { f =>
+                f.partitionValues.get(column).flatMap(Option(_))
+                  .flatMap(v => comparable(dt, v).orElse(
+                    scala.util.Try(v.toDouble).toOption.map(d => Left(d): Either[Double, String])))
+                match {
+                  case Some(v) => !(lessThan(v, lo) || lessThan(hi, v))
+                  case None => true
+                }
+              }
+            } else snap.files.filter { f =>
+              val range = f.stats.flatMap { s =>
+                scala.util.Try {
+                  val node = mapper.readTree(s)
+                  for {
+                    mnN <- Option(node.get("minValues")).flatMap(m => Option(m.get(column)))
+                    mxN <- Option(node.get("maxValues")).flatMap(m => Option(m.get(column)))
+                    mn <- jsonComparable(dt, mnN)
+                    mx <- jsonComparable(dt, mxN)
+                  } yield (mn, mx)
+                }.toOption.flatten
+              }
+              range match {
+                case Some((mn, mx)) => !(lessThan(mx, lo) || lessThan(hi, mn))
+                case None => true // no usable stats: cannot skip
+              }
+            }
+          case _ => snap.files
+        }
+    }
+  }
+
+  /** Range read with DATA SKIPPING: files whose stats prove no row can
+    * match are never opened; the surviving files scan with the range
+    * predicate applied (the result is exact regardless of how sharp
+    * the skip was). With files z-order-clustered by
+    * [[compact]]`(zorderBy = ...)`, the skip rate on either clustered
+    * column approaches the selectivity itself — the reason OPTIMIZE
+    * ZORDER exists.
+    */
+  def readRange(
+      spark: SparkSession, tablePath: String, column: String,
+      lower: Any, upper: Any, versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, versionAsOf)
+    require(snap.columnMappingMode == "none",
+      "DeltaLog: readRange over a column-mapped table is not supported")
+    val declared = snap.schema.getOrElse(throw new IllegalArgumentException(
+      s"DeltaLog: readRange needs a parseable metaData.schemaString at $tablePath"))
+    require(declared.fieldNames.contains(column),
+      s"DeltaLog: readRange column '$column' not in the table schema")
+    val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
+    val kept = rangePruneFiles(snap, column, lower, upper)
+    if (kept.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    val pruned = snap.copy(files = kept)
+    val base =
+      if (kept.exists(_.dv.isDefined)) readWithDv(spark, tablePath, pruned)
+      else readSnapshotFiles(spark, tablePath, pruned, kept, addFileColumn = false)
+        .select(declared.fieldNames.map(col).toSeq: _*)
+    base.filter(pred)
+  }
+
   private def writeAtomic(fs: FileSystem, target: Path, bytes: Array[Byte], overwrite: Boolean): Unit = {
     val out = fs.create(target, overwrite)
     try out.write(bytes) finally out.close()
@@ -725,6 +853,7 @@ object DeltaLog {
         coalesce(col("add_size"), lit(0L)).as("size"),
         lit(0L).as("modificationTime"),
         lit(true).as("dataChange"),
+        col("add_stats").as("stats"),
         // live deletion vectors survive checkpointing — dropping the
         // descriptor would RESURRECT every DV-deleted row after cleanup
         when(col("dv_storage").isNotNull, struct(
@@ -929,6 +1058,8 @@ object DeltaLog {
         a.put("size", len)
         a.put("modificationTime", mtime)
         a.put("dataChange", true)
+        // real footer-derived column stats — the skipping index
+        statsJson(fs, table, name).foreach(s => a.put("stats", s))
       }
     }
 
@@ -1244,6 +1375,9 @@ object DeltaLog {
         a.put("size", f.size)
         a.put("modificationTime", System.currentTimeMillis())
         a.put("dataChange", true)
+        // the physical file is unchanged: its stats stay valid as
+        // NON-tight bounds (some stat-counted rows are now DV-dead)
+        f.stats.foreach(s => a.put("stats", s))
         val dv = a.putObject("deletionVector")
         dv.put("storageType", d.storageType)
         dv.put("pathOrInlineDv", d.pathOrInlineDv)
@@ -1289,6 +1423,7 @@ object DeltaLog {
         a.put("size", len)
         a.put("modificationTime", mtime)
         a.put("dataChange", true)
+        statsJson(fs, new Path(tablePath), rel).foreach(s => a.put("stats", s))
       }
     }
     val txnLines = txn.toSeq.map { case (appId, epoch) =>
@@ -1303,6 +1438,114 @@ object DeltaLog {
     if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
       writeCheckpoint(spark, tablePath)
     version
+  }
+
+  /** Resolve `timestampAsOf` (epoch millis) to a version — Delta's
+    * own rule: the LATEST commit whose commit timestamp (the log
+    * file's modification time) is <= the asked instant. Commits
+    * cleaned up behind a checkpoint can't be timestamp-resolved and
+    * refuse loudly (their mtimes are gone with them).
+    */
+  def versionAtTimestamp(spark: SparkSession, tablePath: String, tsMillis: Long): Long = {
+    val logDir = logDirOf(tablePath)
+    val fs = fsOf(spark, logDir)
+    val log = listLog(spark, tablePath)
+    require(log.jsons.nonEmpty, s"DeltaLog: no JSON commits to timestamp-resolve under $tablePath")
+    val stamped = log.jsons.toSeq.map { case (v, p) =>
+      (v, fs.getFileStatus(new Path(p)).getModificationTime)
+    }.sortBy(_._1)
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"DeltaLog: no commit at or before timestamp $tsMillis " +
+        s"(earliest surviving commit is version ${stamped.head._1} at ${stamped.head._2})")
+    eligible.last._1
+  }
+
+  /** Time travel by WALL CLOCK: resolve the timestamp to a version,
+    * then read that snapshot.
+    */
+  def readAsOfTimestamp(spark: SparkSession, tablePath: String, tsMillis: Long): DataFrame =
+    read(spark, tablePath, Some(versionAtTimestamp(spark, tablePath, tsMillis)))
+
+  /** RESTORE the table to `version` as a NEW commit (Delta's RESTORE
+    * TABLE ... TO VERSION AS OF): files added since the target version
+    * are removed, files removed since then are re-added with their
+    * original partitionValues/size/stats/DV descriptors, and — when
+    * the schema evolved in between — the target's metaData action is
+    * re-emitted so readers see the restored shape. History is
+    * PRESERVED: the restore is one more transaction, and time travel
+    * to the pre-restore state still works. Refuses if any file the
+    * target needs was vacuumed away. Returns the committed version
+    * (-1 when the restore is a no-op).
+    */
+  def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val logDir = logDirOf(tablePath)
+    require(fs.exists(logDir), s"not a Delta table: no _delta_log under $tablePath")
+    val current = snapshot(spark, tablePath, None)
+    val target = snapshot(spark, tablePath, Some(version))
+    val currentByPath = current.files.map(f => f.path -> f).toMap
+    val targetByPath = target.files.map(f => f.path -> f).toMap
+    val toRemove = current.files.filterNot(f => targetByPath.contains(f.path))
+    val toAdd = target.files.filterNot(f => currentByPath.contains(f.path))
+    val metaChanged = target.schemaString != current.schemaString ||
+      target.partitionColumns != current.partitionColumns
+    if (toRemove.isEmpty && toAdd.isEmpty && !metaChanged) return -1L
+    // every file the restored snapshot references must still exist —
+    // a vacuum beyond the target's horizon makes the restore impossible
+    val missing = toAdd.filterNot(f => fs.exists(new Path(resolve(tablePath, f.path)))) ++
+      toAdd.filter(_.dv.exists(d => (d.storageType == "u" || d.storageType == "p") &&
+        !fs.exists(d.absolutePath(tablePath))))
+    require(missing.isEmpty,
+      s"DeltaLog: restore to version $version impossible — " +
+        s"${missing.size} file(s) vacuumed away (first: ${missing.headOption.map(_.path).getOrElse("")})")
+    val metaLines = if (!metaChanged) Seq.empty else Seq(
+      actionLineStatic { root =>
+        val m = root.putObject("metaData")
+        m.put("id", current.metaId.orElse(target.metaId).getOrElse("graft"))
+        val f = m.putObject("format"); f.put("provider", "parquet"); f.putObject("options")
+        m.put("schemaString", target.schemaString.getOrElse(""))
+        val pc = m.putArray("partitionColumns")
+        target.partitionColumns.foreach(pc.add)
+        val conf = m.putObject("configuration")
+        target.configuration.foreach { case (k, v) => conf.put(k, v) }
+      })
+    val removeLines = toRemove.map { f =>
+      actionLineStatic { root =>
+        val r = root.putObject("remove")
+        r.put("path", f.path)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", true)
+      }
+    }
+    val addLines = toAdd.map { f =>
+      actionLineStatic { root =>
+        val a = root.putObject("add")
+        a.put("path", f.path) // verbatim: it IS the original add's identity
+        val pv = a.putObject("partitionValues")
+        target.partitionColumns.foreach { c =>
+          f.partitionValues.get(c).flatMap(Option(_)) match {
+            case Some(v) => pv.put(c, v)
+            case None => pv.putNull(c)
+          }
+        }
+        a.put("size", f.size)
+        a.put("modificationTime", System.currentTimeMillis())
+        a.put("dataChange", true)
+        f.stats.foreach(s => a.put("stats", s))
+        f.dv.foreach { d =>
+          val dv = a.putObject("deletionVector")
+          dv.put("storageType", d.storageType)
+          dv.put("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(o => dv.put("offset", o))
+          dv.put("sizeInBytes", d.sizeInBytes)
+          dv.put("cardinality", d.cardinality)
+        }
+      }
+    }
+    commitActions(fs, logDir, tablePath,
+      _ => metaLines ++ removeLines ++ addLines)
   }
 
   /** Stage `df` through a `_commit_stage_*` dir and move its part
@@ -1326,6 +1569,103 @@ object DeltaLog {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }
+
+  /** The protocol's `add.stats` JSON (numRecords, minValues, maxValues,
+    * nullCount), computed from the just-moved file's parquet FOOTER —
+    * real column-chunk statistics, no data re-read. Only top-level
+    * primitives with footer stats in every chunk are indexed (a column
+    * any chunk lacks stats for is simply not skippable); dates render
+    * as ISO days and timestamps as ISO instants, the forms Delta's own
+    * stats carry. A footer that can't be read yields no stats rather
+    * than a failed commit.
+    */
+  private def statsJson(fs: FileSystem, table: Path, rel: String): Option[String] =
+    try {
+      val p = new Path(table, rel)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(fs.getFileStatus(p), fs.getConf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks.asScala.toSeq
+        val numRecords = blocks.map(_.getRowCount).sum
+        val root = mapper.createObjectNode()
+        root.put("numRecords", numRecords)
+        val minVals = root.putObject("minValues")
+        val maxVals = root.putObject("maxValues")
+        val nullCnt = root.putObject("nullCount")
+        val fields = footer.getFileMetaData.getSchema.getFields.asScala.toSeq
+        fields.filter(_.isPrimitive).foreach { f =>
+          val name = f.getName
+          val prim = f.asPrimitiveType()
+          val chunks = blocks.flatMap(_.getColumns.asScala.find(
+            _.getPath.toDotString == name))
+          val stats = chunks.map(_.getStatistics)
+          val usable = chunks.nonEmpty && stats.forall(s =>
+            s != null && !s.isEmpty && s.isNumNullsSet)
+          if (usable) {
+            nullCnt.put(name, stats.map(_.getNumNulls).sum)
+            val nonNull = stats.filter(_.hasNonNullValue)
+            if (nonNull.nonEmpty) {
+              // JSON forms per the stats schema; a column whose
+              // physical/logical pair we don't index is left out
+              val annot = prim.getLogicalTypeAnnotation
+              (prim.getPrimitiveTypeName, annot) match {
+                case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                  val mn = nonNull.map(_.genericGetMin.asInstanceOf[Integer].intValue).min
+                  val mx = nonNull.map(_.genericGetMax.asInstanceOf[Integer].intValue).max
+                  minVals.put(name, java.time.LocalDate.ofEpochDay(mn.toLong).toString)
+                  maxVals.put(name, java.time.LocalDate.ofEpochDay(mx.toLong).toString)
+                case (INT32, _) =>
+                  minVals.put(name, nonNull.map(_.genericGetMin.asInstanceOf[Integer].intValue).min)
+                  maxVals.put(name, nonNull.map(_.genericGetMax.asInstanceOf[Integer].intValue).max)
+                case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                  val unit = t.getUnit
+                  def toInstant(v: Long): String = {
+                    val micros = unit match {
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+                      case LogicalTypeAnnotation.TimeUnit.MICROS => v
+                      case LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+                    }
+                    java.time.Instant.ofEpochSecond(
+                      Math.floorDiv(micros, 1000000L),
+                      Math.floorMod(micros, 1000000L) * 1000L).toString
+                  }
+                  minVals.put(name, toInstant(nonNull.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min))
+                  maxVals.put(name, toInstant(nonNull.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
+                case (INT64, _) =>
+                  minVals.put(name, nonNull.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min)
+                  maxVals.put(name, nonNull.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+                case (DOUBLE, _) =>
+                  val mins = nonNull.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue)
+                  val maxs = nonNull.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
+                  if (!mins.exists(_.isNaN) && !maxs.exists(_.isNaN)) {
+                    minVals.put(name, mins.min); maxVals.put(name, maxs.max)
+                  }
+                case (FLOAT, _) =>
+                  val mins = nonNull.map(_.genericGetMin.asInstanceOf[java.lang.Float].floatValue)
+                  val maxs = nonNull.map(_.genericGetMax.asInstanceOf[java.lang.Float].floatValue)
+                  if (!mins.exists(_.isNaN) && !maxs.exists(_.isNaN)) {
+                    minVals.put(name, mins.min); maxVals.put(name, maxs.max)
+                  }
+                case (BOOLEAN, _) =>
+                  minVals.put(name, nonNull.map(_.genericGetMin.asInstanceOf[java.lang.Boolean].booleanValue).min)
+                  maxVals.put(name, nonNull.map(_.genericGetMax.asInstanceOf[java.lang.Boolean].booleanValue).max)
+                case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                  minVals.put(name, nonNull.map(
+                    _.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min)
+                  maxVals.put(name, nonNull.map(
+                    _.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max)
+                case _ => () // INT96 / decimals / raw binary: not indexed
+              }
+            }
+          }
+        }
+        Some(mapper.writeValueAsString(root))
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def stageAndMove(
       fs: FileSystem, table: Path, df: DataFrame,
@@ -1446,7 +1786,8 @@ object DeltaLog {
     */
   def compact(
       spark: SparkSession, tablePath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty): Long = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = logDirOf(tablePath)
@@ -1457,6 +1798,18 @@ object DeltaLog {
     require(snap.files.forall(_.dv.isEmpty),
       "DeltaLog: compaction of files carrying deletion vectors is not supported — " +
         "the bin-pack scan would resurrect DV-deleted rows")
+    require(zorderBy.size <= 2,
+      "DeltaLog: zorderBy takes one column (range clustering) or two (z-interleave)")
+    zorderBy.foreach { c =>
+      require(snap.schema.exists(_.fieldNames.contains(c)) &&
+        !snap.partitionColumns.contains(c),
+        s"DeltaLog: zorderBy column '$c' must be a non-partition data column")
+      if (zorderBy.size == 2) {
+        val dt = snap.schema.get(c).dataType
+        require(dt == LongType || dt == IntegerType,
+          s"DeltaLog: two-column z-ordering needs integral columns, '$c' is ${dt.simpleString}")
+      }
+    }
     val dataSchema = snap.schema.map(s =>
       StructType(s.filterNot(f => snap.partitionColumns.contains(f.name))))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
@@ -1466,14 +1819,36 @@ object DeltaLog {
     snap.files.groupBy(_.partitionValues).toSeq
       .sortBy { case (pv, _) => snap.partitionColumns.map(c => pv.getOrElse(c, "")).mkString(" ") }
       .foreach { case (pvals, files) =>
-        val small = files.filter(_.size < targetFileBytes)
-        if (small.size >= 2) {
+        // z-order is a CLUSTERING rewrite: every file in the partition
+        // participates so the result is globally range-disjoint; plain
+        // bin-packing only touches the small files
+        val small =
+          if (zorderBy.nonEmpty) files
+          else files.filter(_.size < targetFileBytes)
+        if (small.size >= (if (zorderBy.nonEmpty) 1 else 2)) {
           val paths = small.map(f => resolve(tablePath, f.path))
           val total = small.map(_.size).sum
           val nOut = math.max(1, ((total + targetFileBytes - 1) / targetFileBytes).toInt)
           val stage = new Path(table, s"_compact_stage_${stamp}_$group")
           val reader = dataSchema.fold(spark.read)(s => spark.read.schema(s))
-          reader.parquet(paths: _*).coalesce(nOut).write.parquet(stage.toString)
+          val base = reader.parquet(paths: _*)
+          val rewritten = zorderBy match {
+            case Seq() => base.coalesce(nOut)
+            case Seq(a) =>
+              // single column: plain range clustering (z of one dim)
+              base.repartitionByRange(nOut, col(a)).sortWithinPartitions(col(a))
+            case Seq(a, b) =>
+              // interleave the two keys so every output file covers a
+              // small rectangle in (a, b) space — min/max stay tight
+              // on BOTH columns, and readRange skips on either
+              val z = graft.ext.ZOrder.zValue(
+                col(a).cast(LongType), col(b).cast(LongType), 31)
+              base.withColumn("__z", z)
+                .repartitionByRange(nOut, col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+          }
+          rewritten.write.parquet(stage.toString)
           val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq
             .map(_.getPath).sortBy(_.toString)
           // keep the partition's directory prefix so the layout stays
@@ -1521,6 +1896,7 @@ object DeltaLog {
         a.put("size", len)
         a.put("modificationTime", mtime)
         a.put("dataChange", false)
+        statsJson(fs, table, rel).foreach(s => a.put("stats", s))
       }
     }
     commitActions(fs, logDir, tablePath, _ => removeLines ++ addLines)

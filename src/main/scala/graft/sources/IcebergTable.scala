@@ -80,7 +80,8 @@ object IcebergTable {
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"}
+      |    {"name":"file_size_in_bytes","type":"long"},
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
       |  ]}}
       |]}""".stripMargin)
 
@@ -229,10 +230,15 @@ object IcebergTable {
     */
   final case class DataFileRef(path: String, sequence: Long, partition: Map[String, String])
 
-  /** One position-delete file with the sequence number that gates
-    * which data files it applies to (`deleteSeq >= dataSeq`).
+  /** One delete file with the sequence number that gates which data
+    * files it applies to: POSITION deletes (`equalityColumns` empty)
+    * apply when `deleteSeq >= dataSeq`, EQUALITY deletes (the named
+    * columns, resolved from the manifest's `equality_ids`) when
+    * `deleteSeq > dataSeq` — the spec's strict/inclusive asymmetry.
     */
-  final case class DeleteFileRef(path: String, sequence: Long, records: Long = 0L)
+  final case class DeleteFileRef(
+      path: String, sequence: Long, records: Long = 0L,
+      equalityColumns: Seq[String] = Seq.empty)
 
   final case class Snapshot(
       snapshotId: Long, files: Seq[String], schema: StructType,
@@ -262,20 +268,34 @@ object IcebergTable {
     }
   }
 
-  /** The current schema: v2's `schemas` + `current-schema-id` pair
-    * when present, v1's inline `schema` otherwise.
+  /** The current schema NODE: v2's `schemas` + `current-schema-id`
+    * pair when present, v1's inline `schema` otherwise.
     */
-  private def currentSchema(meta: com.fasterxml.jackson.databind.JsonNode): StructType = {
+  private def currentSchemaNode(
+      meta: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode = {
     val schemas = meta.get("schemas")
     if (schemas != null && schemas.isArray && schemas.size() > 0) {
       val wantId =
         if (meta.has("current-schema-id")) meta.get("current-schema-id").asInt() else 0
-      val node = (0 until schemas.size()).map(schemas.get)
+      (0 until schemas.size()).map(schemas.get)
         .find(s => !s.has("schema-id") || s.get("schema-id").asInt() == wantId)
         .getOrElse(throw new IllegalArgumentException(
           s"IcebergTable: current-schema-id $wantId not found in schemas"))
-      parseSchema(node)
-    } else parseSchema(meta.get("schema"))
+    } else meta.get("schema")
+  }
+
+  private def currentSchema(meta: com.fasterxml.jackson.databind.JsonNode): StructType =
+    parseSchema(currentSchemaNode(meta))
+
+  /** field id -> column name, from the current schema node (equality
+    * delete manifests reference columns by FIELD ID).
+    */
+  private def fieldIdToName(
+      meta: com.fasterxml.jackson.databind.JsonNode): Map[Int, String] = {
+    val fields = currentSchemaNode(meta).get("fields")
+    if (fields == null || !fields.isArray) Map.empty
+    else (0 until fields.size()).map(fields.get)
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
   }
 
   def snapshot(
@@ -310,9 +330,10 @@ object IcebergTable {
         recOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
         recOpt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
     }
-    // (path, status, tuple, dataSeq) / (path, status, deleteSeq, recs)
+    val idToName = fieldIdToName(meta)
+    // (path, status, tuple, dataSeq) / (path, status, deleteSeq, recs, eqCols)
     val dataEntries = Seq.newBuilder[(String, Int, Map[String, String], Long)]
-    val deleteEntries = Seq.newBuilder[(String, Int, Long, Long)]
+    val deleteEntries = Seq.newBuilder[(String, Int, Long, Long, Seq[String])]
     manifests.foreach { case (mp, mContent, mSeq) =>
       readAvro(fs, new Path(mp), conf).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
@@ -327,13 +348,27 @@ object IcebergTable {
         // v2 file content: 0 data, 1 position deletes, 2 EQUALITY deletes
         val fContent: Int = recOpt(df, "content").map(_.asInstanceOf[Int])
           .getOrElse(if (mContent == 1) 1 else 0)
-        require(fContent != 2,
-          "IcebergTable: equality delete files are not supported — refusing " +
-            "rather than resurrecting deleted rows")
         val path = df.get("file_path").toString
-        if (fContent == 1) {
+        if (fContent == 2) {
+          // equality delete: tombstones by COLUMN VALUES, columns named
+          // via field ids; an id we can't resolve would silently
+          // resurrect rows — refuse instead
+          val ids: Seq[Int] = recOpt(df, "equality_ids") match {
+            case Some(l: java.util.List[_]) =>
+              import scala.jdk.CollectionConverters._
+              l.asScala.toSeq.map(_.asInstanceOf[Number].intValue)
+            case _ => Seq.empty
+          }
+          require(ids.nonEmpty,
+            s"IcebergTable: equality delete file $path carries no equality_ids")
+          val cols = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"IcebergTable: equality delete field id $id not in the current schema")))
           val recs = recOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L)
-          deleteEntries += ((path, status, entrySeq, recs))
+          deleteEntries += ((path, status, entrySeq, recs, cols))
+        } else if (fContent == 1) {
+          val recs = recOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L)
+          deleteEntries += ((path, status, entrySeq, recs, Seq.empty))
         } else {
           val tuple: Map[String, String] =
             if (df.getSchema.getField("partition") == null) Map.empty
@@ -356,9 +391,10 @@ object IcebergTable {
     val live = dataSeq.collect {
       case (p, s, t, q) if s != 2 && !deadData(p) => (p, t, q)
     }.distinctBy(_._1)
-    val deadDel = delSeq.collect { case (p, 2, _, _) => p }.toSet
+    val deadDel = delSeq.collect { case (p, 2, _, _, _) => p }.toSet
     val liveDel = delSeq.collect {
-      case (p, s, q, recs) if s != 2 && !deadDel(p) => DeleteFileRef(p, q, recs)
+      case (p, s, q, recs, eqCols) if s != 2 && !deadDel(p) =>
+        DeleteFileRef(p, q, recs, eqCols)
     }.distinctBy(_.path)
     Snapshot(wantId, live.map(_._1), schema, pcols, live.map(_._2),
       live.map { case (p, t, q) => DataFileRef(p, q, t) }, liveDel, fv)
@@ -408,29 +444,51 @@ object IcebergTable {
   private def readWithPositionDeletes(
       spark: SparkSession, snap: Snapshot, refs: Seq[DataFileRef]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    def fits(dels: Seq[DeleteFileRef]): Boolean =
+      dels.map(_.records).forall(_ > 0L) && dels.map(_.records).sum <= 4000000L
+    // group data files by the delete sets that apply to them: position
+    // deletes gate on deleteSeq >= dataSeq, equality deletes STRICTLY
+    // on deleteSeq > dataSeq (the spec's asymmetry — an equality
+    // delete never affects rows committed in its own sequence)
     val groups = refs
-      .groupBy(r => snap.deleteFiles.filter(_.sequence >= r.sequence).map(_.path).sorted)
-      .toSeq.sortBy(_._2.head.path)
-    val branches = groups.map { case (delPaths, files) =>
-      val scan = spark.read.schema(snap.schema).parquet(files.map(_.path): _*)
-      if (delPaths.isEmpty) scan
-      else {
-        val withMeta = scan.select(col("*"),
-          DeltaLog.normalizedFileId(col("_metadata.file_path")).as("__fid"),
-          col("_metadata.row_index").as("__pos"))
-        val dels0 = spark.read.parquet(delPaths: _*)
-          .select(DeltaLog.normalizedFileId(col("file_path")).as("__dfid"),
-            col("pos").cast(LongType).as("__dpos"))
-        // manifests declare record_count per delete file (required in
-        // v2) — broadcast when the tombstone set provably fits
-        val declared = snap.deleteFiles.filter(d => delPaths.contains(d.path)).map(_.records)
-        val dels =
-          if (declared.forall(_ > 0L) && declared.sum <= 4000000L) broadcast(dels0) else dels0
-        val joined = withMeta.join(dels,
-          withMeta("__fid") === dels("__dfid") && withMeta("__pos") === dels("__dpos"),
-          "left_anti")
-        joined.drop("__fid", "__pos")
+      .groupBy { r =>
+        (snap.deleteFiles.filter(d => d.equalityColumns.isEmpty && d.sequence >= r.sequence)
+          .map(_.path).sorted,
+          snap.deleteFiles.filter(d => d.equalityColumns.nonEmpty && d.sequence > r.sequence)
+            .map(_.path).sorted)
       }
+      .toSeq.sortBy(_._2.head.path)
+    val branches = groups.map { case ((posPaths, eqPaths), files) =>
+      val scan = spark.read.schema(snap.schema).parquet(files.map(_.path): _*)
+      val afterPos =
+        if (posPaths.isEmpty) scan
+        else {
+          val withMeta = scan.select(col("*"),
+            DeltaLog.normalizedFileId(col("_metadata.file_path")).as("__fid"),
+            col("_metadata.row_index").as("__pos"))
+          val dels0 = spark.read.parquet(posPaths: _*)
+            .select(DeltaLog.normalizedFileId(col("file_path")).as("__dfid"),
+              col("pos").cast(LongType).as("__dpos"))
+          // manifests declare record_count per delete file (required
+          // in v2) — broadcast when the tombstone set provably fits
+          val posRefs = snap.deleteFiles.filter(d => posPaths.contains(d.path))
+          val dels = if (fits(posRefs)) broadcast(dels0) else dels0
+          withMeta.join(dels,
+            withMeta("__fid") === dels("__dfid") && withMeta("__pos") === dels("__dpos"),
+            "left_anti").drop("__fid", "__pos")
+        }
+      // equality deletes anti-join on the named columns, null-safe
+      // (Iceberg equality matching treats NULL = NULL), one join per
+      // distinct column set
+      val eqRefs = snap.deleteFiles.filter(d => eqPaths.contains(d.path))
+      eqRefs.groupBy(_.equalityColumns).toSeq.sortBy(_._2.head.path)
+        .foldLeft(afterPos) { case (acc, (cols, dfiles)) =>
+          val dels0 = spark.read.parquet(dfiles.map(_.path): _*).select(
+            cols.map(c => col(c).as(s"__eq_$c")): _*).distinct()
+          val dels = if (fits(dfiles)) broadcast(dels0) else dels0
+          val cond = cols.map(c => acc(c) <=> dels(s"__eq_$c")).reduce(_ && _)
+          acc.join(dels, cond, "left_anti")
+        }
     }
     branches.reduce(_.unionByName(_))
   }
@@ -726,17 +784,19 @@ object IcebergTable {
     require(snap.partitionColumns.isEmpty,
       "IcebergTable: deleteRows on a partitioned table is not supported — the " +
         "delete manifest would need matching partition tuples")
-    // live-row scan WITH existing position deletes applied, so a
-    // predicate matching only already-dead rows is a no-op, plus the
-    // row provenance the delete file needs
+    // live-row scan WITH existing POSITION deletes applied, so a
+    // predicate matching only position-dead rows is a no-op, plus the
+    // row provenance the delete file needs (rows dead under EQUALITY
+    // deletes may be re-tombstoned by position — idempotent on read)
     val scanned = {
       val base = spark.read.schema(snap.schema).parquet(snap.files: _*)
         .select(col("*"),
           DeltaLog.normalizedFileId(col("_metadata.file_path")).as("__fid"),
           col("_metadata.row_index").as("__pos"))
-      if (snap.deleteFiles.isEmpty) base
+      val posDels = snap.deleteFiles.filter(_.equalityColumns.isEmpty)
+      if (posDels.isEmpty) base
       else {
-        val dels = spark.read.parquet(snap.deleteFiles.map(_.path): _*)
+        val dels = spark.read.parquet(posDels.map(_.path): _*)
           .select(DeltaLog.normalizedFileId(col("file_path")).as("__dfid"),
             col("pos").cast(LongType).as("__dpos"))
         base.join(dels,
@@ -770,7 +830,73 @@ object IcebergTable {
     }
     fs.delete(stage, true)
     if (moved.isEmpty) return -1L
+    publishDeleteSnapshot(fs, conf, tablePath, meta, prevVersion, moved,
+      content = 1, equalityIds = Seq.empty)
+  }
 
+  /** DELETE rows via v2 EQUALITY DELETES: tombstone every row whose
+    * `keys` tuple appears in `keysDf` — no scan of the table at all
+    * (the write cost is the KEY SET, not the data), which is why
+    * streaming CDC writers use this shape. The delete file holds the
+    * distinct key tuples; the manifest entry carries `content = 2` and
+    * the keys' field ids; applicability is STRICTLY
+    * `dataSeq < deleteSeq`, so rows (re-)inserted at or after the
+    * delete's sequence number survive even when their keys match.
+    * Same unpartitioned-only guard as [[deleteRows]]. Returns the new
+    * snapshot id.
+    */
+  def deleteRowsEquality(
+      spark: SparkSession, tablePath: String, keys: Seq[String],
+      keysDf: DataFrame): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val metaPath = currentMetadataPath(fs, tablePath)
+    val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(fs, metaPath)
+    val snap = snapshot(spark, tablePath, None)
+    require(snap.partitionColumns.isEmpty,
+      "IcebergTable: deleteRowsEquality on a partitioned table is not supported")
+    require(keys.nonEmpty && keys.forall(snap.schema.fieldNames.contains),
+      s"IcebergTable: equality keys [${keys.mkString(",")}] not all in the table schema")
+    require(keysDf.schema.fieldNames.toSeq == keys,
+      s"IcebergTable: keysDf columns ${keysDf.schema.fieldNames.mkString(",")} " +
+        s"must be exactly the keys [${keys.mkString(",")}]")
+    val nameToId = fieldIdToName(meta).map(_.swap)
+    val ids = keys.map(k => nameToId.getOrElse(k, throw new IllegalArgumentException(
+      s"IcebergTable: no field id for equality key '$k'")))
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(table, s"_ice_stage_eqdel_$stamp")
+    keysDf.distinct().orderBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.parquet(stage.toString)
+    val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq
+      .map(_.getPath).sortBy(_.toString)
+    val moved: Seq[(String, Long, Long)] = parts.zipWithIndex.flatMap { case (p, i) =>
+      val n = parquetRowCount(fs, p)
+      if (n == 0) None
+      else {
+        val dest = new Path(table, s"data/eqdelete-$stamp-$i.parquet")
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
+        Some((fs.makeQualified(dest).toString, fs.getFileStatus(dest).getLen, n))
+      }
+    }
+    fs.delete(stage, true)
+    if (moved.isEmpty) return -1L
+    publishDeleteSnapshot(fs, conf, tablePath, meta, prevVersion, moved,
+      content = 2, equalityIds = ids)
+  }
+
+  /** Shared publish tail of [[deleteRows]] and [[deleteRowsEquality]]:
+    * the delete manifest, the v2 manifest list carrying the current
+    * snapshot's manifests forward, and the upgraded metadata JSON.
+    */
+  private def publishDeleteSnapshot(
+      fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+      tablePath: String, meta: com.fasterxml.jackson.databind.JsonNode,
+      prevVersion: Long, moved: Seq[(String, Long, Long)],
+      content: Int, equalityIds: Seq[Int]): Long = {
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
     val newSeq =
       (if (meta.has("last-sequence-number")) meta.get("last-sequence-number").asLong() else 0L) + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
@@ -780,11 +906,19 @@ object IcebergTable {
       e.put("snapshot_id", snapshotId)
       e.put("sequence_number", newSeq)
       val d = new GenericData.Record(DeleteManifestEntrySchema.getField("data_file").schema())
-      d.put("content", 1) // POSITION DELETES
+      d.put("content", content)
       d.put("file_path", path)
       d.put("file_format", "PARQUET")
       d.put("record_count", n)
       d.put("file_size_in_bytes", len)
+      if (equalityIds.nonEmpty) {
+        val arr = new GenericData.Array[Integer](
+          equalityIds.size,
+          DeleteManifestEntrySchema.getField("data_file").schema()
+            .getField("equality_ids").schema().getTypes.get(1))
+        equalityIds.foreach(id => arr.add(Integer.valueOf(id)))
+        d.put("equality_ids", arr)
+      }
       e.put("data_file", d)
       e
     }

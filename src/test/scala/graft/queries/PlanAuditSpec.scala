@@ -66,6 +66,16 @@ class PlanAuditSpec extends SparkSpec {
       s"partition filter should prune files: read $filesRead of $totalLive")
   }
 
+  test("s33_delta_dv: deleted positions arrive as a BROADCAST anti-join, no table shuffle") {
+    val p = plan("s33_delta_dv")
+    // the DV tombstones (cardinality declared by the descriptors) must
+    // broadcast into the scan stage — a sort-merge anti-join would
+    // shuffle the whole table to drop a handful of rows
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV filter must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no table-wide shuffle for the DV filter:\n$p")
+  }
+
   test("x_containment: df-capped pair generation — no cartesian product, no window") {
     val p = plan("x_containment")
     assert(!p.contains("CartesianProduct"), p)

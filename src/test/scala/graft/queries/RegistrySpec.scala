@@ -31,6 +31,7 @@ class RegistrySpec extends AnyFunSuite {
     "s27_iceberg_scan", "s28_iceberg_time_travel", "s29_avro_roundtrip",
     "s29b_avro_logical", "s30_delta_merge", "s31_delta_delete",
     "s32_iceberg_partitioned", "s33_delta_dv", "s34_iceberg_v2_delete",
+    "s35_delta_zorder", "s36_delta_restore", "s37_iceberg_eq_delete",
     "s3_malformed_scan",
     "s3_scan_project", "s7_partitioned_write", "set1_except", "set2_union",
     "set3_union_by_name", "w1_surrogate_key", "w1_surrogate_key_scalable",

@@ -689,6 +689,150 @@ class DeltaLogSpec extends SparkSpec {
       Seq(0L, 2L, 4L, 5L))
   }
 
+  test("append records footer-true add.stats; readRange skips by them") {
+    import spark.implicits._
+    val t = newTable()
+    // three files with DISJOINT id ranges and a null-bearing column
+    DeltaLog.append(spark, t,
+      Seq((1L, Some(1.0), "a"), (10L, None, "b")).toDF("id", "v", "tag").coalesce(1))
+    DeltaLog.append(spark, t,
+      Seq((100L, Some(2.5), "c")).toDF("id", "v", "tag").coalesce(1))
+    DeltaLog.append(spark, t,
+      Seq((1000L, Some(-3.5), "d")).toDF("id", "v", "tag").coalesce(1))
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.forall(_.stats.isDefined), "every add carries stats")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val first = snap.files.flatMap(_.stats).map(mapper.readTree)
+      .find(_.get("numRecords").asLong() == 2L).get
+    assert(first.get("minValues").get("id").asLong() == 1L)
+    assert(first.get("maxValues").get("id").asLong() == 10L)
+    assert(first.get("minValues").get("v").asDouble() == 1.0)
+    assert(first.get("nullCount").get("v").asLong() == 1L)
+    assert(first.get("minValues").get("tag").asText() == "a")
+    // skipping: the [90, 200] range can only live in file 2
+    assert(DeltaLog.rangePruneFiles(snap, "id", 90L, 200L).size == 1)
+    assert(DeltaLog.rangePruneFiles(snap, "id", 0L, 5000L).size == 3)
+    assert(DeltaLog.rangePruneFiles(snap, "id", 2000L, 9000L).isEmpty)
+    val got = DeltaLog.readRange(spark, t, "id", 90L, 200L).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(100L))
+    // a fully-skipped range returns EMPTY with the declared schema
+    val none = DeltaLog.readRange(spark, t, "id", 2000L, 9000L)
+    assert(none.isEmpty && none.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    // string-typed skipping works off the footer's UTF8 min/max
+    assert(DeltaLog.readRange(spark, t, "tag", "c", "cz").collect()
+      .map(_.getString(2)).toSeq == Seq("c"))
+    // stats survive checkpoint compaction
+    DeltaLog.writeCheckpoint(spark, t)
+    (0L to 2L).foreach { v =>
+      Files.delete(Paths.get(s"$t/_delta_log/" + f"$v%020d.json"))
+    }
+    val snapCp = DeltaLog.snapshot(spark, t)
+    assert(snapCp.files.forall(_.stats.isDefined), "stats must survive the checkpoint")
+    assert(DeltaLog.rangePruneFiles(snapCp, "id", 90L, 200L).size == 1)
+  }
+
+  test("compact(zorderBy): files cluster into z-rectangles; either column skips") {
+    import spark.implicits._
+    val t = newTable()
+    // a SQUARE 32x32 key grid (equal bit-widths — the z-interleave's
+    // design point), scattered across 8 files
+    val df = spark.range(1024).select(
+      (col("id") % 32L).as("x"),
+      floor(col("id") / 32L).cast("long").as("y"),
+      col("id").as("payload"))
+    DeltaLog.append(spark, t, df.repartition(8))
+    val before = DeltaLog.snapshot(spark, t)
+    // scattered writes: an x-slice overlaps EVERY file
+    assert(DeltaLog.rangePruneFiles(before, "x", 16L, 31L).size == before.files.size)
+    DeltaLog.compact(spark, t, targetFileBytes = 4L * 1024, zorderBy = Seq("x", "y"))
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.files.size > 1, "clustering must yield several files for skipping to mean anything")
+    // top-half x slice: z bit 8 set -> the low-z files are skippable;
+    // bottom y slice: odd bits >= 3 clear -> the high-z files are
+    val keptX = DeltaLog.rangePruneFiles(after, "x", 16L, 31L)
+    val keptY = DeltaLog.rangePruneFiles(after, "y", 0L, 1L)
+    assert(keptX.size < after.files.size, s"x-slice must skip: ${keptX.size}/${after.files.size}")
+    assert(keptY.size < after.files.size, s"y-slice must skip: ${keptY.size}/${after.files.size}")
+    // results stay exact
+    assert(DeltaLog.readRange(spark, t, "x", 16L, 31L).count() == 512L)
+    assert(DeltaLog.readRange(spark, t, "y", 0L, 1L).count() == 64L)
+    // guards: 3 columns, partition columns, non-integral two-col z
+    intercept[IllegalArgumentException](
+      DeltaLog.compact(spark, t, zorderBy = Seq("x", "y", "payload")))
+    val t2 = newTable()
+    DeltaLog.append(spark, t2, Seq((1L, "a", 0.5)).toDF("id", "p", "w"), partitionBy = Seq("p"))
+    intercept[IllegalArgumentException](
+      DeltaLog.compact(spark, t2, zorderBy = Seq("p", "id")))
+    intercept[IllegalArgumentException](
+      DeltaLog.compact(spark, t2, zorderBy = Seq("id", "w")))
+  }
+
+  test("readRange prunes on PARTITION values when the column is a partition column") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t,
+      (1L to 12L).map(i => (i, (i % 4).toString, i * 2)).toDF("id", "p", "v")
+        .withColumn("bucket", col("id") % 4L).drop("p"),
+      partitionBy = Seq("bucket"))
+    val snap = DeltaLog.snapshot(spark, t)
+    val kept = DeltaLog.rangePruneFiles(snap, "bucket", 1L, 2L)
+    assert(kept.nonEmpty && kept.size < snap.files.size,
+      s"partition pruning via range: ${kept.size}/${snap.files.size}")
+    assert(DeltaLog.readRange(spark, t, "bucket", 1L, 2L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 12L).filter(i => i % 4 == 1 || i % 4 == 2))
+  }
+
+  test("restore: one new commit returns the table to an old version; history preserved") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, (1L to 4L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    DeltaLog.append(spark, t, (5L to 8L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    DeltaLog.delete(spark, t, col("id") <= 2L) // v2 rewrites the first file
+    assert(DeltaLog.read(spark, t).count() == 6)
+    val v = DeltaLog.restore(spark, t, 1L)
+    assert(v == 3L, "restore is a NEW commit")
+    assert(DeltaLog.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      (1L to 8L), "restore resurrects the deleted rows")
+    // history preserved: the pre-restore state still time-travels
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(2L)).count() == 6)
+    // restoring to the state we're already at is a no-op
+    assert(DeltaLog.restore(spark, t, 1L) == -1L)
+    // schema evolution rolls back with the restore
+    DeltaLog.append(spark, t,
+      (9L to 9L).map(i => (i, i * 1.0, "x")).toDF("id", "v", "tag"),
+      allowSchemaEvolution = true)
+    assert(DeltaLog.read(spark, t).schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    DeltaLog.restore(spark, t, 3L)
+    assert(DeltaLog.read(spark, t).schema.fieldNames.toSeq == Seq("id", "v"),
+      "restore re-emits the target metaData")
+    assert(DeltaLog.read(spark, t).count() == 8)
+  }
+
+  test("timestamp travel: the newest commit at-or-before the instant wins") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    DeltaLog.append(spark, t, Seq((2L, "b")).toDF("id", "tag"))
+    DeltaLog.append(spark, t, Seq((3L, "c")).toDF("id", "tag"))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pin commit mtimes explicitly (no sleeps): v0@t0, v1@t0+10s, v2@t0+20s
+    val t0 = 1700000000000L
+    (0L to 2L).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(
+        s"$t/_delta_log/" + f"$v%020d.json"), t0 + v * 10000L, -1L)
+    }
+    assert(DeltaLog.versionAtTimestamp(spark, t, t0) == 0L)
+    assert(DeltaLog.versionAtTimestamp(spark, t, t0 + 9999L) == 0L)
+    assert(DeltaLog.versionAtTimestamp(spark, t, t0 + 10000L) == 1L)
+    assert(DeltaLog.versionAtTimestamp(spark, t, t0 + 999999L) == 2L)
+    assert(DeltaLog.readAsOfTimestamp(spark, t, t0 + 15000L).count() == 2L)
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.versionAtTimestamp(spark, t, t0 - 1L))
+    assert(e.getMessage.contains("no commit at or before"), e.getMessage)
+  }
+
   test("vacuum reclaims orphaned DV files but never live ones") {
     import spark.implicits._
     val t = newTable()

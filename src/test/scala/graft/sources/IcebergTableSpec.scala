@@ -246,7 +246,35 @@ class IcebergTableSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).collect().map(_.getString(1)).toSeq == Seq("new"))
   }
 
-  test("v2 guards: partitioned deleteRows refuses; equality deletes refuse on read") {
+  test("v2 equality deletes: key-set tombstones with the STRICT sequence gate") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t,
+      (1L to 6L).map(i => (i, s"r$i")).toDF("id", "tag"))
+    val sid = IcebergTable.deleteRowsEquality(spark, t, Seq("id"),
+      Seq(2L, 4L).toDF("id"))
+    assert(sid > 0)
+    assert(IcebergTable.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(1L, 3L, 5L, 6L))
+    // re-insert a tombstoned key AFTER the delete: dataSeq > deleteSeq
+    // is NOT affected (strict gate) — this is what makes equality
+    // deletes usable as CDC upserts
+    IcebergTable.append(spark, t, Seq((2L, "reborn")).toDF("id", "tag"))
+    val got = IcebergTable.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "r1"), (2L, "reborn"), (3L, "r3"), (5L, "r5"), (6L, "r6")))
+    // position + equality deletes stack across generations
+    IcebergTable.deleteRows(spark, t, col("id") === 5L)
+    assert(IcebergTable.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(1L, 2L, 3L, 6L))
+    // guards: keysDf columns must be exactly the keys
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.deleteRowsEquality(spark, t, Seq("id"),
+        Seq((9L, "x")).toDF("id", "tag")))
+    assert(e.getMessage.contains("exactly the keys"), e.getMessage)
+  }
+
+  test("v2 guards: partitioned deleteRows refuses; id-less equality deletes refuse on read") {
     import spark.implicits._
     import org.apache.avro.Schema
     val t = newTable()
@@ -256,8 +284,10 @@ class IcebergTableSpec extends SparkSpec {
       IcebergTable.deleteRows(spark, t, col("id") === 1L))
     assert(e.getMessage.contains("partitioned"), e.getMessage)
 
-    // equality-delete refusal: splice an equality-delete manifest into
-    // an unpartitioned v2 table (spec-local avro, reader works by name)
+    // MALFORMED equality-delete refusal: an entry with content=2 but
+    // NO equality_ids cannot be applied — reading past it would
+    // resurrect rows. Splice one into an unpartitioned v2 table
+    // (spec-local avro, reader works by name).
     val t2 = newTable()
     IcebergTable.append(spark, t2, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
     IcebergTable.deleteRows(spark, t2, col("id") === 1L) // now v2
