@@ -2511,6 +2511,58 @@ object CoreQueries {
       |WHERE o_custkey % 10 <> 4 OR o_orderkey % 13 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S38Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s38_delta_changes"
+  private val s38BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S38 — CHANGE FEED between versions (`diffVersions`, the
+    * CDF-fallback file diff): a MERGE commit's net row changes surface
+    * as the updated rows' delete+insert pairs plus the inserted rows —
+    * while every survivor rewritten alongside them CANCELS in the
+    * multiset EXCEPT ALL, and only the rewritten files are read at
+    * all. The oracle rebuilds the exact change set from `orders`; one
+    * surviving row leaking into the feed, or one update missing its
+    * old image, hash-fails.
+    */
+  def s38DeltaChanges(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s38BuiltFor.synchronized {
+      if (s38BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S38Root))
+        val proj = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val base = proj.filter(col("o_orderkey") % 5 =!= 4)
+        graft.sources.DeltaLog.append(spark, S38Root, base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.DeltaLog.append(spark, S38Root, base.filter(col("o_orderkey") % 2 =!= 0))
+        val updated = base.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserted = proj.filter(col("o_orderkey") % 5 === 4)
+        graft.sources.DeltaLog.merge(spark, S38Root,
+          updated.unionByName(inserted), keys = Seq("o_orderkey"))
+        s38BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.diffVersions(spark, S38Root, 1L, 2L)
+      .orderBy("o_orderkey", "_change_type", "o_totalprice")
+  }
+
+  private val s38DeltaChangesSql =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+      |    o_totalprice + 1000.0 AS o_totalprice, 'insert' AS _change_type
+      |  FROM orders WHERE o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    'insert' AS _change_type
+      |  FROM orders WHERE o_orderkey % 5 = 4
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    'delete' AS _change_type
+      |  FROM orders WHERE o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
+      |) ORDER BY o_orderkey, _change_type, o_totalprice""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2758,6 +2810,7 @@ object CoreQueries {
     "s35_delta_zorder"  -> s35DeltaZorder _,
     "s36_delta_restore" -> s36DeltaRestore _,
     "s37_iceberg_eq_delete" -> s37IcebergEqDelete _,
+    "s38_delta_changes" -> s38DeltaChanges _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3084,6 +3137,7 @@ object CoreQueries {
     "s35_delta_zorder" -> s35DeltaZorderSql,
     "s36_delta_restore" -> s36DeltaRestoreSql,
     "s37_iceberg_eq_delete" -> s37IcebergEqDeleteSql,
+    "s38_delta_changes" -> s38DeltaChangesSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

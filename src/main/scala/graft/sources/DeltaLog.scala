@@ -1467,6 +1467,51 @@ object DeltaLog {
   def readAsOfTimestamp(spark: SparkSession, tablePath: String, tsMillis: Long): DataFrame =
     read(spark, tablePath, Some(versionAtTimestamp(spark, tablePath, tsMillis)))
 
+  /** NET row-level changes between two versions — the CDF-fallback
+    * Delta itself computes for versions without change files: rows in
+    * `toVersion` but not `fromVersion` surface as `_change_type =
+    * 'insert'`, the reverse as `'delete'` (an update is its
+    * delete+insert pair; rows rewritten unchanged cancel out in the
+    * multiset EXCEPT ALL).
+    *
+    * Scale shape: only the files whose (path, deletion-vector)
+    * identity CHANGED between the versions are read — an append-only
+    * step diffs just the new files and the EXCEPT ALL against an
+    * empty other side collapses to a pass-through; a merge/delete
+    * step reads the rewritten files, never the untouched ones.
+    */
+  def diffVersions(
+      spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"DeltaLog: diffVersions needs fromVersion < toVersion ($fromVersion >= $toVersion)")
+    val sa = snapshot(spark, tablePath, Some(fromVersion))
+    val sb = snapshot(spark, tablePath, Some(toVersion))
+    require(sa.columnMappingMode == "none" && sb.columnMappingMode == "none",
+      "DeltaLog: diffVersions over a column-mapped table is not supported")
+    require(sa.schemaString == sb.schemaString,
+      s"DeltaLog: diffVersions across a schema change is not supported " +
+        s"(version $fromVersion and $toVersion declare different schemas)")
+    val declared = sb.schema.getOrElse(throw new IllegalArgumentException(
+      s"DeltaLog: diffVersions needs a parseable metaData.schemaString at $tablePath"))
+    def key(f: DeltaFile) = (f.path, f.dv)
+    val aKeys = sa.files.map(key).toSet
+    val bKeys = sb.files.map(key).toSet
+    val onlyA = sa.files.filterNot(f => bKeys(key(f)))
+    val onlyB = sb.files.filterNot(f => aKeys(key(f)))
+    def rowsOf(snap: Snapshot, subset: Seq[DeltaFile]): DataFrame =
+      if (subset.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+      else if (subset.exists(_.dv.isDefined))
+        readWithDv(spark, tablePath, snap.copy(files = subset))
+      else readSnapshotFiles(spark, tablePath, snap.copy(files = subset), subset,
+        addFileColumn = false).select(declared.fieldNames.map(col).toSeq: _*)
+    val before = rowsOf(sa, onlyA)
+    val after = rowsOf(sb, onlyB)
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   /** RESTORE the table to `version` as a NEW commit (Delta's RESTORE
     * TABLE ... TO VERSION AS OF): files added since the target version
     * are removed, files removed since then are re-added with their

@@ -407,6 +407,28 @@ object IcebergTable {
     * reader performs — before Spark ever sees the file list (values
     * compared stringified, as recorded in the tuple).
     */
+  /** Resolve a wall-clock instant to the snapshot current AT that
+    * time: the latest snapshot whose `timestamp-ms` is <= the asked
+    * instant (Iceberg's own AS OF TIMESTAMP rule).
+    */
+  def snapshotIdAtTimestamp(spark: SparkSession, tablePath: String, tsMillis: Long): Long = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = readJson(fs, currentMetadataPath(fs, tablePath))
+    val snaps = meta.get("snapshots")
+    require(snaps != null && snaps.size() > 0, "IcebergTable: no snapshots")
+    val stamped = (0 until snaps.size()).map(snaps.get)
+      .map(s => (s.get("snapshot-id").asLong(), s.get("timestamp-ms").asLong()))
+      .sortBy(_._2)
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"IcebergTable: no snapshot at or before timestamp $tsMillis " +
+        s"(earliest is at ${stamped.head._2})")
+    eligible.last._1
+  }
+
+  def readAsOfTimestamp(spark: SparkSession, tablePath: String, tsMillis: Long): DataFrame =
+    read(spark, tablePath, Some(snapshotIdAtTimestamp(spark, tablePath, tsMillis)))
+
   def read(
       spark: SparkSession, tablePath: String, snapshotId: Option[Long] = None,
       partitionFilter: Map[String, String] = Map.empty): DataFrame = {

@@ -809,6 +809,32 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).count() == 8)
   }
 
+  test("diffVersions: net row changes; unchanged files cancel; DV change diffs") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, (1L to 4L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    DeltaLog.append(spark, t, (5L to 6L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    val d01 = DeltaLog.diffVersions(spark, t, 0L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(d01 == Seq((5L, "insert"), (6L, "insert")), "append step: inserts only")
+    DeltaLog.delete(spark, t, col("id") === 1L || col("id") === 6L)
+    val d12 = DeltaLog.diffVersions(spark, t, 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(d12 == Seq((1L, "delete"), (6L, "delete")), "delete step: survivors cancel out")
+    // a DV-only change (same path, new descriptor) still diffs
+    val t2 = newTable()
+    DeltaLog.append(spark, t2, (1L to 6L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    DeltaLog.deleteWithDv(spark, t2, col("id") === 2L)
+    val dv01 = DeltaLog.diffVersions(spark, t2, 0L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(dv01 == Seq((2L, "delete")))
+    // across a schema change: refuse
+    DeltaLog.append(spark, t2,
+      Seq((7L, 7.0, "x")).toDF("id", "v", "tag"), allowSchemaEvolution = true)
+    val e = intercept[IllegalArgumentException](DeltaLog.diffVersions(spark, t2, 1L, 2L))
+    assert(e.getMessage.contains("schema change"), e.getMessage)
+  }
+
   test("timestamp travel: the newest commit at-or-before the instant wins") {
     import spark.implicits._
     val t = newTable()

@@ -246,6 +246,23 @@ class IcebergTableSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).collect().map(_.getString(1)).toSeq == Seq("new"))
   }
 
+  test("timestamp travel: the newest snapshot at-or-before the instant wins") {
+    import spark.implicits._
+    val t = newTable()
+    val before = System.currentTimeMillis() - 1L
+    val s1 = IcebergTable.append(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    val s2 = IcebergTable.append(spark, t, Seq((2L, "b")).toDF("id", "tag"))
+    assert(IcebergTable.snapshotIdAtTimestamp(spark, t, mid) == s1)
+    assert(IcebergTable.snapshotIdAtTimestamp(spark, t, System.currentTimeMillis()) == s2)
+    assert(IcebergTable.readAsOfTimestamp(spark, t, mid).count() == 1L)
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.snapshotIdAtTimestamp(spark, t, before))
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+  }
+
   test("v2 equality deletes: key-set tombstones with the STRICT sequence gate") {
     import spark.implicits._
     val t = newTable()
