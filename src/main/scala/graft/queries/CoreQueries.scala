@@ -2423,9 +2423,11 @@ object CoreQueries {
         val base = Tables.orders(spark, dir)
           .select("o_orderkey", "o_custkey", "o_totalprice")
         graft.sources.DeltaLog.append(spark, S35Root, base.repartition(8))
-        // small target so the clustering yields SEVERAL z-disjoint files
+        // DATA-SCALED target: ~8 z-disjoint output files at every SF
+        // (a fixed byte target would mean thousands of files at sf1)
+        val tableBytes = graft.sources.DeltaLog.snapshot(spark, S35Root).files.map(_.size).sum
         graft.sources.DeltaLog.compact(spark, S35Root,
-          targetFileBytes = 16L * 1024,
+          targetFileBytes = math.max(16L * 1024, tableBytes / 8),
           zorderBy = Seq("o_custkey", "o_orderkey"))
         s35BuiltFor.set(dir)
       }
