@@ -30,8 +30,10 @@ import org.apache.spark.sql.types._
   *    `protocol`/`metaData` rows — that is what makes the JSON prefix
   *    disposable — so a guard that only saw JSON commits would be
   *    silently bypassed after compaction);
-  *  - single-part classic checkpoints (multi-part names and a
-  *    `_last_checkpoint` with a `parts` field are refused).
+  *  - classic checkpoints, single-part AND multi-part (all N parts of
+  *    a complete set union into one scan; incomplete part sets are
+  *    ignored, as Delta's own reader does — the JSON log still covers
+  *    them). The WRITER emits single-part checkpoints only.
   *
   * Scale shape: the action replay runs IN SPARK — the JSON commits and
   * the checkpoint parquet are read as DataFrames, the last-action-per-
@@ -87,7 +89,7 @@ object DeltaLog {
 
   private val JsonCommit = """^(\d{20})\.json$""".r
   private val Checkpoint = """^(\d{20})\.checkpoint\.parquet$""".r
-  private val MultiPartCheckpoint = """^\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet$""".r
+  private val MultiPartCheckpoint = """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
 
   private val mapper = new ObjectMapper()
 
@@ -96,8 +98,13 @@ object DeltaLog {
   private def checkpointPath(logDir: Path, v: Long): Path =
     new Path(logDir, f"$v%020d.checkpoint.parquet")
 
+  /** `checkpoints` maps a version to ALL its parquet parts — one path
+    * for a classic checkpoint, N for a complete multi-part one
+    * (incomplete part sets are ignored, as Delta's own reader does —
+    * a writer died mid-checkpoint and the JSON log still covers it).
+    */
   private final case class LogListing(
-      jsons: Map[Long, String], checkpoints: Map[Long, String])
+      jsons: Map[Long, String], checkpoints: Map[Long, Seq[String]])
 
   private def logDirOf(tablePath: String): Path = new Path(tablePath, "_delta_log")
 
@@ -109,45 +116,61 @@ object DeltaLog {
     val fs = fsOf(spark, logDir)
     require(fs.exists(logDir), s"not a Delta table: no _delta_log under $tablePath")
     val files = fs.listStatus(logDir).toSeq.map(_.getPath)
-    files.map(_.getName).foreach {
-      case MultiPartCheckpoint() =>
-        throw new IllegalArgumentException(
-          "DeltaLog: multi-part checkpoints are not supported (single-part classic only)")
-      case _ => ()
-    }
     val jsons = files.flatMap { p =>
       p.getName match {
         case JsonCommit(v) => Some(v.toLong -> p.toString)
         case _ => None
       }
     }.toMap
-    val cps = files.flatMap { p =>
+    val singles = files.flatMap { p =>
       p.getName match {
-        case Checkpoint(v) => Some(v.toLong -> p.toString)
+        case Checkpoint(v) => Some(v.toLong -> Seq(p.toString))
         case _ => None
       }
     }.toMap
+    // multi-part: keep only COMPLETE part sets (all N present, one
+    // total N declared consistently); a single-part checkpoint for the
+    // same version wins (it is self-contained by construction)
+    val multis = files.flatMap { p =>
+      p.getName match {
+        case MultiPartCheckpoint(v, part, total) =>
+          Some((v.toLong, part.toInt, total.toInt, p.toString))
+        case _ => None
+      }
+    }.groupBy(_._1).flatMap { case (v, parts) =>
+      val totals = parts.map(_._3).distinct
+      val complete = totals.size == 1 &&
+        parts.map(_._2).sorted == (1 to totals.head)
+      if (complete) Some(v -> parts.sortBy(_._2).map(_._4)) else None
+    }
+    val cps = multis ++ singles // singles override
     require(jsons.nonEmpty || cps.nonEmpty,
       s"DeltaLog: empty _delta_log under $tablePath")
     LogListing(jsons, cps)
   }
 
-  /** `_last_checkpoint` pointer, if present. A `parts` field means a
-    * multi-part checkpoint — refused, same as the file-name guard.
+  /** `_last_checkpoint` pointer, if present: (version, parts) — parts
+    * is 1 for a classic checkpoint, N for a multi-part one.
     */
-  private def lastCheckpointVersion(fs: FileSystem, logDir: Path): Option[Long] = {
+  private def lastCheckpointVersion(fs: FileSystem, logDir: Path): Option[(Long, Int)] = {
     val p = new Path(logDir, "_last_checkpoint")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val node = mapper.readTree(txt)
-      require(!node.has("parts") || node.get("parts").asInt() <= 1,
-        "DeltaLog: multi-part checkpoints are not supported (single-part classic only)")
       require(node.has("version"), s"DeltaLog: malformed _last_checkpoint: $txt")
-      Some(node.get("version").asLong())
+      val parts = if (node.has("parts")) node.get("parts").asInt() else 1
+      require(parts >= 1, s"DeltaLog: malformed _last_checkpoint parts field: $txt")
+      Some((node.get("version").asLong(), parts))
     }
   }
+
+  /** All parquet paths of the checkpoint at `v` with `parts` parts. */
+  private def checkpointPaths(logDir: Path, v: Long, parts: Int): Seq[Path] =
+    if (parts <= 1) Seq(checkpointPath(logDir, v))
+    else (1 to parts).map(i =>
+      new Path(logDir, f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet"))
 
   /** Normalize a source of raw protocol actions to the narrow relation
     * the replay runs over. Both the JSON commits and the checkpoint
@@ -236,11 +259,12 @@ object DeltaLog {
     * is malformed and refused loudly — silently substituting null here
     * is exactly the guard bypass the r11 verdict flagged.
     */
-  private def checkpointActions(spark: SparkSession, version: Long, path: String): DataFrame = {
-    val raw = spark.read.parquet(path)
+  private def checkpointActions(
+      spark: SparkSession, version: Long, paths: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(paths: _*)
     val cols = raw.schema.fieldNames.toSet
     require(cols.contains("protocol") && cols.contains("metaData"),
-      s"DeltaLog: malformed checkpoint $path — the protocol requires checkpoint " +
+      s"DeltaLog: malformed checkpoint ${paths.head} — the protocol requires checkpoint " +
         "files to carry the protocol and metaData actions; refusing rather than " +
         "bypassing the reader-feature and partitioning checks")
     def subField(struct: String, field: String): Boolean =
@@ -249,7 +273,7 @@ object DeltaLog {
         case _ => false
       }
     require(subField("protocol", "minReaderVersion") && subField("metaData", "partitionColumns"),
-      s"DeltaLog: malformed checkpoint $path — protocol.minReaderVersion / " +
+      s"DeltaLog: malformed checkpoint ${paths.head} — protocol.minReaderVersion / " +
         "metaData.partitionColumns missing from the checkpoint schema")
     normalize(raw.withColumn("version", lit(version)))
   }
@@ -295,14 +319,15 @@ object DeltaLog {
         }
       case None =>
         val fast = lastCheckpointVersion(fs, logDir)
-          .filter(c => fs.exists(checkpointPath(logDir, c)))
+          .filter { case (c, parts) => checkpointPaths(logDir, c, parts).forall(fs.exists) }
         fast match {
-          case Some(c) =>
+          case Some((c, parts)) =>
             // no listing: probe forward for the commits after the checkpoint
             val tail = Iterator.iterate(c + 1)(_ + 1)
               .takeWhile(v => fs.exists(jsonPath(logDir, v)))
               .map(v => jsonPath(logDir, v).toString).toSeq
-            val cp = checkpointActions(spark, c, checkpointPath(logDir, c).toString)
+            val cp = checkpointActions(spark, c,
+              checkpointPaths(logDir, c, parts).map(_.toString))
             if (tail.isEmpty) cp else cp.union(jsonActions(spark, tail))
           case None =>
             val log = listLog(spark, tablePath)
@@ -1510,6 +1535,40 @@ object DeltaLog {
     val after = rowsOf(sb, onlyB)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
+  /** The table's current (latest) version. */
+  def currentVersion(spark: SparkSession, tablePath: String): Long = {
+    val log = listLog(spark, tablePath)
+    (log.jsons.keySet ++ log.checkpoints.keySet).max
+  }
+
+  /** Incremental PULL of a Delta table — the polling streaming-source
+    * twin of the exactly-once `txn` sink: returns the net row changes
+    * since `fromVersion` (as [[diffVersions]] rows with
+    * `_change_type`) plus the new cursor to persist. A caller looping
+    * `(df, cursor) = readChangesSince(t, cursor)` consumes the table
+    * incrementally and REPLAYS deterministically after a crash (same
+    * cursor in → same changes out — versions are immutable). When
+    * nothing new landed the frame is empty and the cursor unchanged,
+    * so the poll is one metadata listing, zero data IO.
+    */
+  def readChangesSince(
+      spark: SparkSession, tablePath: String, fromVersion: Long): (DataFrame, Long) = {
+    val cur = currentVersion(spark, tablePath)
+    // initial load (no cursor yet): the whole current snapshot is the
+    // insert set
+    if (fromVersion < 0)
+      return (read(spark, tablePath).withColumn("_change_type", lit("insert")), cur)
+    if (cur <= fromVersion) {
+      val snap = snapshot(spark, tablePath, None)
+      val declared = snap.schema.getOrElse(throw new IllegalArgumentException(
+        s"DeltaLog: readChangesSince needs a parseable metaData.schemaString at $tablePath"))
+      val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+        .withColumn("_change_type", lit(""))
+      (empty, fromVersion)
+    } else (diffVersions(spark, tablePath, fromVersion, cur), cur)
   }
 
   /** RESTORE the table to `version` as a NEW commit (Delta's RESTORE

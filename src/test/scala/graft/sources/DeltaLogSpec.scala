@@ -783,6 +783,69 @@ class DeltaLogSpec extends SparkSpec {
       (1L to 12L).filter(i => i % 4 == 1 || i % 4 == 2))
   }
 
+  test("multi-part checkpoints read (complete sets union; incomplete sets are ignored)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{Path => HPath}
+    val t = newTable()
+    DeltaLog.append(spark, t, (1L to 6L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    DeltaLog.append(spark, t, (7L to 9L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    val cpV = DeltaLog.writeCheckpoint(spark, t)
+    val fs = new HPath(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = s"$t/_delta_log"
+    val classic = new HPath(logDir + "/" + f"$cpV%020d.checkpoint.parquet")
+    // split the classic checkpoint's rows into TWO part files with the
+    // protocol's multi-part names, repoint _last_checkpoint, drop the
+    // classic file and the JSON prefix — the parts must carry the
+    // whole snapshot
+    val rows = spark.read.parquet(classic.toString).collect()
+    val schema = spark.read.parquet(classic.toString).schema
+    def writePart(part: Int, slice: Array[org.apache.spark.sql.Row]): Unit = {
+      val stage = s"$t/_mp_stage_$part"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(slice.toSeq, 1), schema)
+        .coalesce(1).write.parquet(stage)
+      val f = fs.globStatus(new HPath(s"$stage/part-*.parquet"))(0).getPath
+      fs.rename(f, new HPath(logDir + "/" + f"$cpV%020d.checkpoint.$part%010d.${2}%010d.parquet"))
+      fs.delete(new HPath(stage), true)
+    }
+    writePart(1, rows.take(rows.length / 2))
+    writePart(2, rows.drop(rows.length / 2))
+    fs.delete(classic, false)
+    // drop Hadoop's local-fs checksum sidecar before the raw rewrite
+    Files.deleteIfExists(Paths.get(s"$logDir/._last_checkpoint.crc"))
+    Files.writeString(Paths.get(s"$logDir/_last_checkpoint"),
+      s"""{"version":$cpV,"size":${rows.length},"parts":2}""")
+    (0L to cpV).foreach(v => Files.delete(Paths.get(s"$logDir/" + f"$v%020d.json")))
+    assert(DeltaLog.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      (1L to 9L), "both parts must union into the full snapshot")
+    // drop part 2: the pointer probe fails AND the listing ignores the
+    // incomplete set — with the JSON prefix gone too, the read refuses
+    // loudly instead of serving half a table
+    fs.delete(new HPath(logDir + "/" + f"$cpV%020d.checkpoint.${2}%010d.${2}%010d.parquet"), false)
+    intercept[Exception](DeltaLog.read(spark, t).collect())
+  }
+
+  test("readChangesSince: incremental pull with a replayable cursor") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, (1L to 3L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    val (d0, c0) = DeltaLog.readChangesSince(spark, t, -1L)
+    assert(c0 == 0L && d0.count() == 3L && d0.filter(col("_change_type") =!= "insert").isEmpty)
+    // nothing new: empty frame, cursor unchanged
+    val (d1, c1) = DeltaLog.readChangesSince(spark, t, c0)
+    assert(c1 == c0 && d1.isEmpty)
+    // a delete lands: the pull surfaces exactly its net changes
+    DeltaLog.delete(spark, t, col("id") === 2L)
+    val (d2, c2) = DeltaLog.readChangesSince(spark, t, c1)
+    assert(c2 == 1L)
+    assert(d2.collect().map(r => (r.getLong(0), r.getString(2))).toSeq == Seq((2L, "delete")))
+    // crash replay: the SAME cursor yields the SAME changes
+    val (d2b, c2b) = DeltaLog.readChangesSince(spark, t, c1)
+    assert(c2b == c2 &&
+      d2b.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+        d2.collect().map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
+
   test("restore: one new commit returns the table to an old version; history preserved") {
     import spark.implicits._
     val t = newTable()
