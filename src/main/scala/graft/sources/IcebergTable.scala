@@ -70,20 +70,37 @@ object IcebergTable {
     * explicit entry `sequence_number` gates which data files it
     * applies to.
     */
-  private val DeleteManifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |  {"name":"status","type":"int"},
-      |  {"name":"snapshot_id","type":["null","long"],"default":null},
-      |  {"name":"sequence_number","type":["null","long"],"default":null},
-      |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-      |    {"name":"content","type":"int"},
-      |    {"name":"file_path","type":"string"},
-      |    {"name":"file_format","type":"string"},
-      |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"},
-      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
-      |  ]}}
-      |]}""".stripMargin)
+  private def deleteManifestEntrySchema(partitionFields: Seq[(String, DataType)]): Schema = {
+    val pField =
+      if (partitionFields.isEmpty) ""
+      else {
+        val fields = partitionFields.map { case (n, dt) =>
+          val t = dt match {
+            case IntegerType => "\"int\""
+            case LongType => "\"long\""
+            case StringType => "\"string\""
+            case other => throw new IllegalArgumentException(
+              s"IcebergTable: unsupported partition column type ${other.simpleString}")
+          }
+          s"""{"name":"$n","type":["null",$t],"default":null}"""
+        }.mkString(",")
+        s""",{"name":"partition","type":{"type":"record","name":"r102","fields":[$fields]}}"""
+      }
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |  {"name":"status","type":"int"},
+         |  {"name":"snapshot_id","type":["null","long"],"default":null},
+         |  {"name":"sequence_number","type":["null","long"],"default":null},
+         |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+         |    {"name":"content","type":"int"},
+         |    {"name":"file_path","type":"string"},
+         |    {"name":"file_format","type":"string"},
+         |    {"name":"record_count","type":"long"},
+         |    {"name":"file_size_in_bytes","type":"long"},
+         |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}$pField
+         |  ]}}
+         |]}""".stripMargin)
+  }
 
   /** Manifest-entry schema; partitioned tables add the spec's
     * `data_file.partition` struct (r102) with one nullable field per
@@ -783,9 +800,10 @@ object IcebergTable {
     * LATER appends, stamped with higher sequence numbers, are never
     * affected).
     *
-    * Unpartitioned tables only (a delete manifest for a partitioned
-    * table must carry the matching partition tuples — refused loudly
-    * rather than half-written). Re-deleting an already-dead row is
+    * Partitioned tables route tombstones into ONE delete file per
+    * affected partition tuple, each manifest entry carrying its typed
+    * `partition` record (real readers match delete files to data
+    * files by partition). Re-deleting an already-dead row is
     * idempotent (both delete files tombstone the same pair). Returns
     * the new snapshot id, or -1 when no LIVE row matches.
     *
@@ -803,9 +821,6 @@ object IcebergTable {
     val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
     val meta = readJson(fs, metaPath)
     val snap = snapshot(spark, tablePath, None)
-    require(snap.partitionColumns.isEmpty,
-      "IcebergTable: deleteRows on a partitioned table is not supported — the " +
-        "delete manifest would need matching partition tuples")
     // live-row scan WITH existing POSITION deletes applied, so a
     // predicate matching only position-dead rows is a no-op, plus the
     // row provenance the delete file needs (rows dead under EQUALITY
@@ -825,35 +840,57 @@ object IcebergTable {
           base("__fid") === dels("__dfid") && base("__pos") === dels("__dpos"), "left_anti")
       }
     }
-    // restore the manifests' EXACT path strings (the identity a real
-    // reader matches on) from the scheme-less scan identity
+    // PARTITIONED tables: each delete file must carry its partition
+    // tuple in the manifest (real readers match delete files to data
+    // files by partition), so tombstones route into one delete-file
+    // group per distinct tuple. The tuple index rides along the
+    // (fid -> exact manifest path) broadcast.
+    val tuples: Seq[Map[String, String]] = snap.dataRefs.map(_.partition).distinct
+    val tupleIdx: Map[Map[String, String], Int] = tuples.zipWithIndex.toMap
     import spark.implicits._
-    val pathMap = snap.files
-      .map(p => (new Path(p).toUri.getPath, p)).toDF("__fid", "file_path")
+    val pathMap = snap.dataRefs
+      .map(r => (new Path(r.path).toUri.getPath, r.path, tupleIdx(r.partition)))
+      .toDF("__fid", "file_path", "__pt")
     val matches = scanned.filter(predicate)
       .select(col("__fid"), col("__pos"))
       .join(broadcast(pathMap), "__fid")
-      .select(col("file_path"), col("__pos").cast(LongType).as("pos"))
+      .select(col("file_path"), col("__pos").cast(LongType).as("pos"), col("__pt"))
       .orderBy("file_path", "pos")
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(table, s"_ice_stage_del_$stamp")
-    matches.write.parquet(stage.toString)
-    val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq
-      .map(_.getPath).sortBy(_.toString)
-    val moved: Seq[(String, Long, Long)] = parts.zipWithIndex.flatMap { case (p, i) =>
-      val n = parquetRowCount(fs, p)
-      if (n == 0) None // an empty part is no tombstone
-      else {
-        val dest = new Path(table, s"data/delete-$stamp-$i.parquet")
-        fs.mkdirs(dest.getParent)
-        require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
-        Some((fs.makeQualified(dest).toString, fs.getFileStatus(dest).getLen, n))
+    matches.write.partitionBy("__pt").parquet(stage.toString)
+    // typed partition values for the manifest records (same convention
+    // as append: stringified tuple -> declared partition column types)
+    val ptypes: Seq[(String, DataType)] =
+      snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
+    val ptypeMap = ptypes.toMap
+    def typedTuple(t: Map[String, String]): Map[String, Any] =
+      t.map { case (k, v) =>
+        k -> (ptypeMap.get(k) match {
+          case Some(IntegerType) => Integer.valueOf(v.toInt)
+          case Some(LongType) => java.lang.Long.valueOf(v.toLong)
+          case _ => v
+        })
       }
-    }
+    val parts = fs.globStatus(new Path(stage, "__pt=*/part-*.parquet")).toSeq
+      .map(_.getPath).sortBy(_.toString)
+    val moved: Seq[(String, Long, Long, Map[String, Any])] =
+      parts.zipWithIndex.flatMap { case (p, i) =>
+        val n = parquetRowCount(fs, p)
+        if (n == 0) None // an empty part is no tombstone
+        else {
+          val pt = p.getParent.getName.stripPrefix("__pt=").toInt
+          val dest = new Path(table, s"data/delete-$stamp-$i.parquet")
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
+          Some((fs.makeQualified(dest).toString, fs.getFileStatus(dest).getLen, n,
+            typedTuple(tuples(pt))))
+        }
+      }
     fs.delete(stage, true)
     if (moved.isEmpty) return -1L
     publishDeleteSnapshot(fs, conf, tablePath, meta, prevVersion, moved,
-      content = 1, equalityIds = Seq.empty)
+      content = 1, equalityIds = Seq.empty, partitionFields = ptypes)
   }
 
   /** DELETE rows via v2 EQUALITY DELETES: tombstone every row whose
@@ -893,16 +930,18 @@ object IcebergTable {
       .write.parquet(stage.toString)
     val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq
       .map(_.getPath).sortBy(_.toString)
-    val moved: Seq[(String, Long, Long)] = parts.zipWithIndex.flatMap { case (p, i) =>
-      val n = parquetRowCount(fs, p)
-      if (n == 0) None
-      else {
-        val dest = new Path(table, s"data/eqdelete-$stamp-$i.parquet")
-        fs.mkdirs(dest.getParent)
-        require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
-        Some((fs.makeQualified(dest).toString, fs.getFileStatus(dest).getLen, n))
+    val moved: Seq[(String, Long, Long, Map[String, Any])] =
+      parts.zipWithIndex.flatMap { case (p, i) =>
+        val n = parquetRowCount(fs, p)
+        if (n == 0) None
+        else {
+          val dest = new Path(table, s"data/eqdelete-$stamp-$i.parquet")
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
+          Some((fs.makeQualified(dest).toString, fs.getFileStatus(dest).getLen, n,
+            Map.empty[String, Any]))
+        }
       }
-    }
     fs.delete(stage, true)
     if (moved.isEmpty) return -1L
     publishDeleteSnapshot(fs, conf, tablePath, meta, prevVersion, moved,
@@ -913,30 +952,41 @@ object IcebergTable {
     * the delete manifest, the v2 manifest list carrying the current
     * snapshot's manifests forward, and the upgraded metadata JSON.
     */
+  /** `moved` rows: (path, length, records, partition tuple — empty
+    * for unpartitioned tables and equality deletes).
+    */
   private def publishDeleteSnapshot(
       fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
       tablePath: String, meta: com.fasterxml.jackson.databind.JsonNode,
-      prevVersion: Long, moved: Seq[(String, Long, Long)],
-      content: Int, equalityIds: Seq[Int]): Long = {
+      prevVersion: Long, moved: Seq[(String, Long, Long, Map[String, Any])],
+      content: Int, equalityIds: Seq[Int],
+      partitionFields: Seq[(String, DataType)] = Seq.empty): Long = {
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val newSeq =
       (if (meta.has("last-sequence-number")) meta.get("last-sequence-number").asLong() else 0L) + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
-    val entries = moved.map { case (path, len, n) =>
-      val e = new GenericData.Record(DeleteManifestEntrySchema)
+    val entrySchema = deleteManifestEntrySchema(partitionFields)
+    val entries = moved.map { case (path, len, n, tuple) =>
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
       e.put("sequence_number", newSeq)
-      val d = new GenericData.Record(DeleteManifestEntrySchema.getField("data_file").schema())
+      val d = new GenericData.Record(entrySchema.getField("data_file").schema())
       d.put("content", content)
       d.put("file_path", path)
       d.put("file_format", "PARQUET")
       d.put("record_count", n)
       d.put("file_size_in_bytes", len)
+      if (partitionFields.nonEmpty) {
+        val pr = new GenericData.Record(
+          entrySchema.getField("data_file").schema().getField("partition").schema())
+        tuple.foreach { case (k, v) => pr.put(k, v) }
+        d.put("partition", pr)
+      }
       if (equalityIds.nonEmpty) {
         val arr = new GenericData.Array[Integer](
           equalityIds.size,
-          DeleteManifestEntrySchema.getField("data_file").schema()
+          entrySchema.getField("data_file").schema()
             .getField("equality_ids").schema().getTypes.get(1))
         equalityIds.foreach(id => arr.add(Integer.valueOf(id)))
         d.put("equality_ids", arr)
@@ -946,7 +996,7 @@ object IcebergTable {
     }
     val metaDir0 = metadataDir(tablePath)
     val manifestPath = new Path(metaDir0, s"manifest-del-$stamp.avro")
-    val manifestLen = writeAvro(fs, manifestPath, DeleteManifestEntrySchema, entries)
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
 
     // carry forward the current snapshot's manifests with their
     // content/sequence fields (0 for v1-era ones, per the upgrade rule)

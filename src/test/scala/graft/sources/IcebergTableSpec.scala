@@ -291,14 +291,51 @@ class IcebergTableSpec extends SparkSpec {
     assert(e.getMessage.contains("exactly the keys"), e.getMessage)
   }
 
-  test("v2 guards: partitioned deleteRows refuses; id-less equality deletes refuse on read") {
+  test("v2 partitioned deleteRows: per-tuple delete files with typed partition records") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t,
+      (1L to 12L).map(i => (i, 1996 + (i % 3).toInt)).toDF("id", "Year"),
+      partitionBy = Seq("Year"))
+    IcebergTable.deleteRows(spark, t, col("id") % 4 === 0)
+    assert(IcebergTable.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      (1L to 12L).filterNot(_ % 4 == 0))
+    // the delete manifest's entries carry the tuples: one delete file
+    // per affected partition, each with its Year value
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delManifest = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$t/metadata/manifest-del-*.avro"))(0).getPath
+    val reader = new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]()
+    val din = new org.apache.avro.file.DataFileReader(
+      new org.apache.avro.mapred.FsInput(delManifest, spark.sparkContext.hadoopConfiguration),
+      reader)
+    val entries = try {
+      val b = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+      while (din.hasNext) b += din.next()
+      b.result()
+    } finally din.close()
+    // ids 4,8,12 -> Years 1996 (12), 1997 (4), 1998 (8): three tuples
+    val years = entries.map { e =>
+      val d = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(d.get("content") == 1)
+      d.get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord].get("Year")
+    }
+    assert(years.map(_.asInstanceOf[Int]).sorted == Seq(1996, 1997, 1998), years.toString)
+    // partition pruning and deletes compose
+    assert(IcebergTable.read(spark, t, partitionFilter = Map("Year" -> "1997"))
+      .orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(1L, 7L, 10L), "Year=1997 holds ids 1,4,7,10 minus the deleted 4")
+  }
+
+  test("v2 guards: partitioned equality deletes refuse; id-less equality deletes refuse on read") {
     import spark.implicits._
     import org.apache.avro.Schema
     val t = newTable()
     IcebergTable.append(spark, t,
       Seq((1L, 1996), (2L, 1997)).toDF("id", "Year"), partitionBy = Seq("Year"))
     val e = intercept[IllegalArgumentException](
-      IcebergTable.deleteRows(spark, t, col("id") === 1L))
+      IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(1L).toDF("id")))
     assert(e.getMessage.contains("partitioned"), e.getMessage)
 
     // MALFORMED equality-delete refusal: an entry with content=2 but
