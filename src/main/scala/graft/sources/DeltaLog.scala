@@ -706,8 +706,15 @@ object DeltaLog {
     }
     import spark.implicits._
     val tp = tablePath
+    // the SESSION's Hadoop conf rides to the tasks — a bare new
+    // Configuration() would drop spark.hadoop.* credentials / fs.*
+    // impls and break DV decode on S3/ABFS even when the driver-side
+    // log replay works (r13 advice)
+    val hadoopConfB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     val deleted = spark.createDataset(descs).flatMap { case (fid, st, tok, off, size) =>
-      val taskFs = new Path(tp).getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val taskFs = new Path(tp).getFileSystem(hadoopConfB.value.value)
       DeletionVectors.readPositions(taskFs, tp,
         DeletionVectors.Descriptor(st, tok, Some(off), size, 0L)).toSeq.map(p => (fid, p))
     }.toDF("__dv_file", "__dv_pos")
@@ -744,7 +751,11 @@ object DeltaLog {
     case (DateType, s: String) =>
       scala.util.Try(java.time.LocalDate.parse(s).toEpochDay.toDouble).toOption.map(Left(_))
     case (TimestampType, t: java.sql.Timestamp) =>
-      Some(Left(t.getTime / 1000.0 * 1e6 + (t.getNanos / 1000) % 1000000))
+      // getTime is epoch MILLIS (sub-second included); only the
+      // sub-millisecond residue of getNanos may be added on top —
+      // adding micros-within-second again would double-count millis
+      // and inflate range bounds by up to ~1s (r13 advice)
+      Some(Left(t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0))
     case (TimestampType, t: java.time.Instant) =>
       Some(Left(t.getEpochSecond * 1e6 + t.getNano / 1000.0))
     case (TimestampType, s: String) =>
@@ -1017,6 +1028,7 @@ object DeltaLog {
       val snap = snapshot(spark, tablePath, None)
       require(snap.columnMappingMode == "none",
         "DeltaLog: append into a column-mapped table is not supported (read-only here)")
+      protocolWriteGuards(snap, "append")
       snap.schema.foreach { s =>
         val have = s.fields.map(f => (f.name, f.dataType)).toSeq
         val incoming = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -1153,19 +1165,33 @@ object DeltaLog {
   private def fileIdentity(fs: FileSystem, tablePath: String, f: DeltaFile): String =
     fs.makeQualified(new Path(resolve(tablePath, f.path))).toUri.getPath
 
+  /** Protocol-level write gates shared by every transaction writer:
+    * a writer must implement every feature the table declares, whether
+    * spelled as a v7 `writerFeatures` list or implied by a LEGACY
+    * minWriterVersion (checkConstraints@3, generatedColumns@4,
+    * columnMapping-write@5, identityColumns@6 carry no feature list —
+    * the protocol requires a writer to enforce them or refuse).
+    */
+  private def protocolWriteGuards(snap: Snapshot, op: String): Unit = {
+    val unknown = snap.writerFeatures --
+      Set("appendOnly", "invariants", "deletionVectors", "columnMapping")
+    require(unknown.isEmpty,
+      s"DeltaLog: $op into a table declaring writer features " +
+        s"[${unknown.mkString(",")}] this writer does not implement")
+    snap.writerVersion.foreach { v =>
+      require(v <= 2 || v == 7,
+        s"DeltaLog: $op into a table with legacy minWriterVersion $v — versions 3-6 " +
+          "imply writer-enforced invariants (constraints, generated/identity columns, " +
+          "column mapping) this writer does not implement")
+    }
+  }
+
   private def writeGuards(snap: Snapshot, tablePath: String, op: String): Unit = {
     require(snap.columnMappingMode == "none",
       s"DeltaLog: $op into a column-mapped table is not supported (read-only here)")
     require(snap.schema.isDefined,
       s"DeltaLog: $op requires a parseable metaData.schemaString at $tablePath")
-    // a writer must implement every declared writer feature; the legacy
-    // pair (appendOnly, invariants) is implied by minWriterVersion 2
-    // and our own tables never declare invariants to enforce
-    val unknown = snap.writerFeatures --
-      Set("appendOnly", "invariants", "deletionVectors")
-    require(unknown.isEmpty,
-      s"DeltaLog: $op into a table declaring writer features " +
-        s"[${unknown.mkString(",")}] this writer does not implement")
+    protocolWriteGuards(snap, op)
   }
 
   /** MERGE (full upsert) as ONE Delta transaction — the reference's
@@ -1334,6 +1360,11 @@ object DeltaLog {
     import spark.implicits._
     val tp = tablePath
     val existingB = spark.sparkContext.broadcast(existingDv)
+    // session Hadoop conf for the task-side FileSystem (r13 advice —
+    // same reasoning as [[readWithDv]])
+    val hadoopConfB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     val packed: Array[(String, Array[Byte], Long, Long)] = scanned
       .as[(String, Long)]
       .groupByKey(_._1)
@@ -1341,7 +1372,7 @@ object DeltaLog {
         val fresh = it.map(_._2).toArray
         val old: Array[Long] = existingB.value.get(fid) match {
           case Some(d) =>
-            val taskFs = new Path(tp).getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val taskFs = new Path(tp).getFileSystem(hadoopConfB.value.value)
             DeletionVectors.readPositions(taskFs, tp, d)
           case None => Array.empty[Long]
         }
@@ -1589,10 +1620,19 @@ object DeltaLog {
     require(fs.exists(logDir), s"not a Delta table: no _delta_log under $tablePath")
     val current = snapshot(spark, tablePath, None)
     val target = snapshot(spark, tablePath, Some(version))
-    val currentByPath = current.files.map(f => f.path -> f).toMap
-    val targetByPath = target.files.map(f => f.path -> f).toMap
-    val toRemove = current.files.filterNot(f => targetByPath.contains(f.path))
-    val toAdd = target.files.filterNot(f => currentByPath.contains(f.path))
+    // the file identity is (path, deletion-vector descriptor), exactly
+    // as in [[diffVersions]]: a deleteWithDv after the target keeps the
+    // data-file path and only swaps its DV, so a path-only diff would
+    // emit NO action for it and silently leave the post-target deletes
+    // applied (r13 advice). With (path, dv) keys the DV swap restores
+    // as a remove+add pair re-carrying the target's descriptor (the
+    // within-version add-wins tie-break in [[reconcile]] makes that
+    // pair the canonical DV-change commit shape).
+    def fkey(f: DeltaFile): (String, Option[DeletionVectors.Descriptor]) = (f.path, f.dv)
+    val currentKeys = current.files.map(fkey).toSet
+    val targetKeys = target.files.map(fkey).toSet
+    val toRemove = current.files.filterNot(f => targetKeys(fkey(f)))
+    val toAdd = target.files.filterNot(f => currentKeys(fkey(f)))
     val metaChanged = target.schemaString != current.schemaString ||
       target.partitionColumns != current.partitionColumns
     if (toRemove.isEmpty && toAdd.isEmpty && !metaChanged) return -1L

@@ -252,10 +252,15 @@ object IcebergTable {
     * apply when `deleteSeq >= dataSeq`, EQUALITY deletes (the named
     * columns, resolved from the manifest's `equality_ids`) when
     * `deleteSeq > dataSeq` — the spec's strict/inclusive asymmetry.
+    * `partition` is the delete entry's identity partition tuple: per
+    * the spec a delete file written under a partitioned spec applies
+    * ONLY to data files in the SAME partition; an empty tuple is a
+    * GLOBAL delete (unpartitioned spec) and applies table-wide.
     */
   final case class DeleteFileRef(
       path: String, sequence: Long, records: Long = 0L,
-      equalityColumns: Seq[String] = Seq.empty)
+      equalityColumns: Seq[String] = Seq.empty,
+      partition: Map[String, String] = Map.empty)
 
   final case class Snapshot(
       snapshotId: Long, files: Seq[String], schema: StructType,
@@ -350,7 +355,7 @@ object IcebergTable {
     val idToName = fieldIdToName(meta)
     // (path, status, tuple, dataSeq) / (path, status, deleteSeq, recs, eqCols)
     val dataEntries = Seq.newBuilder[(String, Int, Map[String, String], Long)]
-    val deleteEntries = Seq.newBuilder[(String, Int, Long, Long, Seq[String])]
+    val deleteEntries = Seq.newBuilder[(String, Int, Long, Long, Seq[String], Map[String, String])]
     manifests.foreach { case (mp, mContent, mSeq) =>
       readAvro(fs, new Path(mp), conf).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
@@ -366,6 +371,19 @@ object IcebergTable {
         val fContent: Int = recOpt(df, "content").map(_.asInstanceOf[Int])
           .getOrElse(if (mContent == 1) 1 else 0)
         val path = df.get("file_path").toString
+        // identity partition tuple — read for DATA and DELETE entries
+        // alike: a delete file written under a partitioned spec is
+        // scoped to its partition (the r13 advice: dropping a delete
+        // entry's tuple over-applies equality deletes table-wide)
+        val tuple: Map[String, String] =
+          if (df.getSchema.getField("partition") == null) Map.empty
+          else df.get("partition") match {
+            case null => Map.empty
+            case r: GenericRecord =>
+              r.getSchema.getFields.toArray.map(_.asInstanceOf[Schema.Field].name())
+                .flatMap(n => Option(r.get(n)).map(v => n -> v.toString)).toMap
+            case _ => Map.empty
+          }
         if (fContent == 2) {
           // equality delete: tombstones by COLUMN VALUES, columns named
           // via field ids; an id we can't resolve would silently
@@ -382,20 +400,11 @@ object IcebergTable {
             throw new IllegalArgumentException(
               s"IcebergTable: equality delete field id $id not in the current schema")))
           val recs = recOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L)
-          deleteEntries += ((path, status, entrySeq, recs, cols))
+          deleteEntries += ((path, status, entrySeq, recs, cols, tuple))
         } else if (fContent == 1) {
           val recs = recOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L)
-          deleteEntries += ((path, status, entrySeq, recs, Seq.empty))
+          deleteEntries += ((path, status, entrySeq, recs, Seq.empty, tuple))
         } else {
-          val tuple: Map[String, String] =
-            if (df.getSchema.getField("partition") == null) Map.empty
-            else df.get("partition") match {
-              case null => Map.empty
-              case r: GenericRecord =>
-                r.getSchema.getFields.toArray.map(_.asInstanceOf[Schema.Field].name())
-                  .flatMap(n => Option(r.get(n)).map(v => n -> v.toString)).toMap
-              case _ => Map.empty
-            }
           dataEntries += ((path, status, tuple, entrySeq))
         }
       }
@@ -408,10 +417,10 @@ object IcebergTable {
     val live = dataSeq.collect {
       case (p, s, t, q) if s != 2 && !deadData(p) => (p, t, q)
     }.distinctBy(_._1)
-    val deadDel = delSeq.collect { case (p, 2, _, _, _) => p }.toSet
+    val deadDel = delSeq.collect { case (p, 2, _, _, _, _) => p }.toSet
     val liveDel = delSeq.collect {
-      case (p, s, q, recs, eqCols) if s != 2 && !deadDel(p) =>
-        DeleteFileRef(p, q, recs, eqCols)
+      case (p, s, q, recs, eqCols, t) if s != 2 && !deadDel(p) =>
+        DeleteFileRef(p, q, recs, eqCols, t)
     }.distinctBy(_.path)
     Snapshot(wantId, live.map(_._1), schema, pcols, live.map(_._2),
       live.map { case (p, t, q) => DataFileRef(p, q, t) }, liveDel, fv)
@@ -488,12 +497,19 @@ object IcebergTable {
     // group data files by the delete sets that apply to them: position
     // deletes gate on deleteSeq >= dataSeq, equality deletes STRICTLY
     // on deleteSeq > dataSeq (the spec's asymmetry — an equality
-    // delete never affects rows committed in its own sequence)
+    // delete never affects rows committed in its own sequence).
+    // Equality deletes additionally gate on PARTITION: one written
+    // under a partitioned spec applies only to data files in the SAME
+    // partition (an empty tuple is a global delete, table-wide) — a
+    // partition-blind reader would delete matching rows everywhere
+    // (r13 advice; over-applied POSITION deletes are inert because
+    // they match exact file paths, so they stay partition-blind).
     val groups = refs
       .groupBy { r =>
         (snap.deleteFiles.filter(d => d.equalityColumns.isEmpty && d.sequence >= r.sequence)
           .map(_.path).sorted,
-          snap.deleteFiles.filter(d => d.equalityColumns.nonEmpty && d.sequence > r.sequence)
+          snap.deleteFiles.filter(d => d.equalityColumns.nonEmpty && d.sequence > r.sequence &&
+              (d.partition.isEmpty || d.partition == r.partition))
             .map(_.path).sorted)
       }
       .toSeq.sortBy(_._2.head.path)
@@ -901,12 +917,18 @@ object IcebergTable {
     * the keys' field ids; applicability is STRICTLY
     * `dataSeq < deleteSeq`, so rows (re-)inserted at or after the
     * delete's sequence number survive even when their keys match.
-    * Same unpartitioned-only guard as [[deleteRows]]. Returns the new
-    * snapshot id.
+    *
+    * Partitioning: with `partitionScope` empty the delete is GLOBAL —
+    * the spec's unpartitioned-spec shape, applying table-wide (legal
+    * on partitioned tables too; the manifest entry carries no
+    * partition tuple). With `partitionScope` set (the full partition
+    * tuple, stringified), the delete file is PARTITION-SCOPED — the
+    * CDC-writer shape Flink emits — and the reader applies it only to
+    * data files in that partition. Returns the new snapshot id.
     */
   def deleteRowsEquality(
       spark: SparkSession, tablePath: String, keys: Seq[String],
-      keysDf: DataFrame): Long = {
+      keysDf: DataFrame, partitionScope: Map[String, String] = Map.empty): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
@@ -914,8 +936,10 @@ object IcebergTable {
     val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
     val meta = readJson(fs, metaPath)
     val snap = snapshot(spark, tablePath, None)
-    require(snap.partitionColumns.isEmpty,
-      "IcebergTable: deleteRowsEquality on a partitioned table is not supported")
+    if (partitionScope.nonEmpty)
+      require(partitionScope.keySet == snap.partitionColumns.toSet,
+        s"IcebergTable: partitionScope must be the FULL partition tuple " +
+          s"[${snap.partitionColumns.mkString(",")}], got ${partitionScope.keySet}")
     require(keys.nonEmpty && keys.forall(snap.schema.fieldNames.contains),
       s"IcebergTable: equality keys [${keys.mkString(",")}] not all in the table schema")
     require(keysDf.schema.fieldNames.toSeq == keys,
@@ -930,6 +954,18 @@ object IcebergTable {
       .write.parquet(stage.toString)
     val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq
       .map(_.getPath).sortBy(_.toString)
+    // scoped deletes carry their typed tuple in the manifest entry;
+    // global deletes carry none (the unpartitioned-spec shape)
+    val ptypes: Seq[(String, DataType)] =
+      if (partitionScope.isEmpty) Seq.empty
+      else snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
+    val scopedTuple: Map[String, Any] = partitionScope.map { case (k, v) =>
+      k -> (snap.schema(k).dataType match {
+        case IntegerType => Integer.valueOf(v.toInt)
+        case LongType => java.lang.Long.valueOf(v.toLong)
+        case _ => (v: Any)
+      })
+    }
     val moved: Seq[(String, Long, Long, Map[String, Any])] =
       parts.zipWithIndex.flatMap { case (p, i) =>
         val n = parquetRowCount(fs, p)
@@ -939,13 +975,13 @@ object IcebergTable {
           fs.mkdirs(dest.getParent)
           require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
           Some((fs.makeQualified(dest).toString, fs.getFileStatus(dest).getLen, n,
-            Map.empty[String, Any]))
+            scopedTuple))
         }
       }
     fs.delete(stage, true)
     if (moved.isEmpty) return -1L
     publishDeleteSnapshot(fs, conf, tablePath, meta, prevVersion, moved,
-      content = 2, equalityIds = ids)
+      content = 2, equalityIds = ids, partitionFields = ptypes)
   }
 
   /** Shared publish tail of [[deleteRows]] and [[deleteRowsEquality]]:

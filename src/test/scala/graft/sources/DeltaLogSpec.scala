@@ -1065,4 +1065,68 @@ class DeltaLogSpec extends SparkSpec {
     assert(v == 2L, s"append should skip the occupied slot, landed at $v")
     assert(Files.isDirectory(Paths.get(s"$t/_delta_log/" + f"${1L}%020d.json")))
   }
+
+  test("restore across a DV delete: the (path, dv) diff re-carries the target's descriptor") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, (1L to 10L).map(i => (i, s"r$i")).toDF("id", "tag").coalesce(1))
+    assert(DeltaLog.deleteWithDv(spark, t, col("id") <= 2L) == 1L)   // DV A
+    assert(DeltaLog.deleteWithDv(spark, t, col("id") >= 9L) == 2L)   // DV A∪B, same path
+    assert(DeltaLog.read(spark, t).select("id").as[Long].collect().sorted.toSeq == (3L to 8L))
+    // restore to version 1: the path is live in BOTH snapshots but its
+    // DV differs — a path-only diff would emit nothing and leave ids
+    // 9,10 deleted (the r13 advice's silent wrong restore)
+    val v = DeltaLog.restore(spark, t, 1L)
+    assert(v == 3L, s"restore must be a new commit, got $v")
+    assert(DeltaLog.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      (3L to 10L), "rows deleted after the target version must come back")
+    assert(DeltaLog.snapshot(spark, t).dvCardinality == 2L, "the target's DV (ids 1,2) stays")
+    // restore to version 0: DV-carrying current vs DV-free target —
+    // also a same-path diff; everything comes back
+    DeltaLog.restore(spark, t, 0L)
+    assert(DeltaLog.read(spark, t).select("id").as[Long].collect().sorted.toSeq == (1L to 10L))
+    assert(DeltaLog.snapshot(spark, t).dvCardinality == 0L)
+  }
+
+  test("timestamp range skipping: sub-second bounds are not double-counted") {
+    import spark.implicits._
+    val t = newTable()
+    // one file entirely inside [1.6s, 1.8s] epoch; the buggy comparable
+    // mapped a 1.5s lower bound to 2.0s and skipped it
+    val rows = Seq(1600L, 1700L, 1800L).map(ms =>
+      (ms, new java.sql.Timestamp(ms)))
+    // INT64 micros (not the INT96 default) so the footer stats are
+    // indexable and the skip path actually engages
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try DeltaLog.append(spark, t, rows.toDF("id", "ts").coalesce(1))
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val snap = DeltaLog.snapshot(spark, t)
+    val kept = DeltaLog.rangePruneFiles(snap, "ts",
+      new java.sql.Timestamp(1500L), new java.sql.Timestamp(1900L))
+    assert(kept.size == 1, "a 1.5s..1.9s range must keep the 1.6s..1.8s file")
+    assert(DeltaLog.readRange(spark, t, "ts",
+      new java.sql.Timestamp(1500L), new java.sql.Timestamp(1900L)).count() == 3L)
+    // and a range strictly above still skips
+    assert(DeltaLog.rangePruneFiles(snap, "ts",
+      new java.sql.Timestamp(1900L), new java.sql.Timestamp(2500L)).isEmpty)
+  }
+
+  test("legacy minWriterVersion 3-6 refuses writes (implied features are unenforced)") {
+    import spark.implicits._
+    val t = newTable()
+    dataFile(t, "a.parquet", "a", 2)
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[]}}""",
+      add("a.parquet")))
+    assert(DeltaLog.read(spark, t).count() == 2, "reads stay fine")
+    val df = Seq(("b", 9L)).toDF("tag", "i")
+    val eA = intercept[IllegalArgumentException](DeltaLog.append(spark, t, df))
+    assert(eA.getMessage.contains("minWriterVersion 4"), eA.getMessage)
+    val eM = intercept[IllegalArgumentException](DeltaLog.merge(spark, t, df, Seq("i")))
+    assert(eM.getMessage.contains("minWriterVersion 4"), eM.getMessage)
+    val eD = intercept[IllegalArgumentException](DeltaLog.delete(spark, t, col("i") === 0L))
+    assert(eD.getMessage.contains("minWriterVersion 4"), eD.getMessage)
+  }
 }

@@ -328,15 +328,38 @@ class IcebergTableSpec extends SparkSpec {
       Seq(1L, 7L, 10L), "Year=1997 holds ids 1,4,7,10 minus the deleted 4")
   }
 
-  test("v2 guards: partitioned equality deletes refuse; id-less equality deletes refuse on read") {
+  test("v2 equality deletes on PARTITIONED tables: global applies everywhere, scoped only in its partition") {
+    import spark.implicits._
+    val t = newTable()
+    // ids 1..12 across Years 1996/1997/1998 (id % 3)
+    IcebergTable.append(spark, t,
+      (1L to 12L).map(i => (i, 1996 + (i % 3).toInt)).toDF("id", "Year"),
+      partitionBy = Seq("Year"))
+    // PARTITION-SCOPED delete: key id ∈ {3, 4} but only within
+    // Year=1996 (ids 3,6,9,12) — id 3 dies there; id 4 lives in
+    // Year=1997 and MUST survive (the r13 advice: a partition-blind
+    // reader deletes it too)
+    val sid = IcebergTable.deleteRowsEquality(spark, t, Seq("id"),
+      Seq(3L, 4L).toDF("id"), partitionScope = Map("Year" -> "1996"))
+    assert(sid > 0)
+    assert(IcebergTable.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      (1L to 12L).filterNot(_ == 3L),
+      "only Year=1996's id 3 dies; Year=1997's id 4 survives the scoped delete")
+    // GLOBAL delete (empty scope — the unpartitioned-spec shape):
+    // applies table-wide
+    IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(4L, 6L).toDF("id"))
+    assert(IcebergTable.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      (1L to 12L).filterNot(Set(3L, 4L, 6L)))
+    // a PARTIAL scope tuple refuses (the spec matches full tuples)
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(1L).toDF("id"),
+        partitionScope = Map("nope" -> "1")))
+    assert(e.getMessage.contains("FULL partition tuple"), e.getMessage)
+  }
+
+  test("v2 guards: id-less equality deletes refuse on read") {
     import spark.implicits._
     import org.apache.avro.Schema
-    val t = newTable()
-    IcebergTable.append(spark, t,
-      Seq((1L, 1996), (2L, 1997)).toDF("id", "Year"), partitionBy = Seq("Year"))
-    val e = intercept[IllegalArgumentException](
-      IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(1L).toDF("id")))
-    assert(e.getMessage.contains("partitioned"), e.getMessage)
 
     // MALFORMED equality-delete refusal: an entry with content=2 but
     // NO equality_ids cannot be applied — reading past it would
