@@ -2565,6 +2565,63 @@ object CoreQueries {
       |  FROM orders WHERE o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
       |) ORDER BY o_orderkey, _change_type, o_totalprice""".stripMargin
 
+  private val S39Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s39_delta_dv_merge"
+  private val s39BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S39 — MERGE INTO a table carrying live DELETION VECTORS (r13
+    * verdict item 1: one `deleteWithDv` must not make the table
+    * read-only for merge): after a DV delete (`%7 = 3`, no file
+    * rewritten), ONE `DeltaLog.merge` updates the live `%10 < 2` rows
+    * and inserts the held-out `%5 = 4` keys. The copy-on-write scan
+    * reads the DV'd files through the anti-join, so (a) DV-dead rows
+    * are NOT matches — a dead key in the update set INSERTS instead of
+    * updating a ghost; (b) dead rows never resurrect into the rewrite;
+    * (c) rewritten files come out clean while untouched files keep
+    * their vectors. The oracle recomputes the end state from `orders`:
+    * one resurrected `%7 = 3` row (outside the update set), one lost
+    * survivor, or one double-applied update hash-fails.
+    */
+  def s39DeltaDvMerge(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    def proj(df: DataFrame) = df.select(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    s39BuiltFor.synchronized {
+      if (s39BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S39Root))
+        val all = proj(Tables.orders(spark, dir))
+        val base = all.filter(col("o_orderkey") % 5 =!= 4)
+        graft.sources.DeltaLog.append(spark, S39Root, base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.DeltaLog.append(spark, S39Root, base.filter(col("o_orderkey") % 2 =!= 0))
+        graft.sources.DeltaLog.deleteWithDv(spark, S39Root, col("o_orderkey") % 7 === 3)
+        val updated = base.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserted = all.filter(col("o_orderkey") % 5 === 4)
+        graft.sources.DeltaLog.merge(spark, S39Root,
+          updated.unionByName(inserted), keys = Seq("o_orderkey"))
+        s39BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S39Root).orderBy("o_orderkey")
+  }
+
+  /** End state per key k: `%5 = 4` → inserted verbatim; else `%10 < 2`
+    * → the merge row (update if it was live, RE-insert if the DV had
+    * killed it — merge matches only LIVE rows); else `%7 = 3` → still
+    * DV-dead; else the original row.
+    */
+  private val s39DeltaDvMergeSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
+      |       THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
+      |       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 5 = 4 OR o_orderkey % 10 < 2 OR NOT (o_orderkey % 7 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2813,6 +2870,7 @@ object CoreQueries {
     "s36_delta_restore" -> s36DeltaRestore _,
     "s37_iceberg_eq_delete" -> s37IcebergEqDelete _,
     "s38_delta_changes" -> s38DeltaChanges _,
+    "s39_delta_dv_merge" -> s39DeltaDvMerge _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3140,6 +3198,7 @@ object CoreQueries {
     "s36_delta_restore" -> s36DeltaRestoreSql,
     "s37_iceberg_eq_delete" -> s37IcebergEqDeleteSql,
     "s38_delta_changes" -> s38DeltaChangesSql,
+    "s39_delta_dv_merge" -> s39DeltaDvMergeSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -696,7 +696,9 @@ object DeltaLog {
     * huge table) costs a broadcast hash anti-join inside the scan
     * stage, no shuffle of the table.
     */
-  private def readWithDv(spark: SparkSession, tablePath: String, snap: Snapshot): DataFrame = {
+  private def readWithDv(
+      spark: SparkSession, tablePath: String, snap: Snapshot,
+      keepFile: Boolean = false): DataFrame = {
     val fs = fsOf(spark, new Path(tablePath))
     val (dvFiles, plainFiles) = snap.files.partition(_.dv.isDefined)
     val descs: Seq[(String, String, String, Int, Int)] = dvFiles.map { f =>
@@ -722,17 +724,33 @@ object DeltaLog {
     val scanned = readSnapshotFiles(spark, tablePath, snap, dvFiles,
         addFileColumn = true, addRowIndex = true)
       .withColumn("__fid", normalizedFileId(col("__file")))
-    val kept = scanned
+    val kept0 = scanned
       .join(delSide,
         scanned("__fid") === delSide("__dv_file") && scanned("__pos") === delSide("__dv_pos"),
         "left_anti")
-      .drop("__file", "__pos", "__fid")
+      .drop("__pos", "__fid")
+    val kept = if (keepFile) kept0 else kept0.drop("__file")
     val all =
       if (plainFiles.isEmpty) kept
       else kept.unionByName(
-        readSnapshotFiles(spark, tablePath, snap, plainFiles, addFileColumn = false))
-    snap.schema.fold(all)(s => all.select(s.fieldNames.map(col).toSeq: _*))
+        readSnapshotFiles(spark, tablePath, snap, plainFiles, addFileColumn = keepFile))
+    snap.schema.fold(all)(s => all.select(
+      (s.fieldNames.toSeq ++ (if (keepFile) Seq("__file") else Nil)).map(col): _*))
   }
+
+  /** DV-aware live-row scan of a file SUBSET — the shared rewrite scan
+    * of [[merge]], [[delete]] and [[compact]]: files carrying deletion
+    * vectors read through the anti-join (their DV-dead rows never
+    * resurrect into a copy-on-write rewrite), plain files scan
+    * directly. With `addFileColumn` each row carries its `__file`
+    * provenance.
+    */
+  private def readLiveRows(
+      spark: SparkSession, tablePath: String, snap: Snapshot,
+      files: Seq[DeltaFile], addFileColumn: Boolean): DataFrame =
+    if (files.exists(_.dv.isDefined))
+      readWithDv(spark, tablePath, snap.copy(files = files), keepFile = addFileColumn)
+    else readSnapshotFiles(spark, tablePath, snap, files, addFileColumn = addFileColumn)
 
   // -------------------------------------------- stats-based file skipping
 
@@ -1212,6 +1230,15 @@ object DeltaLog {
     * Exactly-once via the protocol's `txn` action, same as [[append]].
     * Returns the committed version (-1 when the txn epoch already
     * landed, or when the merge is a provable no-op).
+    *
+    * DELETION-VECTOR aware (r13 verdict item 1 — the refusal made one
+    * `deleteWithDv` turn the table read-only for merge): both the
+    * matched-file detection and the rewrite scan read DV-carrying
+    * files through the anti-join, so DV-dead rows neither count as
+    * matches nor resurrect into the rewrite; the rewritten files come
+    * out CLEAN (no descriptor — their DV-dead rows are physically
+    * gone), untouched files keep their vectors, and the orphaned DV
+    * bins age out under [[vacuum]].
     */
   def merge(
       spark: SparkSession, tablePath: String, updates: DataFrame, keys: Seq[String],
@@ -1225,9 +1252,6 @@ object DeltaLog {
     }
     val snap = snapshot(spark, tablePath, None)
     writeGuards(snap, tablePath, "merge")
-    require(snap.files.forall(_.dv.isEmpty),
-      "DeltaLog: merge (copy-on-write) over files carrying deletion vectors is " +
-        "not supported — the rewrite scan would resurrect DV-deleted rows")
     val schema = snap.schema.get
     val have = schema.fields.map(f => (f.name, f.dataType)).toSeq
     val incoming = updates.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -1239,22 +1263,24 @@ object DeltaLog {
     require(!schema.fieldNames.contains("__file"),
       "DeltaLog: a physical column named __file shadows the merge provenance column")
 
-    // 1. which live files hold a matched key (file-level copy-on-write)
+    // 1. which live files hold a matched LIVE key (file-level
+    // copy-on-write; DV-dead rows are not matches)
     val keyCols = keys.map(col)
     val affectedIds: Set[String] =
       if (snap.files.isEmpty) Set.empty
-      else readSnapshotFiles(spark, tablePath, snap, snap.files, addFileColumn = true)
+      else readLiveRows(spark, tablePath, snap, snap.files, addFileColumn = true)
         .join(updates.select(keyCols: _*).distinct(), keys, "left_semi")
         .select("__file").distinct()
         .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
     val affectedFiles = snap.files.filter(f => affectedIds.contains(fileIdentity(fs, tablePath, f)))
     if (affectedFiles.isEmpty && updates.isEmpty) return -1L
 
-    // 2. rewrite: unmatched survivors of the affected files + ALL updates
+    // 2. rewrite: unmatched LIVE survivors of the affected files + ALL
+    // updates (a DV'd file rewrites clean — its dead rows stay gone)
     val ordered = schema.fieldNames.map(col).toSeq
     val newData =
       if (affectedFiles.isEmpty) updates.select(ordered: _*)
-      else readSnapshotFiles(spark, tablePath, snap, affectedFiles, addFileColumn = false)
+      else readLiveRows(spark, tablePath, snap, affectedFiles, addFileColumn = false)
         .join(updates.select(keyCols: _*), keys, "left_anti")
         .select(ordered: _*)
         .unionByName(updates.select(ordered: _*))
@@ -1270,6 +1296,10 @@ object DeltaLog {
     * `dataChange = true`, one commit), files with no matching row are
     * untouched, and a file whose every row matches is dropped with no
     * replacement. NULL predicate rows survive (SQL DELETE semantics).
+    * Files carrying DELETION VECTORS participate: their DV-dead rows
+    * neither match the predicate nor survive into the rewrite, and a
+    * rewritten file comes out clean (no descriptor) — the copy-on-
+    * write DELETE composes with prior [[deleteWithDv]] commits.
     * Returns the committed version, or -1 when no row matched.
     */
   def delete(
@@ -1284,19 +1314,16 @@ object DeltaLog {
     }
     val snap = snapshot(spark, tablePath, None)
     writeGuards(snap, tablePath, "delete")
-    require(snap.files.forall(_.dv.isEmpty),
-      "DeltaLog: delete (copy-on-write) over files carrying deletion vectors is " +
-        "not supported — use deleteWithDv, which merges the vectors")
     require(!snap.schema.get.fieldNames.contains("__file"),
       "DeltaLog: a physical column named __file shadows the delete provenance column")
     if (snap.files.isEmpty) return -1L
-    val affectedIds = readSnapshotFiles(spark, tablePath, snap, snap.files, addFileColumn = true)
+    val affectedIds = readLiveRows(spark, tablePath, snap, snap.files, addFileColumn = true)
       .filter(predicate)
       .select("__file").distinct()
       .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
     val affectedFiles = snap.files.filter(f => affectedIds.contains(fileIdentity(fs, tablePath, f)))
     if (affectedFiles.isEmpty) return -1L
-    val survivors = readSnapshotFiles(spark, tablePath, snap, affectedFiles, addFileColumn = false)
+    val survivors = readLiveRows(spark, tablePath, snap, affectedFiles, addFileColumn = false)
       .filter(!coalesce(predicate, lit(false)))
     // a fully-matched file set drops with NO replacement add (an empty
     // parquet add would be valid but pointless); the isEmpty probe
@@ -1939,9 +1966,6 @@ object DeltaLog {
     val snap = snapshot(spark, tablePath, None)
     require(snap.columnMappingMode == "none",
       "DeltaLog: compaction of a column-mapped table is not supported (read-only here)")
-    require(snap.files.forall(_.dv.isEmpty),
-      "DeltaLog: compaction of files carrying deletion vectors is not supported — " +
-        "the bin-pack scan would resurrect DV-deleted rows")
     require(zorderBy.size <= 2,
       "DeltaLog: zorderBy takes one column (range clustering) or two (z-interleave)")
     zorderBy.foreach { c =>
@@ -1965,17 +1989,28 @@ object DeltaLog {
       .foreach { case (pvals, files) =>
         // z-order is a CLUSTERING rewrite: every file in the partition
         // participates so the result is globally range-disjoint; plain
-        // bin-packing only touches the small files
+        // bin-packing touches the small files plus every DV-carrying
+        // one (the rewrite PURGES its vector — Delta's OPTIMIZE does
+        // the same — so the output files are always clean)
         val small =
           if (zorderBy.nonEmpty) files
-          else files.filter(_.size < targetFileBytes)
-        if (small.size >= (if (zorderBy.nonEmpty) 1 else 2)) {
-          val paths = small.map(f => resolve(tablePath, f.path))
+          else files.filter(f => f.size < targetFileBytes || f.dv.isDefined)
+        // one DV-carrying file alone is still worth rewriting (purge);
+        // plain bin-packing needs at least two to pack
+        val worthIt =
+          if (zorderBy.nonEmpty) small.nonEmpty
+          else small.size >= 2 || small.exists(_.dv.isDefined)
+        if (worthIt) {
           val total = small.map(_.size).sum
           val nOut = math.max(1, ((total + targetFileBytes - 1) / targetFileBytes).toInt)
           val stage = new Path(table, s"_compact_stage_${stamp}_$group")
-          val reader = dataSchema.fold(spark.read)(s => spark.read.schema(s))
-          val base = reader.parquet(paths: _*)
+          // DV-aware live-row scan, then back to the DATA columns only
+          // (partition values re-attach via add.partitionValues)
+          val base0 = readLiveRows(spark, tablePath, snap, small, addFileColumn = false)
+          val base = dataSchema match {
+            case Some(s) => base0.select(s.fieldNames.map(col).toSeq: _*)
+            case None => snap.partitionColumns.foldLeft(base0)(_.drop(_))
+          }
           val rewritten = zorderBy match {
             case Seq() => base.coalesce(nOut)
             case Seq(a) =>

@@ -644,15 +644,20 @@ class DeltaLogSpec extends SparkSpec {
     // the DV'd adds kept their partitionValues (read attaches p from them)
     val snap = DeltaLog.snapshot(spark, t)
     assert(snap.files.filter(_.dv.isDefined).forall(_.partitionValues.keySet == Set("p")))
-    // copy-on-write writers refuse rather than resurrect DV-deleted rows
-    val eM = intercept[IllegalArgumentException](
-      DeltaLog.merge(spark, t, Seq((1L, "1")).toDF("id", "p"), Seq("id")))
-    assert(eM.getMessage.contains("deletion vectors"), eM.getMessage)
-    val eD = intercept[IllegalArgumentException](
-      DeltaLog.delete(spark, t, col("id") === 5L))
-    assert(eD.getMessage.contains("deletion vectors"), eD.getMessage)
-    val eC = intercept[IllegalArgumentException](DeltaLog.compact(spark, t))
-    assert(eC.getMessage.contains("deletion vectors"), eC.getMessage)
+    // copy-on-write ops are DV-aware on PARTITIONED tables too: a
+    // DV-dead key in the update set INSERTS (no ghost match), a live
+    // predicate rewrites its file clean, and compaction purges
+    DeltaLog.merge(spark, t, Seq((1L, "1")).toDF("id", "p"), Seq("id"))
+    assert(DeltaLog.read(spark, t).filter(col("id") === 1L).count() == 1L,
+      "a DV-dead key in the update set re-inserts")
+    DeltaLog.delete(spark, t, col("id") === 5L)
+    val expected = Seq(1L) ++ (4L to 12L).filterNot(_ == 5L)
+    assert(DeltaLog.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      expected)
+    assert(DeltaLog.compact(spark, t) > 0)
+    assert(DeltaLog.snapshot(spark, t).dvCardinality == 0L, "compaction purges the vectors")
+    assert(DeltaLog.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
+      expected)
   }
 
   test("DV tables checkpoint faithfully: descriptor + protocol survive log compaction") {
@@ -1064,6 +1069,69 @@ class DeltaLogSpec extends SparkSpec {
     val v = DeltaLog.append(spark, t, Seq(("b", 2L)).toDF("tag", "i"))
     assert(v == 2L, s"append should skip the occupied slot, landed at $v")
     assert(Files.isDirectory(Paths.get(s"$t/_delta_log/" + f"${1L}%020d.json")))
+  }
+
+  test("merge over DV-carrying files: dead rows neither match nor resurrect; rewrites come out clean") {
+    import spark.implicits._
+    val t = newTable()
+    // one file per parity so the copy-on-write split is observable
+    val base = (1L to 12L).map(i => (i, s"v$i"))
+    DeltaLog.append(spark, t, base.filter(_._1 % 2 == 0).toDF("id", "tag").coalesce(1))
+    DeltaLog.append(spark, t, base.filter(_._1 % 2 == 1).toDF("id", "tag").coalesce(1))
+    // DV-delete ids 3,6,9,12 — BOTH files now carry vectors
+    DeltaLog.deleteWithDv(spark, t, col("id") % 3L === 0L)
+    // merge: update id 2 (live), "update" id 6 (DV-dead → must INSERT,
+    // not match), insert id 99
+    val v = DeltaLog.merge(spark, t,
+      Seq((2L, "UP"), (6L, "BACK"), (99L, "NEW")).toDF("id", "tag"), Seq("id"))
+    assert(v > 0)
+    val got = DeltaLog.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expect = Seq(1L -> "v1", 2L -> "UP", 4L -> "v4", 5L -> "v5", 6L -> "BACK",
+      7L -> "v7", 8L -> "v8", 10L -> "v10", 11L -> "v11", 99L -> "NEW")
+    assert(got == expect, got.toString)
+    // every rewritten file is clean; only files untouched by the merge
+    // may still carry a vector
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.filter(_.path.contains("part-m")).forall(_.dv.isEmpty),
+      "rewritten files must not re-carry a deletion vector")
+    // a merge whose keys match ONLY DV-dead rows inserts, never rewrites
+    val before = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    DeltaLog.merge(spark, t, Seq((12L, "AGAIN")).toDF("id", "tag"), Seq("id"))
+    val after = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+    assert(before.subsetOf(after), "no pre-existing file should be rewritten")
+    assert(DeltaLog.read(spark, t).filter(col("id") === 12L).select("tag")
+      .as[String].head() == "AGAIN")
+  }
+
+  test("delete (CoW) over DV-carrying files composes; compact purges vectors, dataChange=false") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, (1L to 10L).map(i => (i, s"v$i")).toDF("id", "tag").coalesce(1))
+    DeltaLog.deleteWithDv(spark, t, col("id") <= 2L)
+    // CoW delete over the DV'd file: dead rows must not resurrect
+    val v = DeltaLog.delete(spark, t, col("id") >= 9L)
+    assert(v > 0)
+    assert(DeltaLog.read(spark, t).select("id").as[Long].collect().sorted.toSeq == (3L to 8L))
+    assert(DeltaLog.snapshot(spark, t).dvCardinality == 0L,
+      "the rewritten file is clean — the old DV went with the removed add")
+    // compact purges: re-create a DV'd state, then OPTIMIZE
+    val t2 = newTable()
+    DeltaLog.append(spark, t2, (1L to 8L).map(i => (i, i * 2)).toDF("id", "x").coalesce(1))
+    DeltaLog.append(spark, t2, (9L to 16L).map(i => (i, i * 2)).toDF("id", "x").coalesce(1))
+    DeltaLog.deleteWithDv(spark, t2, col("id") % 4L === 0L)
+    assert(DeltaLog.snapshot(spark, t2).dvCardinality == 4L)
+    val cv = DeltaLog.compact(spark, t2)
+    assert(cv > 0)
+    val snap2 = DeltaLog.snapshot(spark, t2)
+    assert(snap2.dvCardinality == 0L, "compaction purges deletion vectors")
+    assert(DeltaLog.read(spark, t2).select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 16L).filterNot(_ % 4 == 0))
+    // layout-only: the purge commit carries dataChange=false adds
+    val lines = Files.readAllLines(
+      Paths.get(s"$t2/_delta_log/" + f"$cv%020d.json")).toArray.mkString("\n")
+    assert(lines.contains(""""dataChange":false"""), lines)
+    assert(!lines.contains(""""dataChange":true"""), "a purge changes no logical row")
   }
 
   test("restore across a DV delete: the (path, dv) diff re-carries the target's descriptor") {
