@@ -2622,6 +2622,50 @@ object CoreQueries {
       |WHERE o_orderkey % 5 = 4 OR o_orderkey % 10 < 2 OR NOT (o_orderkey % 7 = 3)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S40Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s40_delta_v2cp"
+  private val s40BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S40 — V2 (UUID/sidecar) CHECKPOINTS, the modern Delta checkpoint
+    * form (`v2Checkpoint` table feature): after two appends and a DV
+    * delete, `writeCheckpointV2` upgrades the protocol, lands the file
+    * actions in a `_delta_log/_sidecars/` parquet, and points
+    * `_last_checkpoint` at the UUID-named checkpoint; the fixture then
+    * DELETES the whole JSON prefix, so the read below can only succeed
+    * by walking checkpoint → sidecar (protocol, schema, partition
+    * values, stats AND the deletion-vector descriptor all ride the
+    * sidecar). The oracle recomputes the surviving rows from `orders`;
+    * a dropped descriptor (resurrected rows), lost add, or mis-read
+    * sidecar hash-fails.
+    */
+  def s40DeltaV2Checkpoint(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s40BuiltFor.synchronized {
+      if (s40BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S40Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.DeltaLog.append(spark, S40Root, base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.DeltaLog.append(spark, S40Root, base.filter(col("o_orderkey") % 2 =!= 0))
+        graft.sources.DeltaLog.deleteWithDv(spark, S40Root, col("o_orderkey") % 7 === 3)
+        val cv = graft.sources.DeltaLog.writeCheckpointV2(spark, S40Root)
+        // simulate log cleanup: the JSON prefix is disposable now
+        (0L to cv).foreach { v =>
+          java.nio.file.Files.delete(java.nio.file.Paths.get(
+            s"$S40Root/_delta_log/" + f"$v%020d.json"))
+        }
+        s40BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S40Root).orderBy("o_orderkey")
+  }
+
+  private val s40DeltaV2CheckpointSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE NOT (o_orderkey % 7 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -2871,6 +2915,7 @@ object CoreQueries {
     "s37_iceberg_eq_delete" -> s37IcebergEqDelete _,
     "s38_delta_changes" -> s38DeltaChanges _,
     "s39_delta_dv_merge" -> s39DeltaDvMerge _,
+    "s40_delta_v2_checkpoint" -> s40DeltaV2Checkpoint _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3199,6 +3244,7 @@ object CoreQueries {
     "s37_iceberg_eq_delete" -> s37IcebergEqDeleteSql,
     "s38_delta_changes" -> s38DeltaChangesSql,
     "s39_delta_dv_merge" -> s39DeltaDvMergeSql,
+    "s40_delta_v2_checkpoint" -> s40DeltaV2CheckpointSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

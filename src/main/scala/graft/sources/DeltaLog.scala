@@ -90,6 +90,10 @@ object DeltaLog {
   private val JsonCommit = """^(\d{20})\.json$""".r
   private val Checkpoint = """^(\d{20})\.checkpoint\.parquet$""".r
   private val MultiPartCheckpoint = """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+  // V2 (UUID-named) checkpoints — the v2Checkpoint table feature:
+  // matched AFTER MultiPartCheckpoint (whose part.total infix would
+  // also fit this wildcard)
+  private val V2Checkpoint = """^(\d{20})\.checkpoint\.([A-Za-z0-9-]+)\.parquet$""".r
 
   private val mapper = new ObjectMapper()
 
@@ -98,13 +102,21 @@ object DeltaLog {
   private def checkpointPath(logDir: Path, v: Long): Path =
     new Path(logDir, f"$v%020d.checkpoint.parquet")
 
-  /** `checkpoints` maps a version to ALL its parquet parts — one path
-    * for a classic checkpoint, N for a complete multi-part one
-    * (incomplete part sets are ignored, as Delta's own reader does —
-    * a writer died mid-checkpoint and the JSON log still covers it).
+  /** One complete checkpoint at a version: `paths` is one parquet for
+    * a classic or V2 checkpoint, N for a complete multi-part one; `v2`
+    * flags the UUID-named V2 form whose file actions may live in
+    * `_sidecars/` parquet referenced by `sidecar` rows.
+    */
+  private final case class CheckpointRef(paths: Seq[String], v2: Boolean)
+
+  /** `checkpoints` maps a version to its best available checkpoint
+    * (classic wins over V2 wins over multi-part when several coexist;
+    * incomplete multi-part sets are ignored, as Delta's own reader
+    * does — a writer died mid-checkpoint and the JSON log still covers
+    * it).
     */
   private final case class LogListing(
-      jsons: Map[Long, String], checkpoints: Map[Long, Seq[String]])
+      jsons: Map[Long, String], checkpoints: Map[Long, CheckpointRef])
 
   private def logDirOf(tablePath: String): Path = new Path(tablePath, "_delta_log")
 
@@ -124,7 +136,7 @@ object DeltaLog {
     }.toMap
     val singles = files.flatMap { p =>
       p.getName match {
-        case Checkpoint(v) => Some(v.toLong -> Seq(p.toString))
+        case Checkpoint(v) => Some(v.toLong -> CheckpointRef(Seq(p.toString), v2 = false))
         case _ => None
       }
     }.toMap
@@ -141,9 +153,20 @@ object DeltaLog {
       val totals = parts.map(_._3).distinct
       val complete = totals.size == 1 &&
         parts.map(_._2).sorted == (1 to totals.head)
-      if (complete) Some(v -> parts.sortBy(_._2).map(_._4)) else None
+      if (complete) Some(v -> CheckpointRef(parts.sortBy(_._2).map(_._4), v2 = false)) else None
     }
-    val cps = multis ++ singles // singles override
+    // V2 (UUID-named): any one is complete by itself; pick the
+    // lexically-first name for determinism when several writers raced
+    val v2s = files.flatMap { p =>
+      p.getName match {
+        case MultiPartCheckpoint(_, _, _) => None // matched first — not a UUID name
+        case V2Checkpoint(v, _) => Some(v.toLong -> p.toString)
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (v, named) =>
+      v -> CheckpointRef(Seq(named.map(_._2).min), v2 = true)
+    }
+    val cps = multis ++ v2s ++ singles // later wins: classic > v2 > multi
     require(jsons.nonEmpty || cps.nonEmpty,
       s"DeltaLog: empty _delta_log under $tablePath")
     LogListing(jsons, cps)
@@ -171,6 +194,28 @@ object DeltaLog {
     if (parts <= 1) Seq(checkpointPath(logDir, v))
     else (1 to parts).map(i =>
       new Path(logDir, f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+
+  /** Locate the checkpoint at version `v` WITHOUT a directory listing
+    * (the `_last_checkpoint` fast path): the classic name, the
+    * declared multi-part set, or — one bounded glob — a V2 UUID name.
+    */
+  private def probeCheckpoint(
+      fs: FileSystem, logDir: Path, v: Long, parts: Int): Option[CheckpointRef] = {
+    val declared = checkpointPaths(logDir, v, parts)
+    if (declared.forall(fs.exists))
+      Some(CheckpointRef(declared.map(_.toString), v2 = false))
+    else {
+      val named = Option(fs.globStatus(new Path(logDir, f"$v%020d.checkpoint.*.parquet")))
+        .toSeq.flatten.map(_.getPath)
+        .filter(_.getName match {
+          case MultiPartCheckpoint(_, _, _) => false
+          case V2Checkpoint(_, _) => true
+          case _ => false
+        })
+        .map(_.toString).sorted
+      named.headOption.map(p => CheckpointRef(Seq(p), v2 = true))
+    }
+  }
 
   /** Normalize a source of raw protocol actions to the narrow relation
     * the replay runs over. Both the JSON commits and the checkpoint
@@ -260,7 +305,8 @@ object DeltaLog {
     * is exactly the guard bypass the r11 verdict flagged.
     */
   private def checkpointActions(
-      spark: SparkSession, version: Long, paths: Seq[String]): DataFrame = {
+      spark: SparkSession, version: Long, ref: CheckpointRef, logDir: Path): DataFrame = {
+    val paths = ref.paths
     val raw = spark.read.parquet(paths: _*)
     val cols = raw.schema.fieldNames.toSet
     require(cols.contains("protocol") && cols.contains("metaData"),
@@ -275,7 +321,28 @@ object DeltaLog {
     require(subField("protocol", "minReaderVersion") && subField("metaData", "partitionColumns"),
       s"DeltaLog: malformed checkpoint ${paths.head} — protocol.minReaderVersion / " +
         "metaData.partitionColumns missing from the checkpoint schema")
-    normalize(raw.withColumn("version", lit(version)))
+    val top = normalize(raw.withColumn("version", lit(version)))
+    if (!ref.v2) top
+    else {
+      // V2 checkpoints must self-identify with a checkpointMetadata
+      // row, and their file actions may live in SIDECAR parquet under
+      // _delta_log/_sidecars/ (referenced by `sidecar.path` — a bare
+      // file name or an absolute URI). Inline add/remove (legal too)
+      // already flow through `top`.
+      require(cols.contains("checkpointMetadata"),
+        s"DeltaLog: V2 checkpoint ${paths.head} carries no checkpointMetadata action — " +
+          "refusing a file that does not self-identify (spec requirement)")
+      val sidecars: Seq[String] =
+        if (!cols.contains("sidecar")) Seq.empty
+        else raw.filter(col("sidecar").isNotNull).select("sidecar.path")
+          .collect().map(_.getString(0)).toSeq.sorted.map { p =>
+            if (p.contains("://") || new Path(p).isAbsolute) p
+            else new Path(new Path(logDir, "_sidecars"), p).toString
+          }
+      if (sidecars.isEmpty) top
+      else top.union(normalize(
+        spark.read.parquet(sidecars: _*).withColumn("version", lit(version))))
+    }
   }
 
   /** The normalized actions DataFrame for a snapshot.
@@ -314,20 +381,19 @@ object DeltaLog {
                 s"version $w missing after checkpoint $c")
             log.jsons(w)
           }
-          val cp = checkpointActions(spark, c, log.checkpoints(c))
+          val cp = checkpointActions(spark, c, log.checkpoints(c), logDir)
           if (tail.isEmpty) cp else cp.union(jsonActions(spark, tail))
         }
       case None =>
         val fast = lastCheckpointVersion(fs, logDir)
-          .filter { case (c, parts) => checkpointPaths(logDir, c, parts).forall(fs.exists) }
+          .flatMap { case (c, parts) => probeCheckpoint(fs, logDir, c, parts).map((c, _)) }
         fast match {
-          case Some((c, parts)) =>
+          case Some((c, ref)) =>
             // no listing: probe forward for the commits after the checkpoint
             val tail = Iterator.iterate(c + 1)(_ + 1)
               .takeWhile(v => fs.exists(jsonPath(logDir, v)))
               .map(v => jsonPath(logDir, v).toString).toSeq
-            val cp = checkpointActions(spark, c,
-              checkpointPaths(logDir, c, parts).map(_.toString))
+            val cp = checkpointActions(spark, c, ref, logDir)
             if (tail.isEmpty) cp else cp.union(jsonActions(spark, tail))
           case None =>
             val log = listLog(spark, tablePath)
@@ -339,7 +405,7 @@ object DeltaLog {
                     s"DeltaLog: commit file for version $v missing after checkpoint $c")
                   log.jsons(v)
                 }
-                val cp = checkpointActions(spark, c, log.checkpoints(c))
+                val cp = checkpointActions(spark, c, log.checkpoints(c), logDir)
                 if (tail.isEmpty) cp else cp.union(jsonActions(spark, tail))
               case None =>
                 val missing = (0L to latest).filterNot(log.jsons.contains)
@@ -439,14 +505,15 @@ object DeltaLog {
       if (guard.isNullAt(3)) Set.empty else guard.getSeq[String](3).toSet
     readerVersion.foreach { rv =>
       // v3 tables declare their reader features explicitly; this reader
-      // implements deletionVectors and columnMapping (name mode) — any
-      // OTHER declared feature (v2Checkpoint, typeWidening, ...) refuses
-      val unsupported = readerFeats -- Set("deletionVectors", "columnMapping")
+      // implements deletionVectors, columnMapping (name mode) and
+      // v2Checkpoint — any OTHER declared feature (typeWidening, ...)
+      // refuses
+      val unsupported = readerFeats -- Set("deletionVectors", "columnMapping", "v2Checkpoint")
       require(rv <= 2 || (rv == 3 && unsupported.isEmpty),
         s"DeltaLog: minReaderVersion $rv with reader features " +
           s"[${readerFeats.mkString(",")}] requires " +
           s"[${unsupported.mkString(",")}] this reader does not implement " +
-          "(supported: column mapping name-mode, deletion vectors)")
+          "(supported: column mapping name-mode, deletion vectors, v2 checkpoints)")
     }
     // latest metaData wins (schema evolution replaces the action)
     val metaRow = acts
@@ -891,15 +958,14 @@ object DeltaLog {
     * checkpoint to carry — so guards still fire after the JSON prefix
     * is cleaned up. Returns the checkpointed version.
     */
-  def writeCheckpoint(spark: SparkSession, tablePath: String): Long = {
-    val logDir = logDirOf(tablePath)
-    val fs = fsOf(spark, logDir)
-    val log = listLog(spark, tablePath)
-    val latest = (log.jsons.keySet ++ log.checkpoints.keySet).max
-    val acts = actions(spark, tablePath, None)
-    val winners = reconcile(acts)
-    val snap = snapshot(spark, tablePath, None)
-    val actionRows = winners.select(
+  /** The (add, remove) checkpoint rows for a snapshot's reconciled
+    * winners — shared by the classic and V2 writers (V2 lands them in
+    * a SIDECAR parquet instead of the checkpoint file itself). Live
+    * deletion vectors survive — dropping the descriptor would
+    * RESURRECT every DV-deleted row after cleanup.
+    */
+  private def fileActionRows(winners: DataFrame): DataFrame =
+    winners.select(
       when(col("is_add"), struct(
         col("path"),
         coalesce(col("add_pvals"),
@@ -908,8 +974,6 @@ object DeltaLog {
         lit(0L).as("modificationTime"),
         lit(true).as("dataChange"),
         col("add_stats").as("stats"),
-        // live deletion vectors survive checkpointing — dropping the
-        // descriptor would RESURRECT every DV-deleted row after cleanup
         when(col("dv_storage").isNotNull, struct(
           col("dv_storage").as("storageType"),
           col("dv_path").as("pathOrInlineDv"),
@@ -920,6 +984,20 @@ object DeltaLog {
         col("path"),
         coalesce(col("remove_ts"), lit(0L)).as("deletionTimestamp"),
         lit(true).as("dataChange"))).as("remove"))
+
+  def writeCheckpoint(spark: SparkSession, tablePath: String): Long = {
+    val logDir = logDirOf(tablePath)
+    val fs = fsOf(spark, logDir)
+    // a table that has adopted the v2Checkpoint feature must not write
+    // classic checkpoints (spec) — delegate
+    if (snapshot(spark, tablePath, None).readerFeatures.contains("v2Checkpoint"))
+      return writeCheckpointV2(spark, tablePath)
+    val log = listLog(spark, tablePath)
+    val latest = (log.jsons.keySet ++ log.checkpoints.keySet).max
+    val acts = actions(spark, tablePath, None)
+    val winners = reconcile(acts)
+    val snap = snapshot(spark, tablePath, None)
+    val actionRows = fileActionRows(winners)
       .withColumn("protocol", lit(null).cast(StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
@@ -987,6 +1065,145 @@ object DeltaLog {
     require(fs.rename(part, target), s"DeltaLog: checkpoint move failed for $part")
     fs.delete(stage, true)
     val n = cpDf.count()
+    writeAtomic(fs, new Path(logDir, "_last_checkpoint"),
+      s"""{"version":$latest,"size":$n}""".getBytes("UTF-8"), overwrite = true)
+    latest
+  }
+
+  /** Write a V2 (UUID-named) checkpoint — the `v2Checkpoint` table
+    * feature: the file actions land in ONE sidecar parquet under
+    * `_delta_log/_sidecars/`, and the checkpoint file
+    * `%020d.checkpoint.<uuid>.parquet` carries the spec-required
+    * `checkpointMetadata` self-identification, the `sidecar` pointer
+    * rows, `protocol` + `metaData`, and the newest `txn` per appId.
+    * A table not yet declaring the feature gets a protocol-upgrade
+    * COMMIT first (readerVersion 3 / writerVersion 7 + v2Checkpoint,
+    * legacy implied features re-declared) — checkpoints themselves
+    * cannot change the protocol. `_last_checkpoint` then points at the
+    * version; [[probeCheckpoint]] locates the UUID name with one glob,
+    * so the no-listing fast path survives. Returns the checkpointed
+    * version (which is the upgrade commit's when one was needed).
+    *
+    * Scale shape: identical to the classic writer — the sidecar is the
+    * same file-cardinality relation, written distributed and moved
+    * once; splitting actions across MANY sidecars (what Delta does at
+    * 10^6-file scale) would only change the coalesce(1).
+    */
+  def writeCheckpointV2(spark: SparkSession, tablePath: String): Long = {
+    val logDir = logDirOf(tablePath)
+    val fs = fsOf(spark, logDir)
+    val snap0 = snapshot(spark, tablePath, None)
+    if (!(snap0.readerVersion.exists(_ >= 3) && snap0.readerFeatures.contains("v2Checkpoint"))) {
+      val rf = (snap0.readerFeatures + "v2Checkpoint" ++
+        (if (snap0.columnMappingMode != "none") Set("columnMapping") else Set.empty)).toSeq.sorted
+      val wf = (snap0.writerFeatures ++
+        Set("appendOnly", "invariants", "v2Checkpoint")).toSeq.sorted
+      val line = actionLineStatic { root =>
+        val p = root.putObject("protocol")
+        p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+        val rfa = p.putArray("readerFeatures"); rf.foreach(rfa.add)
+        val wfa = p.putArray("writerFeatures"); wf.foreach(wfa.add)
+      }
+      commitActions(fs, logDir, tablePath, _ => Seq(line))
+    }
+    val log = listLog(spark, tablePath)
+    val latest = (log.jsons.keySet ++ log.checkpoints.keySet).max
+    val acts = actions(spark, tablePath, None)
+    val winners = reconcile(acts)
+    val snap = snapshot(spark, tablePath, None)
+    val uuid = java.util.UUID.randomUUID().toString
+    // --- sidecar: the file actions, one parquet under _sidecars/
+    val fileRows = fileActionRows(winners)
+    val sidecarDir = new Path(logDir, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val stage = new Path(tablePath, s"_cp_stage_${uuid.take(8)}")
+    fileRows.coalesce(1).write.parquet(stage.toString)
+    val part = fs.globStatus(new Path(stage, "part-*.parquet"))(0).getPath
+    val sidecarName = s"$uuid.parquet"
+    val sidecarPath = new Path(sidecarDir, sidecarName)
+    require(fs.rename(part, sidecarPath), s"DeltaLog: sidecar move failed for $part")
+    fs.delete(stage, true)
+    val sidecarStat = fs.getFileStatus(sidecarPath)
+    // --- checkpoint file: protocol + metaData + txn + checkpointMetadata + sidecar
+    val addT = fileRows.schema("add").dataType
+    val removeT = fileRows.schema("remove").dataType
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType), StructField("version", LongType)))
+    val cpMetaT = StructType(Seq(
+      StructField("version", LongType),
+      StructField("tags", MapType(StringType, StringType))))
+    val sidecarT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType),
+      StructField("tags", MapType(StringType, StringType))))
+    def nulls(except: String*): Seq[Column] = {
+      val all = Seq(
+        "add" -> addT, "remove" -> removeT, "protocol" -> protocolT,
+        "metaData" -> metaT, "txn" -> txnT,
+        "checkpointMetadata" -> cpMetaT, "sidecar" -> sidecarT)
+      all.filterNot(kv => except.contains(kv._1))
+        .map { case (nm, t) => lit(null).cast(t).as(nm) }
+    }
+    def featArray(s: Set[String]): Column =
+      if (s.isEmpty) lit(null).cast(ArrayType(StringType))
+      else array(s.toSeq.sorted.map(lit): _*)
+    val headRow = spark.range(1).select(
+      (nulls("protocol", "metaData", "checkpointMetadata") ++ Seq(
+        struct(
+          lit(snap.readerVersion.getOrElse(3)).as("minReaderVersion"),
+          lit(snap.writerVersion.getOrElse(7)).as("minWriterVersion"),
+          featArray(snap.readerFeatures).as("readerFeatures"),
+          featArray(snap.writerFeatures).as("writerFeatures")).as("protocol"),
+        struct(
+          lit(snap.metaId.getOrElse("graft")).as("id"),
+          struct(
+            lit("parquet").as("provider"),
+            typedLit(Map.empty[String, String]).as("options")).as("format"),
+          lit(snap.schemaString.getOrElse("")).as("schemaString"),
+          snap.partitionColumns match {
+            case Seq() => array().cast(ArrayType(StringType)).as("partitionColumns")
+            case ps => array(ps.map(lit): _*).as("partitionColumns")
+          },
+          typedLit(snap.configuration).as("configuration")).as("metaData"),
+        struct(
+          lit(latest).as("version"),
+          lit(null).cast(MapType(StringType, StringType)).as("tags")).as("checkpointMetadata"))): _*)
+    val sidecarRow = spark.range(1).select(
+      (nulls("sidecar") :+ struct(
+        lit(sidecarName).as("path"),
+        lit(sidecarStat.getLen).as("sizeInBytes"),
+        lit(sidecarStat.getModificationTime).as("modificationTime"),
+        lit(null).cast(MapType(StringType, StringType)).as("tags")).as("sidecar")): _*)
+    val txnRows = acts.filter(col("txn_app").isNotNull)
+      .groupBy(col("txn_app")).agg(max(col("txn_version")).as("v"))
+      .select((nulls("txn") :+
+        struct(col("txn_app").as("appId"), col("v").as("version")).as("txn")): _*)
+    val order = Seq("add", "remove", "protocol", "metaData", "txn",
+      "checkpointMetadata", "sidecar").map(col)
+    val cpDf = headRow.select(order: _*)
+      .unionByName(sidecarRow.select(order: _*))
+      .unionByName(txnRows.select(order: _*))
+    val stage2 = new Path(tablePath, s"_cp_stage_${uuid.take(8)}b")
+    cpDf.coalesce(1).write.parquet(stage2.toString)
+    val part2 = fs.globStatus(new Path(stage2, "part-*.parquet"))(0).getPath
+    val target = new Path(logDir, f"$latest%020d.checkpoint.$uuid.parquet")
+    require(fs.rename(part2, target), s"DeltaLog: checkpoint move failed for $part2")
+    fs.delete(stage2, true)
+    val n = cpDf.count() + fileRows.count()
     writeAtomic(fs, new Path(logDir, "_last_checkpoint"),
       s"""{"version":$latest,"size":$n}""".getBytes("UTF-8"), overwrite = true)
     latest
@@ -1192,7 +1409,7 @@ object DeltaLog {
     */
   private def protocolWriteGuards(snap: Snapshot, op: String): Unit = {
     val unknown = snap.writerFeatures --
-      Set("appendOnly", "invariants", "deletionVectors", "columnMapping")
+      Set("appendOnly", "invariants", "deletionVectors", "columnMapping", "v2Checkpoint")
     require(unknown.isEmpty,
       s"DeltaLog: $op into a table declaring writer features " +
         s"[${unknown.mkString(",")}] this writer does not implement")
@@ -1926,9 +2143,15 @@ object DeltaLog {
           s"DeltaLog: commit rename failed for $target with no competing commit present")
       }
     }
+    // the floor version counts CHECKPOINTS too: after log cleanup the
+    // JSON prefix is gone and the checkpoint is the only witness of
+    // the table's version — a JSON-only scan would re-commit version 0
     val existing = if (fs.exists(logDir))
       fs.listStatus(logDir).toSeq.map(_.getPath.getName).collect {
         case JsonCommit(v) => v.toLong
+        case Checkpoint(v) => v.toLong
+        case MultiPartCheckpoint(v, _, _) => v.toLong
+        case V2Checkpoint(v, _) => v.toLong
       } else Seq.empty
     var version = if (existing.isEmpty) 0L else existing.max + 1
     var attempts = 0

@@ -347,10 +347,10 @@ class DeltaLogSpec extends SparkSpec {
     val t1 = newTable()
     dataFile(t1, "a.parquet", "a", 1)
     commit(t1, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"]}}""",
       Meta, add("a.parquet")))
     val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark, t1))
-    assert(e1.getMessage.contains("v2Checkpoint"), e1.getMessage)
+    assert(e1.getMessage.contains("typeWidening"), e1.getMessage)
     // reader version 4 refuses even with supported features alone
     val t1b = newTable()
     dataFile(t1b, "a.parquet", "a", 1)
@@ -1069,6 +1069,47 @@ class DeltaLogSpec extends SparkSpec {
     val v = DeltaLog.append(spark, t, Seq(("b", 2L)).toDF("tag", "i"))
     assert(v == 2L, s"append should skip the occupied slot, landed at $v")
     assert(Files.isDirectory(Paths.get(s"$t/_delta_log/" + f"${1L}%020d.json")))
+  }
+
+  test("V2 checkpoints: UUID name + sidecar, protocol auto-upgrade, read after JSON cleanup") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, (1L to 6L).map(i => (i, s"v$i")).toDF("id", "tag").coalesce(1))
+    DeltaLog.append(spark, t, (7L to 12L).map(i => (i, s"v$i")).toDF("id", "tag").coalesce(1),
+      txn = Some(("app-x", 41L)))
+    // a live DV must survive the checkpoint via the sidecar descriptor
+    DeltaLog.deleteWithDv(spark, t, col("id") % 5L === 0L)
+    val cv = DeltaLog.writeCheckpointV2(spark, t)
+    assert(cv == 3L, s"upgrade commit (v3) is the checkpointed version, got $cv")
+    // layout: UUID-named checkpoint + one sidecar parquet
+    val logDir = new java.io.File(s"$t/_delta_log")
+    val cpName = logDir.list().filter(_.matches("""\d{20}\.checkpoint\.[a-f0-9-]+\.parquet""")).toSeq
+    assert(cpName.size == 1, logDir.list().mkString(","))
+    assert(new java.io.File(s"$t/_delta_log/_sidecars").list().count(_.endsWith(".parquet")) == 1)
+    val cp = spark.read.parquet(s"$t/_delta_log/${cpName.head}")
+    assert(cp.filter(col("checkpointMetadata").isNotNull)
+      .select("checkpointMetadata.version").as[Long].head() == cv)
+    assert(cp.filter(col("sidecar").isNotNull).count() == 1L)
+    assert(cp.filter(col("add").isNotNull).count() == 0L,
+      "file actions live in the sidecar, not inline")
+    // JSON prefix cleanup: the v2 checkpoint must carry EVERYTHING
+    (0L to cv).foreach(v => Files.delete(Paths.get(s"$t/_delta_log/" + f"$v%020d.json")))
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.readerVersion.contains(3) && snap.readerFeatures.contains("v2Checkpoint"))
+    assert(snap.dvCardinality == 2L, "the DV descriptor survives via the sidecar")
+    assert(DeltaLog.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 12L).filterNot(_ % 5 == 0))
+    assert(DeltaLog.lastTxnVersion(spark, t, "app-x").contains(41L),
+      "txn actions survive v2 checkpointing")
+    // post-cleanup appends continue the version line (checkpoint floor)
+    val v2 = DeltaLog.append(spark, t, Seq((99L, "new")).toDF("id", "tag"))
+    assert(v2 == cv + 1, s"append after cleanup must land at ${cv + 1}, got $v2")
+    assert(DeltaLog.read(spark, t).count() == 11L)
+    // once the feature is adopted, the CLASSIC writer delegates to v2
+    DeltaLog.writeCheckpoint(spark, t)
+    val cps2 = logDir.list().filter(_.matches("""\d{20}\.checkpoint\.[a-f0-9-]+\.parquet""")).toSeq
+    assert(cps2.size == 2, s"second checkpoint must be V2 too: ${logDir.list().mkString(",")}")
+    assert(!logDir.list().exists(_.matches("""\d{20}\.checkpoint\.parquet""")))
   }
 
   test("merge over DV-carrying files: dead rows neither match nor resurrect; rewrites come out clean") {
