@@ -468,8 +468,8 @@ object DeltaLog {
         scala.util.Try(DataType.fromJson(s)).toOption.collect { case st: StructType => st })
 
     /** `delta.columnMapping.mode` from the table configuration —
-      * "none" (default), "name" (supported, metadata-only renames), or
-      * "id" (refused: requires parquet field-id resolution).
+      * "none" (default), "name" (physical-name renames, read+write) or
+      * "id" (parquet field-id resolution, read+write).
       */
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -485,6 +485,28 @@ object DeltaLog {
       }.toMap
       case None => Map.empty
     }
+
+    /** logical name -> `delta.columnMapping.id` — the parquet FIELD ID
+      * an id-mode table resolves its columns by (the mode `CONVERT TO
+      * DELTA` over Iceberg produces, where the parquet column NAMES are
+      * the original Iceberg names and only the ids are stable).
+      */
+    def fieldIds: Map[String, Long] = schema match {
+      case Some(s) => s.fields.flatMap { f =>
+        if (f.metadata.contains("delta.columnMapping.id"))
+          Some(f.name -> f.metadata.getLong("delta.columnMapping.id"))
+        else None
+      }.toMap
+      case None => Map.empty
+    }
+
+    /** The key a column uses in `add.partitionValues` (and in per-file
+      * stats): the PHYSICAL name under column mapping, the logical name
+      * otherwise — the spec keys both by physical name in either
+      * mapping mode.
+      */
+    def pvKey(c: String): String =
+      if (columnMappingMode == "none") c else physicalNames.getOrElse(c, c)
   }
 
   def snapshot(
@@ -645,13 +667,16 @@ object DeltaLog {
         versionAsOf.fold("")(v => s" at version $v") + " has no live data files")
     snap.columnMappingMode match {
       case "none" => ()
-      case "name" =>
-        require(snap.files.forall(_.dv.isEmpty),
-          "DeltaLog: deletion vectors on a column-mapped table are not supported")
-        return readNameMapped(spark, tablePath, snap)
+      case "name" | "id" =>
+        // the mapped scan path composes with deletion vectors: the DV
+        // anti-join keys on `_metadata.row_index` + file identity,
+        // both orthogonal to the physical->logical projection
+        return (if (snap.files.exists(_.dv.isDefined)) readWithDv(spark, tablePath, snap)
+                else readSnapshotFiles(spark, tablePath, snap, snap.files,
+                  addFileColumn = false))
       case other => throw new IllegalArgumentException(
-        s"DeltaLog: column mapping mode '$other' is not supported — only 'name' " +
-          "(metadata renames) is implemented; 'id' needs parquet field-id resolution")
+        s"DeltaLog: column mapping mode '$other' is not supported — " +
+          "'name' (physical renames) and 'id' (parquet field ids) are implemented")
     }
     if (snap.files.exists(_.dv.isDefined)) return readWithDv(spark, tablePath, snap)
     val declared = snap.schema
@@ -696,42 +721,75 @@ object DeltaLog {
     }
   }
 
-  /** Read a `delta.columnMapping.mode = name` table (r12 verdict
-    * missing-item 2 — any table written by 2023+ Databricks defaults):
-    * data files carry PHYSICAL column names (the per-field
-    * `delta.columnMapping.physicalName` the protocol stores inside
-    * schemaString), `add.partitionValues` is keyed by physical names,
-    * and `metaData.partitionColumns` stays logical. The translation is
-    * metadata-only: scan with the physical schema, alias back to
-    * logical names, attach partition values under their logical
-    * columns. Nested structs would need recursive renames — refused
-    * loudly rather than half-read.
+  private def hasNestedStruct(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case a: ArrayType => hasNestedStruct(a.elementType)
+    case m: MapType => hasNestedStruct(m.keyType) || hasNestedStruct(m.valueType)
+    case _ => false
+  }
+
+  /** Read a file SUBSET of a COLUMN-MAPPED table (r12 verdict item:
+    * any table written by 2023+ Databricks defaults to `name` mode;
+    * `CONVERT TO DELTA` over Iceberg produces `id` mode):
+    *  - `name` mode: data files carry PHYSICAL column names (the
+    *    per-field `delta.columnMapping.physicalName` the protocol
+    *    stores inside schemaString) — scan with the physical schema,
+    *    alias back to logical names;
+    *  - `id` mode: columns resolve by PARQUET FIELD ID (the file's
+    *    column names are whatever the original writer used) — the read
+    *    schema carries `parquet.field.id` metadata and Spark's own
+    *    field-id resolution does the matching, so the fields come back
+    *    already under their logical names.
+    * In BOTH modes `add.partitionValues` is keyed by physical names
+    * while `metaData.partitionColumns` stays logical. Nested structs
+    * would need recursive renames — refused loudly rather than
+    * half-read. `__file`/`__pos` provenance columns attach exactly as
+    * in the unmapped scan, so deletion vectors and the copy-on-write
+    * rewrite scans compose unchanged.
     */
-  private def readNameMapped(
-      spark: SparkSession, tablePath: String, snap: Snapshot): DataFrame = {
+  private def readMappedFiles(
+      spark: SparkSession, tablePath: String, snap: Snapshot,
+      files: Seq[DeltaFile], addFileColumn: Boolean, addRowIndex: Boolean): DataFrame = {
     val logical = snap.schema.getOrElse(throw new IllegalArgumentException(
       s"DeltaLog: column-mapped table $tablePath has no parseable metaData.schemaString"))
-    def hasStruct(dt: DataType): Boolean = dt match {
-      case _: StructType => true
-      case a: ArrayType => hasStruct(a.elementType)
-      case m: MapType => hasStruct(m.keyType) || hasStruct(m.valueType)
-      case _ => false
-    }
-    require(logical.fields.forall(f => !hasStruct(f.dataType)),
+    require(logical.fields.forall(f => !hasNestedStruct(f.dataType)),
       "DeltaLog: column mapping over nested struct columns is not supported")
+    val mode = snap.columnMappingMode
     val phys = snap.physicalNames
+    val ids = snap.fieldIds
+    if (mode == "id") {
+      require(logical.fields.forall(f => ids.contains(f.name)),
+        s"DeltaLog: id-mapped table $tablePath has fields without delta.columnMapping.id")
+      // session-conf driven (Spark reads it at scan build time, not
+      // per-relation); leaving it on is harmless — fields WITHOUT id
+      // metadata keep resolving by name as always
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    }
     val pcols = snap.partitionColumns
     val dataFields = logical.fields.filterNot(f => pcols.contains(f.name)).toSeq
-    val physDataSchema = StructType(
-      dataFields.map(f => StructField(phys(f.name), f.dataType, f.nullable)))
+    val readSchema = StructType(dataFields.map { f =>
+      if (mode == "id")
+        StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder().putLong("parquet.field.id", ids(f.name)).build())
+      else StructField(phys(f.name), f.dataType, f.nullable)
+    })
+    def withFile(d: DataFrame): DataFrame = {
+      val a = if (addFileColumn) d.withColumn("__file", col("_metadata.file_path")) else d
+      if (addRowIndex) a.withColumn("__pos", col("_metadata.row_index")) else a
+    }
+    val extras = (if (addFileColumn) Seq("__file") else Nil) ++
+      (if (addRowIndex) Seq("__pos") else Nil)
+    def toLogical(d: DataFrame): DataFrame = d.select(
+      (dataFields.map(f =>
+        if (mode == "id") col(f.name) else col(phys(f.name)).as(f.name)) ++
+        extras.map(col)): _*)
     val ptypes: Map[String, DataType] =
       logical.fields.filter(f => pcols.contains(f.name)).map(f => f.name -> f.dataType).toMap
-    val groups = snap.files.groupBy(_.partitionValues).toSeq
-      .sortBy { case (pv, _) => pcols.map(c => pv.getOrElse(phys(c), "")).mkString("") }
+    val groups = files.groupBy(_.partitionValues).toSeq
+      .sortBy { case (pv, _) => pcols.map(c => pv.getOrElse(phys(c), "")).mkString("") }
     val branches = groups.map { case (pv, group) =>
-      val base = spark.read.schema(physDataSchema)
-        .parquet(group.map(f => resolve(tablePath, f.path)): _*)
-        .select(dataFields.map(f => col(phys(f.name)).as(f.name)): _*)
+      val base = toLogical(withFile(spark.read.schema(readSchema)
+        .parquet(group.map(f => resolve(tablePath, f.path)): _*)))
       pcols.foldLeft(base) { (d, c) =>
         val t = ptypes.getOrElse(c, StringType)
         // partitionValues keys are PHYSICAL names under column mapping
@@ -741,7 +799,8 @@ object DeltaLog {
         }
       }
     }
-    branches.reduce(_.unionByName(_)).select(logical.fieldNames.map(col).toSeq: _*)
+    branches.reduce(_.unionByName(_))
+      .select((logical.fieldNames.toSeq ++ extras).map(col): _*)
   }
 
   /** `_metadata.file_path` (a URI like `file:///x` or `hdfs://nn/x`)
@@ -878,6 +937,8 @@ object DeltaLog {
       snap: Snapshot, column: String, lower: Any, upper: Any): Seq[DeltaFile] = {
     val dtOpt =
       snap.schema.flatMap(_.find(_.name == column)).map(_.dataType)
+    // stats and partitionValues key by the PHYSICAL name under mapping
+    val statsKey = snap.pvKey(column)
     dtOpt match {
       case None => snap.files
       case Some(dt) =>
@@ -885,7 +946,7 @@ object DeltaLog {
           case (Some(lo), Some(hi)) =>
             if (snap.partitionColumns.contains(column)) {
               snap.files.filter { f =>
-                f.partitionValues.get(column).flatMap(Option(_))
+                f.partitionValues.get(statsKey).flatMap(Option(_))
                   .flatMap(v => comparable(dt, v).orElse(
                     scala.util.Try(v.toDouble).toOption.map(d => Left(d): Either[Double, String])))
                 match {
@@ -898,8 +959,8 @@ object DeltaLog {
                 scala.util.Try {
                   val node = mapper.readTree(s)
                   for {
-                    mnN <- Option(node.get("minValues")).flatMap(m => Option(m.get(column)))
-                    mxN <- Option(node.get("maxValues")).flatMap(m => Option(m.get(column)))
+                    mnN <- Option(node.get("minValues")).flatMap(m => Option(m.get(statsKey)))
+                    mxN <- Option(node.get("maxValues")).flatMap(m => Option(m.get(statsKey)))
                     mn <- jsonComparable(dt, mnN)
                     mx <- jsonComparable(dt, mxN)
                   } yield (mn, mx)
@@ -927,8 +988,6 @@ object DeltaLog {
       spark: SparkSession, tablePath: String, column: String,
       lower: Any, upper: Any, versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, versionAsOf)
-    require(snap.columnMappingMode == "none",
-      "DeltaLog: readRange over a column-mapped table is not supported")
     val declared = snap.schema.getOrElse(throw new IllegalArgumentException(
       s"DeltaLog: readRange needs a parseable metaData.schemaString at $tablePath"))
     require(declared.fieldNames.contains(column),
@@ -1244,7 +1303,11 @@ object DeltaLog {
       spark: SparkSession, tablePath: String, df: DataFrame,
       checkpointInterval: Int = 10, partitionBy: Seq[String] = Seq.empty,
       allowSchemaEvolution: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      columnMapping: String = "none",
+      configuration: Map[String, String] = Map.empty): Long = {
+    require(Set("none", "name", "id")(columnMapping),
+      s"DeltaLog: columnMapping must be none|name|id, got '$columnMapping'")
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, "_delta_log")
@@ -1256,14 +1319,29 @@ object DeltaLog {
       if (lastTxnVersion(spark, tablePath, appId).exists(_ >= epoch)) return -1L
     }
     var evolvedId: Option[String] = None // Some(tableId) => emit a new metaData action
+    // mapping state the WRITE side uses: the existing table's mode, or
+    // (at creation) the requested one with freshly assigned ids +
+    // physical names decorated into the declared schema
+    var declaredSchema: StructType = df.schema
+    var mapSnap: Option[Snapshot] = None // carries mode/physicalNames/fieldIds
+    var carryConfig: Map[String, String] = Map.empty // existing config, re-emitted on evolution
     if (tableExists) {
       // schema + partitioning gates: a silent append of a different
       // shape corrupts the table for every reader that trusts
       // metaData.schemaString / partitionColumns
       val snap = snapshot(spark, tablePath, None)
-      require(snap.columnMappingMode == "none",
-        "DeltaLog: append into a column-mapped table is not supported (read-only here)")
-      protocolWriteGuards(snap, "append")
+      require(columnMapping == "none" || columnMapping == snap.columnMappingMode,
+        s"DeltaLog: columnMapping='$columnMapping' is a CREATION option — the existing " +
+          s"table declares mode '${snap.columnMappingMode}'")
+      require(configuration.isEmpty || configuration.forall {
+          case (k, v) => snap.configuration.get(k).contains(v) },
+        "DeltaLog: configuration is a CREATION option — the existing table already " +
+          s"declares ${snap.configuration}")
+      carryConfig = snap.configuration
+      if (snap.columnMappingMode != "none") {
+        writeGuards(snap, tablePath, "append")
+        mapSnap = Some(snap)
+      } else protocolWriteGuards(snap, "append")
       snap.schema.foreach { s =>
         val have = s.fields.map(f => (f.name, f.dataType)).toSeq
         val incoming = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -1273,6 +1351,9 @@ object DeltaLog {
               s"DeltaLog: append schema mismatch — table declares ${s.simpleString}, " +
                 s"append brings ${df.schema.simpleString} " +
                 "(pass allowSchemaEvolution = true for add-column evolution)")
+          require(snap.columnMappingMode == "none",
+            "DeltaLog: schema evolution into a column-mapped table is not supported — " +
+              "new columns need fresh delta.columnMapping ids past maxColumnId")
           // ADD-COLUMN evolution only: every declared column must
           // survive with its type (no drops, no retypes — those change
           // the meaning of already-written files); the commit then
@@ -1290,38 +1371,78 @@ object DeltaLog {
       require(snap.partitionColumns == partitionBy,
         s"DeltaLog: append partitioning mismatch — table declares " +
           s"[${snap.partitionColumns.mkString(",")}], append brings [${partitionBy.mkString(",")}]")
+    } else if (columnMapping != "none") {
+      // CREATE a column-mapped table: assign ids 1..n and col-<uuid>
+      // physical names per field (the convention Delta's own writer
+      // uses), declare the mode + maxColumnId in the configuration,
+      // and adopt the columnMapping table feature at (3, 7)
+      declaredSchema = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}").build())
+      })
+      mapSnap = Some(Snapshot(Seq.empty, None, Some(declaredSchema.json),
+        partitionBy, Map("delta.columnMapping.mode" -> columnMapping)))
     }
     partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
       s"DeltaLog: partition column $c missing from the append schema"))
     fs.mkdirs(logDir)
-    // moved: (relative path, partitionValues, size, mtime) per file
-    val moved = stageAndMove(fs, table, df, partitionBy, "part")
+    val physDf = mapSnap.fold(df)(s => toPhysical(spark, s, df))
+    val physBy = mapSnap.fold(partitionBy)(s => partitionBy.map(s.pvKey))
+    // moved: (relative path, partitionValues, size, mtime) per file —
+    // partitionValues keyed physical for mapped tables (spec)
+    val moved = stageAndMove(fs, table, physDf, physBy, "part")
 
     def actionLine(build: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
       val root = mapper.createObjectNode()
       build(root)
       mapper.writeValueAsString(root)
     }
+    val cdfAtCreation = !tableExists &&
+      configuration.get("delta.enableChangeDataFeed").contains("true")
     val protocolLine = actionLine { root =>
       val p = root.putObject("protocol")
-      p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
+      if (!tableExists && (columnMapping != "none" || cdfAtCreation)) {
+        // column mapping / change data feed are TABLE FEATURES —
+        // declared explicitly at writer 7 rather than via the legacy
+        // minWriterVersion 5 / 4; columnMapping alone needs reader 3
+        p.put("minReaderVersion", if (columnMapping != "none") 3 else 1)
+        p.put("minWriterVersion", 7)
+        if (columnMapping != "none")
+          p.putArray("readerFeatures").add("columnMapping")
+        val wf = p.putArray("writerFeatures")
+        if (columnMapping != "none") wf.add("columnMapping")
+        if (cdfAtCreation) wf.add("changeDataFeed")
+      } else {
+        p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
+      }
     }
     val metaLine = actionLine { root =>
       val m = root.putObject("metaData")
       // evolution REPLACES the metaData action but keeps the table id
       m.put("id", evolvedId.getOrElse(s"graft-${java.util.UUID.randomUUID()}"))
       val f = m.putObject("format"); f.put("provider", "parquet"); f.putObject("options")
-      m.put("schemaString", df.schema.json)
+      m.put("schemaString", declaredSchema.json)
       val pc = m.putArray("partitionColumns")
       partitionBy.foreach(pc.add)
-      m.putObject("configuration")
+      val cfg = m.putObject("configuration")
+      // creation declares the requested config; an EVOLUTION metaData
+      // re-emits the existing one (dropping it would silently turn off
+      // change-data-feed / mapping for every later reader)
+      (if (tableExists) carryConfig else configuration)
+        .foreach { case (k, v) => cfg.put(k, v) }
+      if (!tableExists && columnMapping != "none") {
+        cfg.put("delta.columnMapping.mode", columnMapping)
+        cfg.put("delta.columnMapping.maxColumnId", declaredSchema.size.toString)
+      }
     }
     val addLines = moved.map { case (name, pvals, len, mtime) =>
       actionLine { root =>
         val a = root.putObject("add")
         a.put("path", encodePath(name))
         val pv = a.putObject("partitionValues")
-        partitionBy.foreach { c =>
+        physBy.foreach { c =>
           pvals.get(c) match {
             case Some(null) | None => pv.putNull(c)
             case Some(v) => pv.put(c, v)
@@ -1363,6 +1484,8 @@ object DeltaLog {
       spark: SparkSession, tablePath: String, snap: Snapshot,
       files: Seq[DeltaFile], addFileColumn: Boolean,
       addRowIndex: Boolean = false): DataFrame = {
+    if (snap.columnMappingMode != "none")
+      return readMappedFiles(spark, tablePath, snap, files, addFileColumn, addRowIndex)
     val declared = snap.schema
     val pcols = snap.partitionColumns
     def withFile(d: DataFrame): DataFrame = {
@@ -1409,24 +1532,122 @@ object DeltaLog {
     */
   private def protocolWriteGuards(snap: Snapshot, op: String): Unit = {
     val unknown = snap.writerFeatures --
-      Set("appendOnly", "invariants", "deletionVectors", "columnMapping", "v2Checkpoint")
+      Set("appendOnly", "invariants", "deletionVectors", "columnMapping", "v2Checkpoint",
+        "changeDataFeed")
     require(unknown.isEmpty,
       s"DeltaLog: $op into a table declaring writer features " +
         s"[${unknown.mkString(",")}] this writer does not implement")
     snap.writerVersion.foreach { v =>
-      require(v <= 2 || v == 7,
-        s"DeltaLog: $op into a table with legacy minWriterVersion $v — versions 3-6 " +
-          "imply writer-enforced invariants (constraints, generated/identity columns, " +
-          "column mapping) this writer does not implement")
+      if (v >= 3 && v <= 6) {
+        // column mapping (v5) is implemented; the OTHER implied
+        // enforcement duties only bind when their metadata is ACTIVE —
+        // a constraint in delta.constraints.*, a generation/identity
+        // expression or an invariant on some field. A v3-6 table with
+        // none of those has nothing for this writer to enforce; one
+        // WITH them must refuse (writing without enforcement corrupts
+        // the table's declared guarantees).
+        require(snap.schemaString.isEmpty || snap.schema.isDefined,
+          s"DeltaLog: $op into a legacy minWriterVersion $v table whose schemaString " +
+            "does not parse — implied writer invariants cannot be checked")
+        val constraints = snap.configuration.keys.filter(_.startsWith("delta.constraints."))
+        def flagged(key: String): Seq[String] = snap.schema.toSeq.flatMap(
+          _.fields.filter(_.metadata.contains(key)).map(f => s"${f.name}($key)"))
+        val active = constraints.toSeq ++ flagged("delta.invariants") ++
+          flagged("delta.generationExpression") ++
+          flagged("delta.identity.start") ++ flagged("delta.identity.allowExplicitInsert")
+        require(active.isEmpty,
+          s"DeltaLog: $op into a table with legacy minWriterVersion $v declaring ACTIVE " +
+            s"writer-enforced invariants [${active.mkString(", ")}] this writer does " +
+            "not implement")
+      }
     }
   }
 
   private def writeGuards(snap: Snapshot, tablePath: String, op: String): Unit = {
-    require(snap.columnMappingMode == "none",
-      s"DeltaLog: $op into a column-mapped table is not supported (read-only here)")
     require(snap.schema.isDefined,
       s"DeltaLog: $op requires a parseable metaData.schemaString at $tablePath")
+    if (snap.columnMappingMode != "none")
+      require(snap.schema.get.fields.forall(f => !hasNestedStruct(f.dataType)),
+        s"DeltaLog: $op into a column-mapped table with nested struct columns is not supported")
     protocolWriteGuards(snap, op)
+  }
+
+  /** A logical-schema frame renamed for the DATA FILES of a mapped
+    * table: columns take their PHYSICAL names, and in `id` mode each
+    * carries its `parquet.field.id` so the written footers resolve by
+    * field id (Spark's field-id write is on by default; pinned here so
+    * a session override can't silently strip the ids).
+    */
+  private def toPhysical(
+      spark: SparkSession, snap: Snapshot, df: DataFrame): DataFrame = {
+    val mode = snap.columnMappingMode
+    if (mode == "none") return df
+    val phys = snap.physicalNames
+    val ids = snap.fieldIds
+    if (mode == "id") {
+      // extra NON-TABLE columns (the change-data-feed `_change_type`)
+      // pass through unmapped; every TABLE field must carry its id
+      require(df.schema.fieldNames.filter(phys.contains).forall(ids.contains),
+        "DeltaLog: id-mapped write with fields missing delta.columnMapping.id")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    }
+    df.select(df.schema.fields.map { f =>
+      val md =
+        if (mode == "id" && ids.contains(f.name))
+          new MetadataBuilder().putLong("parquet.field.id", ids(f.name)).build()
+        else Metadata.empty
+      col(f.name).as(phys.getOrElse(f.name, f.name), md)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Partition columns under their on-disk (physical) names — what
+    * [[stageAndMove]] must partition the staged write by so the
+    * returned partitionValues come back keyed exactly as
+    * `add.partitionValues` requires.
+    */
+  private def physPartitionBy(snap: Snapshot): Seq[String] =
+    snap.partitionColumns.map(snap.pvKey)
+
+  // ------------------------------------------------ change data feed
+
+  /** `delta.enableChangeDataFeed = true` — every data-changing
+    * merge/delete on the table must materialize its row-level changes
+    * as `cdc` actions + `_change_data/` parquet (the protocol's answer
+    * to frequent small changes: a CDF reader then never rescans the
+    * rewritten data files).
+    */
+  def cdfEnabled(snap: Snapshot): Boolean =
+    snap.configuration.get("delta.enableChangeDataFeed").contains("true")
+
+  /** Stage CHANGE rows (table columns + `_change_type`) under
+    * `_change_data/` — partitioned like the table, physical column
+    * names under mapping, `_change_type` always verbatim — and return
+    * the commit's `cdc` action lines. `dataChange = false` on a cdc
+    * action per spec: the rows are a DESCRIPTION of the change, not
+    * table data.
+    */
+  private def stageCdc(
+      spark: SparkSession, fs: FileSystem, table: Path, snap: Snapshot,
+      changes: DataFrame): Seq[String] = {
+    val cdcDir = new Path(table, "_change_data")
+    fs.mkdirs(cdcDir)
+    val moved = stageAndMove(fs, cdcDir, toPhysical(spark, snap, changes),
+      physPartitionBy(snap), "cdc", dropEmptyFiles = true)
+    moved.map { case (rel, pvals, len, _) =>
+      actionLineStatic { root =>
+        val c = root.putObject("cdc")
+        c.put("path", encodePath(s"_change_data/$rel"))
+        val pv = c.putObject("partitionValues")
+        physPartitionBy(snap).foreach { k =>
+          pvals.get(k).flatMap(Option(_)) match {
+            case Some(v) => pv.put(k, v)
+            case None => pv.putNull(k)
+          }
+        }
+        c.put("size", len)
+        c.put("dataChange", false)
+      }
+    }
   }
 
   /** MERGE (full upsert) as ONE Delta transaction — the reference's
@@ -1501,9 +1722,32 @@ object DeltaLog {
         .join(updates.select(keyCols: _*), keys, "left_anti")
         .select(ordered: _*)
         .unionByName(updates.select(ordered: _*))
-    val moved = stageAndMove(fs, table, newData, snap.partitionColumns, "part-m", dropEmptyFiles = true)
+    val moved = stageAndMove(fs, table, toPhysical(spark, snap, newData),
+      physPartitionBy(snap), "part-m", dropEmptyFiles = true)
+    // CHANGE DATA FEED: matched live rows are update pre/post image
+    // pairs, unmatched update keys are inserts — materialized into
+    // `_change_data/` so a CDF reader never rescans the rewrite
+    val cdcLines =
+      if (!cdfEnabled(snap)) Seq.empty[String]
+      else {
+        val preimage =
+          if (affectedFiles.isEmpty) None
+          else Some(readLiveRows(spark, tablePath, snap, affectedFiles, addFileColumn = false)
+            .join(updates.select(keyCols: _*).distinct(), keys, "left_semi")
+            .select(ordered: _*))
+        val matchedKeys = preimage.map(_.select(keyCols: _*).distinct())
+        val postimage = matchedKeys.map(mk => updates.join(mk, keys, "left_semi"))
+        val inserts = matchedKeys.fold(updates)(mk => updates.join(mk, keys, "left_anti"))
+        val changes = Seq(
+          preimage.map(_.withColumn("_change_type", lit("update_preimage"))),
+          postimage.map(_.select(ordered: _*)
+            .withColumn("_change_type", lit("update_postimage"))),
+          Some(inserts.select(ordered: _*).withColumn("_change_type", lit("insert"))))
+          .flatten.reduce(_.unionByName(_))
+        stageCdc(spark, fs, table, snap, changes)
+      }
     commitRewrite(spark, fs, logDir, tablePath, snap, affectedFiles, moved,
-      checkpointInterval, txn)
+      checkpointInterval, txn, cdcLines)
   }
 
   /** DELETE as ONE Delta transaction — the reference's full-mode
@@ -1547,9 +1791,16 @@ object DeltaLog {
     // early-exits on the first surviving row
     val moved =
       if (survivors.isEmpty) Seq.empty[(String, Map[String, String], Long, Long)]
-      else stageAndMove(fs, table, survivors, snap.partitionColumns, "part-d", dropEmptyFiles = true)
+      else stageAndMove(fs, table, toPhysical(spark, snap, survivors),
+        physPartitionBy(snap), "part-d", dropEmptyFiles = true)
+    val cdcLines =
+      if (!cdfEnabled(snap)) Seq.empty[String]
+      else stageCdc(spark, fs, table, snap,
+        readLiveRows(spark, tablePath, snap, affectedFiles, addFileColumn = false)
+          .filter(coalesce(predicate, lit(false)))
+          .withColumn("_change_type", lit("delete")))
     commitRewrite(spark, fs, logDir, tablePath, snap, affectedFiles, moved,
-      checkpointInterval, txn)
+      checkpointInterval, txn, cdcLines)
   }
 
   /** DELETE via DELETION VECTORS — the modern writer's row-level
@@ -1666,7 +1917,7 @@ object DeltaLog {
         val a = root.putObject("add")
         a.put("path", f.path)
         val pv = a.putObject("partitionValues")
-        snap.partitionColumns.foreach { c =>
+        snap.partitionColumns.map(snap.pvKey).foreach { c =>
           f.partitionValues.get(c).flatMap(Option(_)) match {
             case Some(v) => pv.put(c, v)
             case None => pv.putNull(c)
@@ -1686,8 +1937,16 @@ object DeltaLog {
         dv.put("cardinality", d.cardinality)
       }
     }
+    // CHANGE DATA FEED: the freshly-dead rows are exactly the LIVE
+    // rows matching the predicate (DV-dead ones were excluded above)
+    val cdcLines =
+      if (!cdfEnabled(snap)) Seq.empty[String]
+      else stageCdc(spark, fs, table, snap,
+        readLiveRows(spark, tablePath, snap, snap.files, addFileColumn = false)
+          .filter(coalesce(predicate, lit(false)))
+          .withColumn("_change_type", lit("delete")))
     commitActions(fs, logDir, tablePath,
-      _ => protocolLines ++ txnLines ++ removeLines.toSeq ++ addLines.toSeq)
+      _ => protocolLines ++ txnLines ++ removeLines.toSeq ++ addLines.toSeq ++ cdcLines)
   }
 
   /** Shared commit tail of [[merge]] and [[delete]]: one transaction
@@ -1698,7 +1957,8 @@ object DeltaLog {
       spark: SparkSession, fs: FileSystem, logDir: Path, tablePath: String,
       snap: Snapshot, removed: Seq[DeltaFile],
       added: Seq[(String, Map[String, String], Long, Long)],
-      checkpointInterval: Int, txn: Option[(String, Long)]): Long = {
+      checkpointInterval: Int, txn: Option[(String, Long)],
+      cdcLines: Seq[String] = Seq.empty): Long = {
     val removeLines = removed.map { f =>
       actionLineStatic { root =>
         val r = root.putObject("remove")
@@ -1714,7 +1974,7 @@ object DeltaLog {
         val a = root.putObject("add")
         a.put("path", encodePath(rel))
         val pv = a.putObject("partitionValues")
-        snap.partitionColumns.foreach { c =>
+        snap.partitionColumns.map(snap.pvKey).foreach { c =>
           pvals.get(c).flatMap(Option(_)) match {
             case Some(v) => pv.put(c, v)
             case None => pv.putNull(c)
@@ -1734,7 +1994,7 @@ object DeltaLog {
       }
     }
     val version = commitActions(fs, logDir, tablePath,
-      _ => txnLines ++ removeLines ++ addLines)
+      _ => txnLines ++ removeLines ++ addLines ++ cdcLines)
     if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
       writeCheckpoint(spark, tablePath)
     version
@@ -1787,8 +2047,6 @@ object DeltaLog {
       s"DeltaLog: diffVersions needs fromVersion < toVersion ($fromVersion >= $toVersion)")
     val sa = snapshot(spark, tablePath, Some(fromVersion))
     val sb = snapshot(spark, tablePath, Some(toVersion))
-    require(sa.columnMappingMode == "none" && sb.columnMappingMode == "none",
-      "DeltaLog: diffVersions over a column-mapped table is not supported")
     require(sa.schemaString == sb.schemaString,
       s"DeltaLog: diffVersions across a schema change is not supported " +
         s"(version $fromVersion and $toVersion declare different schemas)")
@@ -1912,7 +2170,7 @@ object DeltaLog {
         val a = root.putObject("add")
         a.put("path", f.path) // verbatim: it IS the original add's identity
         val pv = a.putObject("partitionValues")
-        target.partitionColumns.foreach { c =>
+        target.partitionColumns.map(target.pvKey).foreach { c =>
           f.partitionValues.get(c).flatMap(Option(_)) match {
             case Some(v) => pv.put(c, v)
             case None => pv.putNull(c)
@@ -2187,8 +2445,8 @@ object DeltaLog {
     val logDir = logDirOf(tablePath)
     require(fs.exists(logDir), s"not a Delta table: no _delta_log under $tablePath")
     val snap = snapshot(spark, tablePath, None)
-    require(snap.columnMappingMode == "none",
-      "DeltaLog: compaction of a column-mapped table is not supported (read-only here)")
+    if (snap.columnMappingMode != "none") writeGuards(snap, tablePath, "compact")
+    else protocolWriteGuards(snap, "compact")
     require(zorderBy.size <= 2,
       "DeltaLog: zorderBy takes one column (range clustering) or two (z-interleave)")
     zorderBy.foreach { c =>
@@ -2250,7 +2508,7 @@ object DeltaLog {
                 .sortWithinPartitions("__z")
                 .drop("__z")
           }
-          rewritten.write.parquet(stage.toString)
+          toPhysical(spark, snap, rewritten).write.parquet(stage.toString)
           val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq
             .map(_.getPath).sortBy(_.toString)
           // keep the partition's directory prefix so the layout stays
@@ -2289,7 +2547,7 @@ object DeltaLog {
         val a = root.putObject("add")
         a.put("path", encodePath(rel))
         val pv = a.putObject("partitionValues")
-        snap.partitionColumns.foreach { c =>
+        snap.partitionColumns.map(snap.pvKey).foreach { c =>
           pvals.get(c).flatMap(Option(_)) match {
             case Some(v) => pv.put(c, v)
             case None => pv.putNull(c)

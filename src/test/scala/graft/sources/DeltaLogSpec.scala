@@ -1005,13 +1005,26 @@ class DeltaLogSpec extends SparkSpec {
     assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b")))
 
-    // ---- writes into a column-mapped table refuse loudly
-    val eW = intercept[IllegalArgumentException](
-      DeltaLog.append(spark, t, Seq((3L, "c")).toDF("id", "tag")))
-    assert(eW.getMessage.contains("column-mapped"), eW.getMessage)
-    val eM = intercept[IllegalArgumentException](
-      DeltaLog.merge(spark, t, Seq((1L, "z")).toDF("id", "tag"), Seq("id")))
-    assert(eM.getMessage.contains("column-mapped"), eM.getMessage)
+    // ---- writes into the mapped table land PHYSICAL columns + logical reads
+    DeltaLog.append(spark, t, Seq((3L, "c")).toDF("id", "tag"))
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the appended data file itself must carry the physical names
+    val newFile = fs.globStatus(new org.apache.hadoop.fs.Path(s"$t/part-*.parquet"))(0).getPath
+    assert(spark.read.parquet(newFile.toString).schema.fieldNames.toSet ==
+      Set("col-aaaa", "col-bbbb"), "appended parquet must use physical column names")
+    DeltaLog.merge(spark, t, Seq((1L, "z"), (9L, "new")).toDF("id", "tag"), Seq("id"))
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "z"), (2L, "b"), (3L, "c"), (9L, "new")))
+    DeltaLog.delete(spark, t, col("tag") === "b")
+    assert(DeltaLog.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L, 9L))
+    // schema EVOLUTION into a mapped table still refuses (needs fresh ids)
+    val eE = intercept[IllegalArgumentException](DeltaLog.append(spark, t,
+      Seq((5L, "e", 1)).toDF("id", "tag", "extra"), allowSchemaEvolution = true))
+    assert(eE.getMessage.contains("column-mapped"), eE.getMessage)
   }
 
   test("column mapping (name mode): partitionValues are keyed by PHYSICAL names") {
@@ -1040,15 +1053,66 @@ class DeltaLogSpec extends SparkSpec {
     assert(row.getLong(0) == 7L && row.getString(1) == "2024-01-01")
   }
 
-  test("column mapping guards: id mode and reader version 3 still refuse") {
+  test("column mapping (id mode): columns resolve by parquet FIELD ID, not name") {
+    import spark.implicits._
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val om = new ObjectMapper()
+    val t = newTable()
+    // the CONVERT-TO-DELTA-over-Iceberg shape: the data file keeps the
+    // ORIGINAL column names (neither logical nor physicalName) and only
+    // the parquet field ids line up with delta.columnMapping.id
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    def withId(n: Long) = new MetadataBuilder().putLong("parquet.field.id", n).build()
+    Seq((1L, "a"), (2L, "b")).toDF("iceberg_id", "iceberg_tag")
+      .select(col("iceberg_id").as("iceberg_id", withId(1)),
+        col("iceberg_tag").as("iceberg_tag", withId(2)))
+      .coalesce(1).write.parquet(s"$t/_stage")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$t/_stage/part-*.parquet"))(0).getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$t/f1.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/_stage"), true)
+    def metaField(phys: String, id: Long): Metadata =
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, metaField("col-aaaa", 1)),
+      StructField("tag", StringType, nullable = true, metaField("col-bbbb", 2))))
+    val schemaJson = om.writeValueAsString(logical.json)
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      s"""{"metaData":{"id":"cm","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      add("f1.parquet")))
+    val back = DeltaLog.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // id-mode APPEND writes physicalName-named columns WITH field ids —
+    // both id-resolving and name-mode-compatible readers find them
+    DeltaLog.append(spark, t, Seq((3L, "c")).toDF("id", "tag"))
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val newFile = fs.globStatus(new org.apache.hadoop.fs.Path(s"$t/part-*.parquet"))(0).getPath
+    assert(spark.read.parquet(newFile.toString).schema.fieldNames.toSet ==
+      Set("col-aaaa", "col-bbbb"))
+  }
+
+  test("column mapping: id-mode table with a field missing its id refuses; reader v2 sans mapping reads") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val om = new ObjectMapper()
     val t = newTable()
     dataFile(t, "a.parquet", "a", 1)
+    // id mode declared but the schema carries NO delta.columnMapping.id
+    val bare = StructType(Seq(StructField("tag", StringType), StructField("i", LongType)))
+    val schemaJson = om.writeValueAsString(bare.json)
     commit(t, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
       add("a.parquet")))
     val e = intercept[IllegalArgumentException](DeltaLog.read(spark, t))
-    assert(e.getMessage.contains("'id'"), e.getMessage)
+    assert(e.getMessage.contains("delta.columnMapping.id"), e.getMessage)
     // reader version 2 WITHOUT column mapping reads plainly (mode none)
     val t2 = newTable()
     dataFile(t2, "a.parquet", "a", 2)
@@ -1056,6 +1120,47 @@ class DeltaLogSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       Meta, add("a.parquet")))
     assert(DeltaLog.read(spark, t2).count() == 2)
+  }
+
+  test("column mapping: creation via append(columnMapping=...), DV delete, merge, time travel") {
+    import spark.implicits._
+    val t = newTable()
+    // CREATE a partitioned name-mapped table through the public writer
+    DeltaLog.append(spark, t,
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2")).toDF("id", "tag", "day"),
+      partitionBy = Seq("day"), columnMapping = "name")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.columnMappingMode == "name")
+    assert(snap.readerFeatures.contains("columnMapping"))
+    assert(snap.configuration("delta.columnMapping.maxColumnId") == "3")
+    val phys = snap.physicalNames
+    assert(phys.values.forall(_.startsWith("col-")), phys.toString)
+    // partitionValues keyed by the PHYSICAL day column
+    assert(snap.files.forall(_.partitionValues.keySet == Set(phys("day"))))
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2")))
+    // DV delete composes with mapping: no file rewrite, logical predicate
+    val vPre = DeltaLog.currentVersion(spark, t)
+    DeltaLog.deleteWithDv(spark, t, col("tag") === "b")
+    assert(DeltaLog.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L))
+    // time travel to the pre-delete version still serves the DV-dead row
+    assert(DeltaLog.read(spark, t, Some(vPre)).count() == 3)
+    // merge over the DV-carrying mapped table (CoW purges the vector)
+    DeltaLog.merge(spark, t, Seq((1L, "z", "d1"), (7L, "g", "d3")).toDF("id", "tag", "day"),
+      Seq("id"))
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "z"), (3L, "c"), (7L, "g")))
+    // the dead row stays dead through the rewrite
+    assert(!DeltaLog.read(spark, t).collect().map(_.getString(1)).contains("b"))
+    // net changes across the whole history are readable (CDF fallback)
+    val (changes, _) = DeltaLog.readChangesSince(spark, t, vPre)
+    val byType = changes.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) >= 2L, byType.toString) // 1->z, 7 new
+    assert(byType.getOrElse("delete", 0L) >= 2L, byType.toString) // b gone, 1->a gone
   }
 
   test("commit retry advances past an occupied version slot without overwriting it") {
@@ -1221,13 +1326,16 @@ class DeltaLogSpec extends SparkSpec {
       new java.sql.Timestamp(1900L), new java.sql.Timestamp(2500L)).isEmpty)
   }
 
-  test("legacy minWriterVersion 3-6 refuses writes (implied features are unenforced)") {
+  test("legacy minWriterVersion 3-6: ACTIVE implied invariants refuse writes; dormant ones don't") {
     import spark.implicits._
+    // v4 with an ACTIVE generated column: every write path refuses —
+    // appending without evaluating the generation expression would
+    // corrupt the column's declared guarantee
     val t = newTable()
     dataFile(t, "a.parquet", "a", 2)
     commit(t, 0, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
-      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[]}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"length(tag)\"}}]}","partitionColumns":[]}}""",
       add("a.parquet")))
     assert(DeltaLog.read(spark, t).count() == 2, "reads stay fine")
     val df = Seq(("b", 9L)).toDF("tag", "i")
@@ -1237,5 +1345,24 @@ class DeltaLogSpec extends SparkSpec {
     assert(eM.getMessage.contains("minWriterVersion 4"), eM.getMessage)
     val eD = intercept[IllegalArgumentException](DeltaLog.delete(spark, t, col("i") === 0L))
     assert(eD.getMessage.contains("minWriterVersion 4"), eD.getMessage)
+    // an active CHECK constraint in the configuration also refuses
+    val t3 = newTable()
+    dataFile(t3, "a.parquet", "a", 2)
+    commit(t3, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{"delta.constraints.pos":"i >= 0"}}}""",
+      add("a.parquet")))
+    val eC = intercept[IllegalArgumentException](DeltaLog.append(spark, t3, df))
+    assert(eC.getMessage.contains("delta.constraints.pos"), eC.getMessage)
+    // v4 with NO active constraint/generated/identity/invariant
+    // metadata: there is nothing to enforce — writes proceed
+    val t2 = newTable()
+    dataFile(t2, "a.parquet", "a", 2)
+    commit(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[]}}""",
+      add("a.parquet")))
+    DeltaLog.append(spark, t2, df)
+    assert(DeltaLog.read(spark, t2).count() == 3)
   }
 }
