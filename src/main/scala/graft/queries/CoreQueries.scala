@@ -2776,6 +2776,153 @@ object CoreQueries {
       |  AND o_orderkey BETWEEN 1000 AND 100000000
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S43Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s43_delta_cdf"
+  private val s43BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S43 — a REAL change data feed (r13 verdict item 7): the table is
+    * created with `delta.enableChangeDataFeed = true`, so the DV
+    * delete and the MERGE below materialize their row-level changes as
+    * `cdc` actions + `_change_data/` parquet at WRITE time, and
+    * `readCdf` replays the whole history per commit — appends derived
+    * as inserts from their `add` actions, everything else read from
+    * the change files alone, no rewritten data file ever rescanned
+    * (the protocol's answer for frequent small changes: at 100 TB a
+    * 10-row merge costs the CDF reader KBs, not the rewritten
+    * gigabytes). The oracle recomputes every commit's pre/post images
+    * from raw `orders`; a missed preimage, a dead row counted as a
+    * match, or a change row with the wrong version tag hash-fails.
+    */
+  def s43DeltaCdf(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    def proj(df: DataFrame) = df.select(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    s43BuiltFor.synchronized {
+      if (s43BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S43Root))
+        val all = proj(Tables.orders(spark, dir))
+        val base = all.filter(col("o_orderkey") % 5 =!= 4)
+        graft.sources.DeltaLog.append(spark, S43Root,
+          base.filter(col("o_orderkey") % 2 === 0),
+          configuration = Map("delta.enableChangeDataFeed" -> "true"))
+        graft.sources.DeltaLog.append(spark, S43Root,
+          base.filter(col("o_orderkey") % 2 =!= 0))
+        graft.sources.DeltaLog.deleteWithDv(spark, S43Root, col("o_orderkey") % 7 === 3)
+        val updated = base.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserted = all.filter(col("o_orderkey") % 5 === 4)
+        graft.sources.DeltaLog.merge(spark, S43Root,
+          updated.unionByName(inserted), keys = Seq("o_orderkey"))
+        s43BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.readCdf(spark, S43Root, 0L, 3L)
+      .orderBy("_commit_version", "_change_type", "o_orderkey")
+  }
+
+  /** Commit-by-commit: v1 inserts the odd half of base; v2 DV-deletes
+    * the live `%7 = 3`; v3 pre/post-images the live `%10 < 2` matches
+    * and inserts the `%5 = 4` holdouts plus the DV-dead `%10 < 2` keys
+    * (merge matches only LIVE rows, so those re-enter as inserts).
+    */
+  private val s43DeltaCdfSql =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |  FROM orders WHERE o_orderkey % 5 <> 4 AND o_orderkey % 2 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    'delete', CAST(2 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 5 <> 4 AND o_orderkey % 7 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    'update_preimage', CAST(3 AS BIGINT)
+      |  FROM orders
+      |  WHERE o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2 AND o_orderkey % 7 <> 3
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'M', o_totalprice + 1000.0,
+      |    'update_postimage', CAST(3 AS BIGINT)
+      |  FROM orders
+      |  WHERE o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2 AND o_orderkey % 7 <> 3
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    'insert', CAST(3 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 5 = 4
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'M', o_totalprice + 1000.0,
+      |    'insert', CAST(3 AS BIGINT)
+      |  FROM orders
+      |  WHERE o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2 AND o_orderkey % 7 = 3
+      |) ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin
+
+  private val S44Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s44_delta_repl"
+  private val s44BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S44 — table-to-table INCREMENTAL REPLICATION (r13 verdict item 4,
+    * the reference's curated→enterprise tail `main.py:239-304` as two
+    * Delta tables): a CDF-enabled source takes the s39 lifecycle in
+    * two bursts, and after each burst `replicateOnce` pulls the net
+    * changes (`readChangesSince`, CDF-backed — change files, not
+    * rescans) and applies them to the target as ONE exactly-once
+    * commit whose `txn` epoch IS the cursor. A replayed pull is
+    * absorbed by the epoch guard; the query then reads the TARGET, so
+    * any divergence — dropped delete, double-applied update, stale
+    * cursor re-pull — hash-fails against the oracle's recomputation of
+    * the SOURCE end state.
+    */
+  def s44DeltaReplicate(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    val srcRoot = s"$S44Root/src"
+    val dstRoot = s"$S44Root/dst"
+    def proj(df: DataFrame) = df.select(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    s44BuiltFor.synchronized {
+      if (s44BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S44Root))
+        val all = proj(Tables.orders(spark, dir))
+        val base = all.filter(col("o_orderkey") % 5 =!= 4)
+        graft.sources.DeltaLog.append(spark, srcRoot,
+          base.filter(col("o_orderkey") % 2 === 0),
+          configuration = Map("delta.enableChangeDataFeed" -> "true"))
+        // burst 1 replicated: bootstrap full-snapshot pull
+        graft.sources.DeltaLog.replicateOnce(spark, srcRoot, dstRoot,
+          Seq("o_orderkey"), "s44-repl")
+        graft.sources.DeltaLog.append(spark, srcRoot,
+          base.filter(col("o_orderkey") % 2 =!= 0))
+        graft.sources.DeltaLog.deleteWithDv(spark, srcRoot, col("o_orderkey") % 7 === 3)
+        val updated = base.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserted = all.filter(col("o_orderkey") % 5 === 4)
+        graft.sources.DeltaLog.merge(spark, srcRoot,
+          updated.unionByName(inserted), keys = Seq("o_orderkey"))
+        // burst 2 replicated, then a REPLAYED pull (crash twin) that
+        // must be absorbed without a duplicate apply
+        graft.sources.DeltaLog.replicateOnce(spark, srcRoot, dstRoot,
+          Seq("o_orderkey"), "s44-repl")
+        graft.sources.DeltaLog.replicateOnce(spark, srcRoot, dstRoot,
+          Seq("o_orderkey"), "s44-repl")
+        s44BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, dstRoot).orderBy("o_orderkey")
+  }
+
+  /** The s39 end state, read from the REPLICATED target. */
+  private val s44DeltaReplicateSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
+      |       THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
+      |       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 5 = 4 OR o_orderkey % 10 < 2 OR NOT (o_orderkey % 7 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -3028,6 +3175,8 @@ object CoreQueries {
     "s40_delta_v2_checkpoint" -> s40DeltaV2Checkpoint _,
     "s41_delta_column_mapping" -> s41DeltaColumnMapping _,
     "s42_delta_cm_id" -> s42DeltaColumnMappingId _,
+    "s43_delta_cdf" -> s43DeltaCdf _,
+    "s44_delta_replicate" -> s44DeltaReplicate _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3359,6 +3508,8 @@ object CoreQueries {
     "s40_delta_v2_checkpoint" -> s40DeltaV2CheckpointSql,
     "s41_delta_column_mapping" -> s41DeltaColumnMappingSql,
     "s42_delta_cm_id" -> s42DeltaColumnMappingIdSql,
+    "s43_delta_cdf" -> s43DeltaCdfSql,
+    "s44_delta_replicate" -> s44DeltaReplicateSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

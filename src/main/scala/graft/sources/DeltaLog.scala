@@ -1750,6 +1750,118 @@ object DeltaLog {
       checkpointInterval, txn, cdcLines)
   }
 
+  /** Apply a CHANGE BATCH (table columns + `_change_type`) to the
+    * table as ONE transaction — the sink half of table-to-table
+    * replication: rows tagged `insert`/`update_postimage` upsert by
+    * `keys`, keys whose only rows are `delete`/`update_preimage`
+    * vanish. File-level copy-on-write exactly like [[merge]] (only
+    * files holding a changed key rewrite, DV-aware), exactly-once via
+    * the `txn` stamp, change-data-feed materialization when the TARGET
+    * table enables it. Returns the committed version (-1 on a no-op or
+    * an already-applied txn epoch).
+    */
+  def applyChanges(
+      spark: SparkSession, tablePath: String, changes: DataFrame, keys: Seq[String],
+      checkpointInterval: Int = 10, txn: Option[(String, Long)] = None): Long = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val logDir = logDirOf(tablePath)
+    require(fs.exists(logDir), s"not a Delta table: no _delta_log under $tablePath")
+    txn.foreach { case (appId, epoch) =>
+      if (lastTxnVersion(spark, tablePath, appId).exists(_ >= epoch)) return -1L
+    }
+    val snap = snapshot(spark, tablePath, None)
+    writeGuards(snap, tablePath, "applyChanges")
+    val schema = snap.schema.get
+    require(changes.schema.fieldNames.contains("_change_type"),
+      "DeltaLog: applyChanges needs a _change_type column " +
+        "(insert | update_postimage | delete | update_preimage)")
+    val have = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val incoming = changes.drop("_change_type").schema.fields
+      .map(f => (f.name, f.dataType)).toSeq
+    require(have == incoming,
+      s"DeltaLog: applyChanges schema mismatch — table declares ${schema.simpleString}, " +
+        s"changes bring ${changes.drop("_change_type").schema.simpleString}")
+    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+      s"DeltaLog: applyChanges keys [${keys.mkString(",")}] not all in the table schema")
+    val ordered = schema.fieldNames.map(col).toSeq
+    val keyCols = keys.map(col)
+    val ins = changes.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(ordered: _*)
+    val delKeys = changes.filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(keyCols: _*).distinct()
+    val changeKeys = ins.select(keyCols: _*).distinct().unionByName(delKeys).distinct()
+    val affectedIds: Set[String] =
+      if (snap.files.isEmpty) Set.empty
+      else readLiveRows(spark, tablePath, snap, snap.files, addFileColumn = true)
+        .join(changeKeys, keys, "left_semi")
+        .select("__file").distinct()
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val affectedFiles = snap.files.filter(f => affectedIds.contains(fileIdentity(fs, tablePath, f)))
+    if (affectedFiles.isEmpty && ins.isEmpty) return -1L
+    val survivors =
+      if (affectedFiles.isEmpty) ins
+      else readLiveRows(spark, tablePath, snap, affectedFiles, addFileColumn = false)
+        .join(changeKeys, keys, "left_anti")
+        .select(ordered: _*)
+        .unionByName(ins)
+    val moved = stageAndMove(fs, table, toPhysical(spark, snap, survivors),
+      physPartitionBy(snap), "part-c", dropEmptyFiles = true)
+    val cdcLines =
+      if (!cdfEnabled(snap)) Seq.empty[String]
+      else {
+        val oldRows =
+          if (affectedFiles.isEmpty) None
+          else Some(readLiveRows(spark, tablePath, snap, affectedFiles, addFileColumn = false)
+            .join(changeKeys, keys, "left_semi").select(ordered: _*))
+        val oldKeys = oldRows.map(_.select(keyCols: _*).distinct())
+        val insKeys = ins.select(keyCols: _*).distinct()
+        val cdc = Seq(
+          oldRows.map(o => o.join(insKeys, keys, "left_semi")
+            .withColumn("_change_type", lit("update_preimage"))),
+          oldRows.map(o => o.join(insKeys, keys, "left_anti")
+            .withColumn("_change_type", lit("delete"))),
+          oldKeys.map(ok => ins.join(ok, keys, "left_semi")
+            .withColumn("_change_type", lit("update_postimage"))),
+          Some(oldKeys.fold(ins)(ok => ins.join(ok, keys, "left_anti"))
+            .withColumn("_change_type", lit("insert"))))
+          .flatten.reduce(_.unionByName(_))
+        stageCdc(spark, fs, table, snap, cdc)
+      }
+    commitRewrite(spark, fs, logDir, tablePath, snap, affectedFiles, moved,
+      checkpointInterval, txn, cdcLines)
+  }
+
+  /** One PULL-REPLICATION step — the reference's curated→enterprise
+    * tail (`main.py:239-304`) as two Delta tables: the CURSOR is the
+    * last applied source version, persisted as the TARGET's `txn`
+    * epoch for `appId` (no side-channel cursor store — a crash between
+    * "read changes" and "commit" replays the same pull, and the txn
+    * guard absorbs the duplicate apply). Net changes come from
+    * [[readChangesSince]] (CDF-backed when the source materializes
+    * change files); the first pull bootstraps the target with a full
+    * snapshot append. Returns the new cursor; a no-change poll is one
+    * metadata listing, zero data IO, no commit.
+    */
+  def replicateOnce(
+      spark: SparkSession, sourcePath: String, targetPath: String,
+      keys: Seq[String], appId: String): Long = {
+    val targetLog = logDirOf(targetPath)
+    val tfs = fsOf(spark, targetLog)
+    val targetExists = tfs.exists(targetLog) && tfs.listStatus(targetLog).nonEmpty
+    val cursor =
+      if (!targetExists) -1L
+      else lastTxnVersion(spark, targetPath, appId).getOrElse(-1L)
+    val (changes, newCursor) = readChangesSince(spark, sourcePath, cursor)
+    if (newCursor == cursor) return cursor
+    if (cursor < 0)
+      append(spark, targetPath, changes.drop("_change_type"),
+        txn = Some((appId, newCursor)))
+    else
+      applyChanges(spark, targetPath, changes, keys, txn = Some((appId, newCursor)))
+    newCursor
+  }
+
   /** DELETE as ONE Delta transaction — the reference's full-mode
     * delete (`main.py:231-234` deletes the reload window before
     * re-ingesting): rows where `predicate` is TRUE are removed;
@@ -2055,6 +2167,31 @@ object DeltaLog {
     def key(f: DeltaFile) = (f.path, f.dv)
     val aKeys = sa.files.map(key).toSet
     val bKeys = sb.files.map(key).toSet
+    // CHANGE-DATA-FEED preference (r13 verdict item 7): when the table
+    // materializes cdc actions, the net diff comes from the (small)
+    // `_change_data` files + derivable append/delete commits instead
+    // of rescanning every rewritten data file — the protocol's answer
+    // for frequent small changes. Ranges with an underivable commit
+    // (e.g. a restore, or versions before CDF was enabled) fall back
+    // to the file-level recompute below, which is always correct.
+    if (cdfEnabled(sb)) {
+      cdfFrames(spark, tablePath, fromVersion, toVersion, sb, declared) match {
+        case Right(frames) if frames.nonEmpty =>
+          val all = frames.reduce(_.unionByName(_))
+          val cols = declared.fieldNames.map(col).toSeq
+          val ins = all.filter(col("_change_type").isin("insert", "update_postimage"))
+            .select(cols: _*)
+          val del = all.filter(col("_change_type").isin("delete", "update_preimage"))
+            .select(cols: _*)
+          return ins.exceptAll(del).withColumn("_change_type", lit("insert"))
+            .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+        case Right(_) =>
+          return spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+            .withColumn("_change_type", lit(""))
+        case Left(_) => () // fall through to the file-diff recompute
+      }
+    }
     val onlyA = sa.files.filterNot(f => bKeys(key(f)))
     val onlyB = sb.files.filterNot(f => aKeys(key(f)))
     def rowsOf(snap: Snapshot, subset: Seq[DeltaFile]): DataFrame =
@@ -2068,6 +2205,164 @@ object DeltaLog {
     val after = rowsOf(sb, onlyB)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
+  /** CHANGE DATA FEED read — per-commit row-level changes for versions
+    * in `(fromVersion, toVersion]`, each row tagged `_change_type`
+    * (insert | update_preimage | update_postimage | delete) and
+    * `_commit_version`. A commit carrying `cdc` actions reads ONLY its
+    * `_change_data` parquet (merge/delete materialized the changes at
+    * write time — no rewritten data file is rescanned); a commit
+    * without them derives: add-only commits are inserts, remove-only
+    * commits are deletes (their rows read at the PRE-commit snapshot,
+    * DVs honored), metadata/compaction commits contribute nothing.
+    * A mixed rewrite WITHOUT cdc actions (a pre-CDF merge, a restore)
+    * refuses loudly — [[diffVersions]] remains the always-correct net
+    * recompute for those ranges.
+    */
+  def readCdf(
+      spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"DeltaLog: readCdf needs fromVersion < toVersion ($fromVersion >= $toVersion)")
+    val sb = snapshot(spark, tablePath, Some(toVersion))
+    val sa = snapshot(spark, tablePath, Some(fromVersion))
+    require(sa.schemaString == sb.schemaString,
+      s"DeltaLog: readCdf across a schema change is not supported " +
+        s"(version $fromVersion and $toVersion declare different schemas)")
+    val declared = sb.schema.getOrElse(throw new IllegalArgumentException(
+      s"DeltaLog: readCdf needs a parseable metaData.schemaString at $tablePath"))
+    cdfFrames(spark, tablePath, fromVersion, toVersion, sb, declared) match {
+      case Left(reason) => throw new IllegalArgumentException(s"DeltaLog: $reason")
+      case Right(frames) if frames.isEmpty =>
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(-1L))
+      case Right(frames) => frames.reduce(_.unionByName(_))
+    }
+  }
+
+  /** One change frame per contributing commit in `(from, to]`, or
+    * Left(reason) when some commit's changes cannot be known without a
+    * data-file diff. Driver-side JSON parse per commit — commits are
+    * metadata-sized by protocol design, and the loop is over the ASKED
+    * version range, not the table.
+    */
+  private def cdfFrames(
+      spark: SparkSession, tablePath: String, fromVersion: Long, toVersion: Long,
+      snapTo: Snapshot, declared: StructType): Either[String, Seq[DataFrame]] = {
+    val logDir = logDirOf(tablePath)
+    val fs = fsOf(spark, logDir)
+    def pvMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      if (n == null) Map.empty
+      else {
+        val it = n.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText)
+        }
+        b.result()
+      }
+    val ordered = declared.fieldNames.map(col).toSeq
+    val frames = Seq.newBuilder[DataFrame]
+    var v = fromVersion + 1
+    while (v <= toVersion) {
+      val jp = jsonPath(logDir, v)
+      if (!fs.exists(jp))
+        return Left(s"commit $v was cleaned up behind a checkpoint — " +
+          "its change data feed is no longer derivable")
+      val in = fs.open(jp)
+      val nodes =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.trim.nonEmpty).map(mapper.readTree).toVector
+        finally in.close()
+      val cdcs = nodes.flatMap(n => Option(n.get("cdc"))).map { c =>
+        (c.get("path").asText, pvMap(c.get("partitionValues")),
+          Option(c.get("size")).fold(0L)(_.asLong))
+      }
+      if (cdcs.nonEmpty) {
+        frames += readCdcFiles(spark, tablePath, snapTo, cdcs)
+          .withColumn("_commit_version", lit(v))
+      } else {
+        val adds = nodes.flatMap(n => Option(n.get("add")))
+          .filter(a => Option(a.get("dataChange")).forall(_.asBoolean))
+        val removes = nodes.flatMap(n => Option(n.get("remove")))
+          .filter(r => Option(r.get("dataChange")).forall(_.asBoolean))
+        if (adds.nonEmpty && removes.nonEmpty)
+          return Left(s"version $v rewrote files without cdc actions — " +
+            "its row-level changes need delta.enableChangeDataFeed=true at write " +
+            "time (or diffVersions' net recompute)")
+        if (adds.nonEmpty) {
+          val files = adds.map(a => DeltaFile(a.get("path").asText,
+            pvMap(a.get("partitionValues")),
+            Option(a.get("size")).fold(0L)(_.asLong)))
+          frames += readSnapshotFiles(spark, tablePath, snapTo.copy(files = files),
+              files, addFileColumn = false)
+            .select(ordered: _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+        } else if (removes.nonEmpty) {
+          // the dropped rows as they were LIVE just before this commit
+          val prev = snapshot(spark, tablePath, Some(v - 1))
+          val rpaths = removes.map(_.get("path").asText).toSet
+          val files = prev.files.filter(f => rpaths(f.path))
+          if (files.nonEmpty)
+            frames += readLiveRows(spark, tablePath, prev, files, addFileColumn = false)
+              .select(ordered: _*)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v))
+        }
+      }
+      v += 1
+    }
+    Right(frames.result())
+  }
+
+  /** Read a commit's `_change_data` files: table data columns
+    * (physical names / field ids under mapping) + the verbatim
+    * `_change_type` column, partition values re-attached from the cdc
+    * action — the cdc twin of [[readMappedFiles]], shared by mapped
+    * and unmapped tables.
+    */
+  private def readCdcFiles(
+      spark: SparkSession, tablePath: String, snap: Snapshot,
+      cdcs: Seq[(String, Map[String, String], Long)]): DataFrame = {
+    val logical = snap.schema.getOrElse(throw new IllegalArgumentException(
+      s"DeltaLog: reading change data needs a parseable metaData.schemaString at $tablePath"))
+    val mode = snap.columnMappingMode
+    val phys = snap.physicalNames
+    val ids = snap.fieldIds
+    if (mode == "id") spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val pcols = snap.partitionColumns
+    val dataFields = logical.fields.filterNot(f => pcols.contains(f.name)).toSeq
+    val readSchema = StructType(dataFields.map { f =>
+      if (mode == "id")
+        StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder().putLong("parquet.field.id", ids(f.name)).build())
+      else StructField(phys.getOrElse(f.name, f.name), f.dataType, f.nullable)
+    } :+ StructField("_change_type", StringType))
+    val ptypes: Map[String, DataType] =
+      logical.fields.filter(f => pcols.contains(f.name)).map(f => f.name -> f.dataType).toMap
+    val groups = cdcs.groupBy(_._2).toSeq
+      .sortBy { case (pv, _) => pcols.map(c => pv.getOrElse(snap.pvKey(c), "")).mkString("") }
+    val branches = groups.map { case (pv, group) =>
+      val base = spark.read.schema(readSchema)
+        .parquet(group.map(g => resolve(tablePath, g._1)): _*)
+        .select((dataFields.map(f =>
+          if (mode == "id" || mode == "none") col(f.name)
+          else col(phys(f.name)).as(f.name)) :+ col("_change_type")): _*)
+      pcols.foldLeft(base) { (d, c) =>
+        val t = ptypes.getOrElse(c, StringType)
+        pv.get(snap.pvKey(c)).flatMap(Option(_)) match {
+          case Some(x) => d.withColumn(c, lit(x).cast(t))
+          case None => d.withColumn(c, lit(null).cast(t))
+        }
+      }
+    }
+    branches.reduce(_.unionByName(_))
+      .select((logical.fieldNames.toSeq :+ "_change_type").map(col): _*)
   }
 
   /** The table's current (latest) version. */

@@ -1176,6 +1176,120 @@ class DeltaLogSpec extends SparkSpec {
     assert(Files.isDirectory(Paths.get(s"$t/_delta_log/" + f"${1L}%020d.json")))
   }
 
+  test("change data feed: merge/delete/deleteWithDv materialize cdc files; readCdf replays them") {
+    import spark.implicits._
+    val t = newTable()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // v0: CDF-enabled creation (writer feature + table property)
+    DeltaLog.append(spark, t, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val snap0 = DeltaLog.snapshot(spark, t)
+    assert(DeltaLog.cdfEnabled(snap0) && snap0.writerFeatures.contains("changeDataFeed"))
+    // v1: append — derivable as inserts, no cdc files needed
+    DeltaLog.append(spark, t, Seq((4L, "d")).toDF("id", "tag"))
+    // v2: merge — update (1 -> a2) + insert (9) land in _change_data
+    DeltaLog.merge(spark, t, Seq((1L, "a2"), (9L, "i")).toDF("id", "tag"), Seq("id"))
+    // v3: CoW delete of tag=b
+    DeltaLog.delete(spark, t, col("tag") === "b")
+    // v4: DV delete of id=3
+    DeltaLog.deleteWithDv(spark, t, col("id") === 3L)
+    assert(new java.io.File(s"$t/_change_data").listFiles().exists(_.getName.endsWith(".parquet")),
+      "change files must land under _change_data/")
+    // per-commit replay
+    val cdf = DeltaLog.readCdf(spark, t, 0, 4)
+    def ofType(v: Long, ct: String) = rows(cdf
+      .filter(col("_commit_version") === v && col("_change_type") === ct)
+      .select("id", "tag"))
+    assert(ofType(1, "insert") == Set((4L, "d")))
+    assert(ofType(2, "update_preimage") == Set((1L, "a")))
+    assert(ofType(2, "update_postimage") == Set((1L, "a2")))
+    assert(ofType(2, "insert") == Set((9L, "i")))
+    assert(ofType(3, "delete") == Set((2L, "b")))
+    assert(ofType(4, "delete") == Set((3L, "c")))
+    // the merge commit carries cdc actions (its changes were NOT re-derived)
+    val v2lines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$t/_delta_log/" + f"${2L}%020d.json"))
+    assert(v2lines.contains("\"cdc\""), "merge must commit cdc actions")
+    // diffVersions prefers the CDF path and still nets correctly:
+    // 1 appears as one insert (a2) + one delete (a), 2/3 as deletes, 4/9 as inserts
+    val net = DeltaLog.diffVersions(spark, t, 0, 4)
+    assert(rows(net.filter(col("_change_type") === "insert").select("id", "tag")) ==
+      Set((4L, "d"), (9L, "i"), (1L, "a2")))
+    assert(rows(net.filter(col("_change_type") === "delete").select("id", "tag")) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a DV delete whose predicate only re-hits dead rows is a no-op (no commit)
+    assert(DeltaLog.deleteWithDv(spark, t, col("id") === 3L) == -1L)
+    // a non-CDF table's rewrite refuses per-commit CDF but net-diffs fine
+    val t2 = newTable()
+    DeltaLog.append(spark, t2, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    DeltaLog.merge(spark, t2, Seq((1L, "z")).toDF("id", "tag"), Seq("id"))
+    val e = intercept[IllegalArgumentException](DeltaLog.readCdf(spark, t2, 0, 1))
+    assert(e.getMessage.contains("without cdc actions"), e.getMessage)
+    assert(DeltaLog.diffVersions(spark, t2, 0, 1).count() == 2) // a->z pair
+  }
+
+  test("change data feed composes with column mapping: cdc files carry physical names") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t,
+      Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("id", "tag", "day"),
+      partitionBy = Seq("day"), columnMapping = "name",
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.merge(spark, t, Seq((1L, "z", "d1")).toDF("id", "tag", "day"), Seq("id"))
+    val cdf = DeltaLog.readCdf(spark, t, 0, 1).filter(col("_change_type") === "update_postimage")
+    assert(cdf.select("id", "tag", "day").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq == Seq((1L, "z", "d1")))
+    // the cdc parquet itself is written under the PHYSICAL partition dir
+    val phys = DeltaLog.snapshot(spark, t).physicalNames
+    val cdcDir = new java.io.File(s"$t/_change_data")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val cdcParquets = walk(cdcDir).filter(_.getName.endsWith(".parquet"))
+    assert(cdcParquets.nonEmpty &&
+      cdcParquets.forall(_.getPath.contains(s"${phys("day")}=")),
+      cdcParquets.map(_.getPath).toString)
+    val physCols = spark.read.parquet(cdcParquets.head.getPath).schema.fieldNames.toSet
+    assert(physCols == Set(phys("id"), phys("tag"), "_change_type"), physCols.toString)
+  }
+
+  test("pull replication: readChangesSince -> exactly-once applyChanges converges the target") {
+    import spark.implicits._
+    val src = newTable()
+    val dst = newTable()
+    def srcRows = DeltaLog.read(spark, src).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def dstRows = DeltaLog.read(spark, dst).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // CDF-enabled source: the pull rides the change files, not rescans
+    DeltaLog.append(spark, src, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    // bootstrap pull: full snapshot
+    val c0 = DeltaLog.replicateOnce(spark, src, dst, Seq("id"), "repl-1")
+    assert(c0 == 0L && dstRows == srcRows)
+    // three more source commits: append, merge (update+insert), DV delete
+    DeltaLog.append(spark, src, Seq((4L, "d")).toDF("id", "tag"))
+    DeltaLog.merge(spark, src, Seq((1L, "z"), (9L, "i")).toDF("id", "tag"), Seq("id"))
+    DeltaLog.deleteWithDv(spark, src, col("id") === 2L)
+    val c1 = DeltaLog.replicateOnce(spark, src, dst, Seq("id"), "repl-1")
+    assert(c1 == 3L && dstRows == srcRows, s"$dstRows vs $srcRows")
+    assert(dstRows == Seq((1L, "z"), (3L, "c"), (4L, "d"), (9L, "i")))
+    // crash replay: the cursor IS the target's txn epoch, so a replayed
+    // pull (same source range) is absorbed by the txn guard — no
+    // duplicate rows, no extra commit
+    val vBefore = DeltaLog.currentVersion(spark, dst)
+    assert(DeltaLog.replicateOnce(spark, src, dst, Seq("id"), "repl-1") == 3L)
+    assert(DeltaLog.currentVersion(spark, dst) == vBefore, "idle poll must not commit")
+    val dup = DeltaLog.applyChanges(spark, dst,
+      Seq((1L, "z", "insert")).toDF("id", "tag", "_change_type"), Seq("id"),
+      txn = Some(("repl-1", 3L)))
+    assert(dup == -1L && dstRows.size == 4, "replayed epoch must be a no-op")
+    // delete-only tail converges too
+    DeltaLog.delete(spark, src, col("id") === 9L)
+    DeltaLog.replicateOnce(spark, src, dst, Seq("id"), "repl-1")
+    assert(dstRows == srcRows && !dstRows.exists(_._1 == 9L))
+  }
+
   test("V2 checkpoints: UUID name + sidecar, protocol auto-upgrade, read after JSON cleanup") {
     import spark.implicits._
     val t = newTable()
