@@ -2923,6 +2923,56 @@ object CoreQueries {
       |WHERE o_orderkey % 5 = 4 OR o_orderkey % 10 < 2 OR NOT (o_orderkey % 7 = 3)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S45Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s45_iceberg_eq_scoped"
+  private val s45BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S45 — PARTITION-SCOPED Iceberg equality deletes (r13 verdict item
+    * 6 + the r13 advice's correctness trap): on a PARTITIONED v2 table
+    * a delete file written under the partitioned spec applies ONLY to
+    * data files in the SAME partition. The fixture tombstones
+    * `o_custkey % 10 = 4` scoped to the 'O' partition (the same keys
+    * in 'F'/'P' MUST survive — a partition-blind reader kills them
+    * too), then a GLOBAL tombstone (`% 10 = 7`, unpartitioned-spec
+    * shape) that applies everywhere, then re-appends some 'O' keys the
+    * scoped delete had killed — surviving on the strict
+    * `dataSeq < deleteSeq` gate. One oracle recomputation pins all
+    * three semantics at once.
+    */
+  def s45IcebergEqScoped(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s45BuiltFor.synchronized {
+      if (s45BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S45Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.IcebergTable.append(spark, S45Root, base,
+          partitionBy = Seq("o_orderstatus"))
+        graft.sources.IcebergTable.deleteRowsEquality(spark, S45Root,
+          Seq("o_custkey"),
+          base.filter(col("o_custkey") % 10 === 4).select("o_custkey").distinct(),
+          partitionScope = Map("o_orderstatus" -> "O"))
+        graft.sources.IcebergTable.deleteRowsEquality(spark, S45Root,
+          Seq("o_custkey"),
+          base.filter(col("o_custkey") % 10 === 7).select("o_custkey").distinct())
+        graft.sources.IcebergTable.append(spark, S45Root,
+          base.filter(col("o_custkey") % 10 === 4 &&
+            col("o_orderstatus") === "O" && col("o_orderkey") % 13 === 0),
+          partitionBy = Seq("o_orderstatus"))
+        s45BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.read(spark, S45Root).orderBy("o_orderkey")
+  }
+
+  private val s45IcebergEqScopedSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE (o_custkey % 10 <> 4 OR o_orderstatus <> 'O' OR o_orderkey % 13 = 0)
+      |  AND o_custkey % 10 <> 7
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -3177,6 +3227,7 @@ object CoreQueries {
     "s42_delta_cm_id" -> s42DeltaColumnMappingId _,
     "s43_delta_cdf" -> s43DeltaCdf _,
     "s44_delta_replicate" -> s44DeltaReplicate _,
+    "s45_iceberg_eq_scoped" -> s45IcebergEqScoped _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3510,6 +3561,7 @@ object CoreQueries {
     "s42_delta_cm_id" -> s42DeltaColumnMappingIdSql,
     "s43_delta_cdf" -> s43DeltaCdfSql,
     "s44_delta_replicate" -> s44DeltaReplicateSql,
+    "s45_iceberg_eq_scoped" -> s45IcebergEqScopedSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -350,6 +350,10 @@ class IcebergTableSpec extends SparkSpec {
     IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(4L, 6L).toDF("id"))
     assert(IcebergTable.read(spark, t).orderBy("id").select("id").as[Long].collect().toSeq ==
       (1L to 12L).filterNot(Set(3L, 4L, 6L)))
+    // partition PRUNING composes with both delete kinds: the pruned
+    // branch still applies the global tombstone (4 dies in Year=1997)
+    assert(IcebergTable.read(spark, t, partitionFilter = Map("Year" -> "1997"))
+      .orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 7L, 10L))
     // a PARTIAL scope tuple refuses (the spec matches full tuples)
     val e = intercept[IllegalArgumentException](
       IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(1L).toDF("id"),
