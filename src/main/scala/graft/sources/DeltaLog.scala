@@ -1325,6 +1325,7 @@ object DeltaLog {
     var declaredSchema: StructType = df.schema
     var mapSnap: Option[Snapshot] = None // carries mode/physicalNames/fieldIds
     var carryConfig: Map[String, String] = Map.empty // existing config, re-emitted on evolution
+    var existingSnap: Option[Snapshot] = None
     if (tableExists) {
       // schema + partitioning gates: a silent append of a different
       // shape corrupts the table for every reader that trusts
@@ -1338,6 +1339,7 @@ object DeltaLog {
         "DeltaLog: configuration is a CREATION option — the existing table already " +
           s"declares ${snap.configuration}")
       carryConfig = snap.configuration
+      existingSnap = Some(snap)
       if (snap.columnMappingMode != "none") {
         writeGuards(snap, tablePath, "append")
         mapSnap = Some(snap)
@@ -1388,6 +1390,9 @@ object DeltaLog {
     partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
       s"DeltaLog: partition column $c missing from the append schema"))
     fs.mkdirs(logDir)
+    // writer-enforced rules (CHECK constraints, invariants, generated
+    // columns) verify over the incoming rows before anything stages
+    existingSnap.foreach(s => enforceWriteRules(s, df, "append"))
     val physDf = mapSnap.fold(df)(s => toPhysical(spark, s, df))
     val physBy = mapSnap.fold(partitionBy)(s => partitionBy.map(s.pvKey))
     // moved: (relative path, partitionValues, size, mtime) per file —
@@ -1401,12 +1406,13 @@ object DeltaLog {
     }
     val cdfAtCreation = !tableExists &&
       configuration.get("delta.enableChangeDataFeed").contains("true")
+    val ictAtCreation = !tableExists && ictEnabled(configuration)
     val protocolLine = actionLine { root =>
       val p = root.putObject("protocol")
-      if (!tableExists && (columnMapping != "none" || cdfAtCreation)) {
-        // column mapping / change data feed are TABLE FEATURES —
-        // declared explicitly at writer 7 rather than via the legacy
-        // minWriterVersion 5 / 4; columnMapping alone needs reader 3
+      if (!tableExists && (columnMapping != "none" || cdfAtCreation || ictAtCreation)) {
+        // column mapping / change data feed / in-commit timestamps are
+        // TABLE FEATURES — declared explicitly at writer 7 rather than
+        // via legacy versions; columnMapping alone needs reader 3
         p.put("minReaderVersion", if (columnMapping != "none") 3 else 1)
         p.put("minWriterVersion", 7)
         if (columnMapping != "none")
@@ -1414,6 +1420,7 @@ object DeltaLog {
         val wf = p.putArray("writerFeatures")
         if (columnMapping != "none") wf.add("columnMapping")
         if (cdfAtCreation) wf.add("changeDataFeed")
+        if (ictAtCreation) wf.add("inCommitTimestamp")
       } else {
         p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
       }
@@ -1466,7 +1473,8 @@ object DeltaLog {
     val version = commitActions(fs, logDir, tablePath,
       v => (if (v == 0L) Seq(protocolLine, metaLine)
             else if (evolvedId.isDefined) Seq(metaLine)
-            else Seq.empty) ++ txnLines ++ addLines)
+            else Seq.empty) ++ txnLines ++ addLines,
+      withIct = ictEnabled(if (tableExists) carryConfig else configuration))
     if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
       writeCheckpoint(spark, tablePath)
     version
@@ -1533,37 +1541,46 @@ object DeltaLog {
   private def protocolWriteGuards(snap: Snapshot, op: String): Unit = {
     val unknown = snap.writerFeatures --
       Set("appendOnly", "invariants", "deletionVectors", "columnMapping", "v2Checkpoint",
-        "changeDataFeed")
+        "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp")
     require(unknown.isEmpty,
       s"DeltaLog: $op into a table declaring writer features " +
         s"[${unknown.mkString(",")}] this writer does not implement")
+    require(!snap.writerFeatures.contains("identityColumns"),
+      s"DeltaLog: $op into a table declaring identityColumns — monotonic key " +
+        "allocation against the high-water mark is not implemented")
     snap.writerVersion.foreach { v =>
       if (v >= 3 && v <= 6) {
-        // column mapping (v5) is implemented; the OTHER implied
-        // enforcement duties only bind when their metadata is ACTIVE —
-        // a constraint in delta.constraints.*, a generation/identity
-        // expression or an invariant on some field. A v3-6 table with
-        // none of those has nothing for this writer to enforce; one
-        // WITH them must refuse (writing without enforcement corrupts
-        // the table's declared guarantees).
+        // CHECK constraints, invariants, generated-column validation
+        // (v3/v4) and column mapping (v5) are all ENFORCED by this
+        // writer ([[enforceWriteRules]], [[toPhysical]]); identity
+        // columns (v6) remain unimplemented — refuse only when one is
+        // ACTIVE in the schema (monotonic allocation needs the
+        // high-water-mark protocol).
         require(snap.schemaString.isEmpty || snap.schema.isDefined,
           s"DeltaLog: $op into a legacy minWriterVersion $v table whose schemaString " +
             "does not parse — implied writer invariants cannot be checked")
-        val constraints = snap.configuration.keys.filter(_.startsWith("delta.constraints."))
         def flagged(key: String): Seq[String] = snap.schema.toSeq.flatMap(
           _.fields.filter(_.metadata.contains(key)).map(f => s"${f.name}($key)"))
-        val active = constraints.toSeq ++ flagged("delta.invariants") ++
-          flagged("delta.generationExpression") ++
+        val identity =
           flagged("delta.identity.start") ++ flagged("delta.identity.allowExplicitInsert")
-        require(active.isEmpty,
+        require(identity.isEmpty,
           s"DeltaLog: $op into a table with legacy minWriterVersion $v declaring ACTIVE " +
-            s"writer-enforced invariants [${active.mkString(", ")}] this writer does " +
-            "not implement")
+            s"identity columns [${identity.mkString(", ")}] this writer does not implement")
       }
     }
   }
 
+  /** delta.appendOnly forbids any dataChange=true remove: every
+    * row-removing transaction refuses (compaction's dataChange=false
+    * shuffle remains legal — it removes FILES, not rows).
+    */
+  private def appendOnlyGuard(snap: Snapshot, op: String): Unit =
+    require(!snap.configuration.get("delta.appendOnly").contains("true"),
+      s"DeltaLog: $op on an APPEND-ONLY table (delta.appendOnly=true) — " +
+        "row-removing transactions are forbidden by the table's own declaration")
+
   private def writeGuards(snap: Snapshot, tablePath: String, op: String): Unit = {
+    if (op != "compact") appendOnlyGuard(snap, op)
     require(snap.schema.isDefined,
       s"DeltaLog: $op requires a parseable metaData.schemaString at $tablePath")
     if (snap.columnMappingMode != "none")
@@ -1618,6 +1635,61 @@ object DeltaLog {
     */
   def cdfEnabled(snap: Snapshot): Boolean =
     snap.configuration.get("delta.enableChangeDataFeed").contains("true")
+
+  // ------------------------------------- writer-enforced invariants
+
+  /** The table's declared write-time rules, each as (label, SQL
+    * boolean expression): CHECK constraints (`delta.constraints.*` in
+    * the configuration), column invariants (per-field
+    * `delta.invariants` metadata) and generated-column validation
+    * (per-field `delta.generationExpression` — a writer must ensure
+    * the stored value SATISFIES the expression, which for provided
+    * values means null-safe equality).
+    */
+  private def writeRules(snap: Snapshot): Seq[(String, Column)] = {
+    val constraints = snap.configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (s"CHECK constraint '${k.stripPrefix("delta.constraints.")}' ($v)", expr(v))
+    }
+    val fieldRules = snap.schema.toSeq.flatMap(_.fields.flatMap { f =>
+      val inv =
+        if (!f.metadata.contains("delta.invariants")) None
+        else {
+          val node = mapper.readTree(f.metadata.getString("delta.invariants"))
+            .at("/expression/expression")
+          if (node.isMissingNode) None
+          else Some((s"invariant on ${f.name} (${node.asText})", expr(node.asText)))
+        }
+      val gen =
+        if (!f.metadata.contains("delta.generationExpression")) None
+        else {
+          val g = f.metadata.getString("delta.generationExpression")
+          Some((s"generated column ${f.name} AS ($g)", col(f.name) <=> expr(g)))
+        }
+      inv.toSeq ++ gen.toSeq
+    })
+    constraints.sortBy(_._1) ++ fieldRules
+  }
+
+  /** Enforce every declared rule over the NEW rows of a write — ONE
+    * aggregation pass counting violations per rule (SQL CHECK
+    * semantics: only FALSE violates; NULL passes). Throws naming the
+    * first violated rule; a writer that cannot enforce must refuse,
+    * and this is the enforcement that lets legacy writer versions 3-5
+    * stay writable instead of refusing.
+    */
+  private def enforceWriteRules(snap: Snapshot, df: DataFrame, op: String): Unit = {
+    val rules = writeRules(snap)
+    if (rules.isEmpty) return
+    val aggs = rules.zipWithIndex.map { case ((_, c), i) =>
+      sum(when(!coalesce(c, lit(true)), 1L).otherwise(0L)).as(s"v$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    rules.zipWithIndex.foreach { case ((label, _), i) =>
+      val n = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(n == 0L, s"DeltaLog: $op violates $label — $n row(s) fail")
+    }
+  }
 
   /** Stage CHANGE rows (table columns + `_change_type`) under
     * `_change_data/` — partitioned like the table, physical column
@@ -1722,6 +1794,9 @@ object DeltaLog {
         .join(updates.select(keyCols: _*), keys, "left_anti")
         .select(ordered: _*)
         .unionByName(updates.select(ordered: _*))
+    // writer-enforced rules verify over the NEW rows only (survivors
+    // of the rewrite already satisfied them when first written)
+    enforceWriteRules(snap, updates, "merge")
     val moved = stageAndMove(fs, table, toPhysical(spark, snap, newData),
       physPartitionBy(snap), "part-m", dropEmptyFiles = true)
     // CHANGE DATA FEED: matched live rows are update pre/post image
@@ -1805,6 +1880,8 @@ object DeltaLog {
         .join(changeKeys, keys, "left_anti")
         .select(ordered: _*)
         .unionByName(ins)
+    // writer-enforced rules verify over the NEW rows only
+    enforceWriteRules(snap, ins, "applyChanges")
     val moved = stageAndMove(fs, table, toPhysical(spark, snap, survivors),
       physPartitionBy(snap), "part-c", dropEmptyFiles = true)
     val cdcLines =
@@ -2058,7 +2135,8 @@ object DeltaLog {
           .filter(coalesce(predicate, lit(false)))
           .withColumn("_change_type", lit("delete")))
     commitActions(fs, logDir, tablePath,
-      _ => protocolLines ++ txnLines ++ removeLines.toSeq ++ addLines.toSeq ++ cdcLines)
+      _ => protocolLines ++ txnLines ++ removeLines.toSeq ++ addLines.toSeq ++ cdcLines,
+      withIct = ictEnabled(snap.configuration))
   }
 
   /** Shared commit tail of [[merge]] and [[delete]]: one transaction
@@ -2106,7 +2184,8 @@ object DeltaLog {
       }
     }
     val version = commitActions(fs, logDir, tablePath,
-      _ => txnLines ++ removeLines ++ addLines ++ cdcLines)
+      _ => txnLines ++ removeLines ++ addLines ++ cdcLines,
+      withIct = ictEnabled(snap.configuration))
     if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
       writeCheckpoint(spark, tablePath)
     version
@@ -2123,8 +2202,14 @@ object DeltaLog {
     val fs = fsOf(spark, logDir)
     val log = listLog(spark, tablePath)
     require(log.jsons.nonEmpty, s"DeltaLog: no JSON commits to timestamp-resolve under $tablePath")
+    // IN-COMMIT TIMESTAMPS: when the table declares them, each commit's
+    // own monotonic clock is the truth (file mtimes survive neither a
+    // table copy nor a filesystem migration); commits from before the
+    // feature was enabled fall back to their mtime, per spec
+    val useIct = ictEnabled(snapshot(spark, tablePath, None).configuration)
     val stamped = log.jsons.toSeq.map { case (v, p) =>
-      (v, fs.getFileStatus(new Path(p)).getModificationTime)
+      val ict = if (useIct) lastIct(fs, logDir, v + 1) else None
+      (v, ict.getOrElse(fs.getFileStatus(new Path(p)).getModificationTime))
     }.sortBy(_._1)
     val eligible = stamped.filter(_._2 <= tsMillis)
     require(eligible.nonEmpty,
@@ -2430,6 +2515,7 @@ object DeltaLog {
     val targetKeys = target.files.map(fkey).toSet
     val toRemove = current.files.filterNot(f => targetKeys(fkey(f)))
     val toAdd = target.files.filterNot(f => currentKeys(fkey(f)))
+    if (toRemove.nonEmpty) appendOnlyGuard(current, "restore")
     val metaChanged = target.schemaString != current.schemaString ||
       target.partitionColumns != current.partitionColumns
     if (toRemove.isEmpty && toAdd.isEmpty && !metaChanged) return -1L
@@ -2486,7 +2572,8 @@ object DeltaLog {
       }
     }
     commitActions(fs, logDir, tablePath,
-      _ => metaLines ++ removeLines ++ addLines)
+      _ => metaLines ++ removeLines ++ addLines,
+      withIct = ictEnabled(current.configuration))
   }
 
   /** Stage `df` through a `_commit_stage_*` dir and move its part
@@ -2665,11 +2752,51 @@ object DeltaLog {
     * version actually being attempted (version 0 carries protocol +
     * metaData).
     */
+  /** `delta.enableInCommitTimestamps = true` — every commit carries a
+    * MONOTONIC `commitInfo.inCommitTimestamp` as its first action, and
+    * timestamp travel resolves against it instead of file modification
+    * times (which survive neither copies nor filesystem migrations).
+    */
+  def ictEnabled(conf: Map[String, String]): Boolean =
+    conf.get("delta.enableInCommitTimestamps").contains("true")
+
+  /** The previous commit's inCommitTimestamp, when its JSON survives
+    * and carries one — the monotonicity floor for the next commit.
+    */
+  private def lastIct(fs: FileSystem, logDir: Path, version: Long): Option[Long] =
+    if (version <= 0) None
+    else {
+      val jp = jsonPath(logDir, version - 1)
+      if (!fs.exists(jp)) None
+      else {
+        val in = fs.open(jp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.trim.nonEmpty).map(mapper.readTree)
+          .flatMap(n => Option(n.get("commitInfo")))
+          .flatMap(ci => Option(ci.get("inCommitTimestamp")).map(_.asLong))
+          .toSeq.headOption
+        finally in.close()
+      }
+    }
+
   private def commitActions(
       fs: FileSystem, logDir: Path, tablePath: String,
-      lines: Long => Seq[String]): Long = {
+      lines: Long => Seq[String], withIct: Boolean = false): Long = {
     def tryCommit(version: Long): Boolean = {
-      val bytes = lines(version).mkString("", "\n", "\n").getBytes("UTF-8")
+      val ictLines =
+        if (!withIct) Seq.empty
+        else {
+          // monotonic: never behind the predecessor's clock (the spec's
+          // guarantee that makes ICT binary-searchable)
+          val ict = math.max(System.currentTimeMillis(),
+            lastIct(fs, logDir, version).fold(Long.MinValue)(_ + 1))
+          Seq(actionLineStatic { root =>
+            val ci = root.putObject("commitInfo")
+            ci.put("timestamp", System.currentTimeMillis())
+            ci.put("inCommitTimestamp", ict)
+          })
+        }
+      val bytes = (ictLines ++ lines(version)).mkString("", "\n", "\n").getBytes("UTF-8")
       val target = jsonPath(logDir, version)
       if (fs.exists(target)) return false // already taken — skip the write
       // temp + rename (what Delta's own LogStore does on HDFS/local):
@@ -2854,7 +2981,8 @@ object DeltaLog {
         statsJson(fs, table, rel).foreach(s => a.put("stats", s))
       }
     }
-    commitActions(fs, logDir, tablePath, _ => removeLines ++ addLines)
+    commitActions(fs, logDir, tablePath, _ => removeLines ++ addLines,
+      withIct = ictEnabled(snap.configuration))
   }
 
   private def actionLineStatic(

@@ -1440,43 +1440,121 @@ class DeltaLogSpec extends SparkSpec {
       new java.sql.Timestamp(1900L), new java.sql.Timestamp(2500L)).isEmpty)
   }
 
-  test("legacy minWriterVersion 3-6: ACTIVE implied invariants refuse writes; dormant ones don't") {
+  test("delta.appendOnly: row-removing transactions refuse; appends and compaction proceed") {
     import spark.implicits._
-    // v4 with an ACTIVE generated column: every write path refuses —
-    // appending without evaluating the generation expression would
-    // corrupt the column's declared guarantee
     val t = newTable()
-    dataFile(t, "a.parquet", "a", 2)
-    commit(t, 0, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
-      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"length(tag)\"}}]}","partitionColumns":[]}}""",
-      add("a.parquet")))
-    assert(DeltaLog.read(spark, t).count() == 2, "reads stay fine")
-    val df = Seq(("b", 9L)).toDF("tag", "i")
-    val eA = intercept[IllegalArgumentException](DeltaLog.append(spark, t, df))
-    assert(eA.getMessage.contains("minWriterVersion 4"), eA.getMessage)
-    val eM = intercept[IllegalArgumentException](DeltaLog.merge(spark, t, df, Seq("i")))
-    assert(eM.getMessage.contains("minWriterVersion 4"), eM.getMessage)
-    val eD = intercept[IllegalArgumentException](DeltaLog.delete(spark, t, col("i") === 0L))
-    assert(eD.getMessage.contains("minWriterVersion 4"), eD.getMessage)
-    // an active CHECK constraint in the configuration also refuses
+    DeltaLog.append(spark, t, Seq((1L, "a")).toDF("id", "tag"),
+      configuration = Map("delta.appendOnly" -> "true"))
+    DeltaLog.append(spark, t, Seq((2L, "b")).toDF("id", "tag"))
+    def refuses(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("APPEND-ONLY"), e.getMessage)
+    }
+    refuses(DeltaLog.delete(spark, t, col("id") === 1L))
+    refuses(DeltaLog.deleteWithDv(spark, t, col("id") === 1L))
+    refuses(DeltaLog.merge(spark, t, Seq((1L, "z")).toDF("id", "tag"), Seq("id")))
+    refuses(DeltaLog.applyChanges(spark, t,
+      Seq((1L, "z", "insert")).toDF("id", "tag", "_change_type"), Seq("id")))
+    refuses(DeltaLog.restore(spark, t, 0L)) // would remove v1's file
+    // compaction removes FILES, not rows (dataChange=false) — legal
+    assert(DeltaLog.compact(spark, t) >= 0L)
+    assert(DeltaLog.read(spark, t).count() == 2)
+  }
+
+  test("in-commit timestamps: a monotonic commitInfo clock drives timestamp travel, not mtimes") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq((1L, "a")).toDF("id", "tag"),
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaLog.append(spark, t, Seq((2L, "b")).toDF("id", "tag"))
+    DeltaLog.merge(spark, t, Seq((3L, "c")).toDF("id", "tag"), Seq("id"))
+    assert(DeltaLog.snapshot(spark, t).writerFeatures.contains("inCommitTimestamp"))
+    // every commit leads with commitInfo.inCommitTimestamp, strictly increasing
+    val icts = (0L to 2L).map { v =>
+      val first = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        s"$t/_delta_log/" + f"$v%020d.json")).get(0)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(first)
+      assert(node.has("commitInfo"), s"commit $v must lead with commitInfo")
+      node.get("commitInfo").get("inCommitTimestamp").asLong()
+    }
+    assert(icts == icts.sorted && icts.distinct.size == 3, icts.toString)
+    // SABOTAGE the file mtimes (a table copy destroys them in reality):
+    // timestamp travel must keep resolving via the in-commit clock
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to 2L).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(
+        s"$t/_delta_log/" + f"$v%020d.json"), 1000L, -1)
+    }
+    assert(DeltaLog.versionAtTimestamp(spark, t, icts(1)) == 1L)
+    assert(DeltaLog.versionAtTimestamp(spark, t, icts(2) - 1) == 1L)
+    assert(DeltaLog.readAsOfTimestamp(spark, t, icts(1)).count() == 2)
+    assert(DeltaLog.readAsOfTimestamp(spark, t, icts(2)).count() == 3)
+  }
+
+  test("writer-enforced rules: CHECK constraints, invariants, generated columns; identity refuses") {
+    import spark.implicits._
+    // v3 CHECK constraint: conforming rows land, violators refuse by name
     val t3 = newTable()
     dataFile(t3, "a.parquet", "a", 2)
     commit(t3, 0, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
       """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{"delta.constraints.pos":"i >= 0"}}}""",
       add("a.parquet")))
-    val eC = intercept[IllegalArgumentException](DeltaLog.append(spark, t3, df))
-    assert(eC.getMessage.contains("delta.constraints.pos"), eC.getMessage)
-    // v4 with NO active constraint/generated/identity/invariant
-    // metadata: there is nothing to enforce — writes proceed
+    DeltaLog.append(spark, t3, Seq(("b", 9L)).toDF("tag", "i"))
+    assert(DeltaLog.read(spark, t3).count() == 3)
+    val eC = intercept[IllegalArgumentException](
+      DeltaLog.append(spark, t3, Seq(("x", -1L)).toDF("tag", "i")))
+    assert(eC.getMessage.contains("CHECK constraint 'pos'"), eC.getMessage)
+    // NULL passes a CHECK (SQL semantics: only FALSE violates)
+    DeltaLog.append(spark, t3, Seq(("n", null.asInstanceOf[java.lang.Long]))
+      .toDF("tag", "i").select(col("tag"), col("i").cast(LongType)))
+    // a violating MERGE refuses too; the conforming one lands
+    val eM = intercept[IllegalArgumentException](
+      DeltaLog.merge(spark, t3, Seq(("m", -5L)).toDF("tag", "i"), Seq("tag")))
+    assert(eM.getMessage.contains("CHECK constraint"), eM.getMessage)
+    DeltaLog.merge(spark, t3, Seq(("b", 10L)).toDF("tag", "i"), Seq("tag"))
+    // v4 GENERATED column: the stored value must satisfy the expression
+    val t = newTable()
+    dataFile(t, "a.parquet", "a", 2)
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.generationExpression\":\"length(tag)\"}}]}","partitionColumns":[]}}""",
+      add("a.parquet")))
+    val eG = intercept[IllegalArgumentException](
+      DeltaLog.append(spark, t, Seq(("b", 9L)).toDF("tag", "i")))
+    assert(eG.getMessage.contains("generated column i"), eG.getMessage)
+    DeltaLog.append(spark, t, Seq(("bb", 2L)).toDF("tag", "i")) // length("bb") = 2
+    assert(DeltaLog.read(spark, t).count() == 3)
+    // column INVARIANT (writer v2 feature, field metadata)
+    val t4 = newTable()
+    dataFile(t4, "a.parquet", "a", 2)
+    commit(t4, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.invariants\":\"{\\\"expression\\\":{\\\"expression\\\":\\\"i < 100\\\"}}\"}}]}","partitionColumns":[]}}""",
+      add("a.parquet")))
+    val eI = intercept[IllegalArgumentException](
+      DeltaLog.append(spark, t4, Seq(("z", 500L)).toDF("tag", "i")))
+    assert(eI.getMessage.contains("invariant on i"), eI.getMessage)
+    DeltaLog.append(spark, t4, Seq(("z", 50L)).toDF("tag", "i"))
+    // v6 IDENTITY columns stay a refusal — only when one is ACTIVE
+    val t6 = newTable()
+    dataFile(t6, "a.parquet", "a", 2)
+    commit(t6, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.identity.start\":1}}]}","partitionColumns":[]}}""",
+      add("a.parquet")))
+    val eId = intercept[IllegalArgumentException](
+      DeltaLog.append(spark, t6, Seq(("b", 9L)).toDF("tag", "i")))
+    assert(eId.getMessage.contains("identity"), eId.getMessage)
+    // v6 with NO identity metadata: nothing unimplemented is active — writes land
     val t2 = newTable()
     dataFile(t2, "a.parquet", "a", 2)
     commit(t2, 0, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
       """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[]}}""",
       add("a.parquet")))
-    DeltaLog.append(spark, t2, df)
+    DeltaLog.append(spark, t2, Seq(("b", 9L)).toDF("tag", "i"))
     assert(DeltaLog.read(spark, t2).count() == 3)
   }
 }
