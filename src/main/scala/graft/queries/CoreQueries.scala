@@ -2973,6 +2973,51 @@ object CoreQueries {
       |  AND o_custkey % 10 <> 7
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S46Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s46_iceberg_rewrite"
+  private val s46BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S46 — Iceberg MAINTENANCE lifecycle (`rewrite_data_files` +
+    * `expire_snapshots`): two appends take an equality tombstone
+    * (`o_custkey % 10 = 4`), the REWRITE republishes only the live
+    * rows (tombstones physically applied, nothing carried forward),
+    * and the EXPIRY drops every pre-rewrite snapshot and physically
+    * reclaims the files only they reached — old data, the delete file,
+    * their manifests and lists. The final read runs AFTER the cleanup,
+    * so an expiry that over-deletes (a live file stranded by the
+    * reachability set difference) throws, and one that under-applies
+    * the tombstones hash-fails against the oracle.
+    */
+  def s46IcebergRewrite(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s46BuiltFor.synchronized {
+      if (s46BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S46Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.IcebergTable.append(spark, S46Root,
+          base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.IcebergTable.append(spark, S46Root,
+          base.filter(col("o_orderkey") % 2 =!= 0))
+        graft.sources.IcebergTable.deleteRowsEquality(spark, S46Root,
+          Seq("o_custkey"),
+          base.filter(col("o_custkey") % 10 === 4).select("o_custkey").distinct())
+        graft.sources.IcebergTable.rewriteDataFiles(spark, S46Root)
+        graft.sources.IcebergTable.expireSnapshots(spark, S46Root,
+          olderThanMillis = System.currentTimeMillis() + 60000, retainLast = 1)
+        s46BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.read(spark, S46Root).orderBy("o_orderkey")
+  }
+
+  private val s46IcebergRewriteSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_custkey % 10 <> 4
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -3228,6 +3273,7 @@ object CoreQueries {
     "s43_delta_cdf" -> s43DeltaCdf _,
     "s44_delta_replicate" -> s44DeltaReplicate _,
     "s45_iceberg_eq_scoped" -> s45IcebergEqScoped _,
+    "s46_iceberg_rewrite" -> s46IcebergRewrite _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3562,6 +3608,7 @@ object CoreQueries {
     "s43_delta_cdf" -> s43DeltaCdfSql,
     "s44_delta_replicate" -> s44DeltaReplicateSql,
     "s45_iceberg_eq_scoped" -> s45IcebergEqScopedSql,
+    "s46_iceberg_rewrite" -> s46IcebergRewriteSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

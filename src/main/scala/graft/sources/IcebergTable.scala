@@ -570,7 +570,32 @@ object IcebergTable {
     */
   def append(
       spark: SparkSession, tablePath: String, df: DataFrame,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty): Long =
+    publishDataSnapshot(spark, tablePath, df, partitionBy,
+      carryForward = true, operation = "append")
+
+  /** REWRITE DATA FILES — the `rewrite_data_files` maintenance twin
+    * (Iceberg's compaction): the current LIVE rows (position and
+    * equality deletes applied) publish as a fresh set of data files
+    * under a `replace` snapshot whose manifest list carries NOTHING
+    * forward — no delete manifests survive (their tombstones are now
+    * physically applied), and every pre-rewrite file becomes
+    * unreachable from the new snapshot, reclaimable by
+    * [[expireSnapshots]]. Time travel to pre-rewrite snapshots keeps
+    * working until then. Returns the new snapshot id.
+    */
+  def rewriteDataFiles(spark: SparkSession, tablePath: String): Long = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = readJson(fs, currentMetadataPath(fs, tablePath))
+    val pby = specColumnNames(meta)
+    val rows = read(spark, tablePath)
+    publishDataSnapshot(spark, tablePath, rows, pby,
+      carryForward = false, operation = "replace")
+  }
+
+  private def publishDataSnapshot(
+      spark: SparkSession, tablePath: String, df: DataFrame,
+      partitionBy: Seq[String], carryForward: Boolean, operation: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
@@ -692,7 +717,8 @@ object IcebergTable {
         .getOrElse(1L)
     // carry forward the prior snapshot's manifests WITH their v2
     // content/sequence fields (default 0 for v1-era manifests)
-    val prevManifests: Seq[(String, Long, Int, Long, Long)] = prevMeta.toSeq.flatMap { m =>
+    val prevManifests: Seq[(String, Long, Int, Long, Long)] =
+      (if (carryForward) prevMeta.toSeq else Seq.empty).flatMap { m =>
       val curId = m.get("current-snapshot-id").asLong()
       val snaps = m.get("snapshots")
       (0 until snaps.size()).map(snaps.get)
@@ -787,7 +813,7 @@ object IcebergTable {
     if (fv == 2) sn.put("sequence-number", newSeq)
     sn.put("timestamp-ms", System.currentTimeMillis())
     sn.put("manifest-list", fs.makeQualified(listPath).toString)
-    sn.putObject("summary").put("operation", "append")
+    sn.putObject("summary").put("operation", operation)
 
     val newVersion = prevVersion + 1
     val metaPath = new Path(metaDir, s"v$newVersion.metadata.json")
@@ -1102,5 +1128,80 @@ object IcebergTable {
     val hint = fs.create(new Path(metaDir0, "version-hint.text"), true)
     try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
     snapshotId
+  }
+
+  /** EXPIRE SNAPSHOTS — the `expire_snapshots` maintenance twin
+    * (Iceberg's vacuum): snapshots whose `timestamp-ms` is older than
+    * `olderThanMillis` are dropped from the table metadata — never the
+    * CURRENT snapshot, and always keeping the `retainLast` most recent
+    * — and every file reachable ONLY from the expired snapshots
+    * (manifest lists, manifests, data and delete files) is physically
+    * deleted. Reachability is a SET DIFFERENCE against everything the
+    * kept snapshots still reference, so the carry-forward sharing of
+    * manifests between snapshots never strands a live file. The new
+    * metadata version publishes BEFORE any physical delete (a reader
+    * racing the cleanup can no longer resolve an expired snapshot);
+    * time travel to an expired id then refuses loudly. Returns the
+    * number of files deleted.
+    *
+    * Scale shape: the walk is metadata-sized (manifest avro, never
+    * data); deletes are driver-issued per orphaned file, the same
+    * contract as [[DeltaLog.vacuum]].
+    */
+  def expireSnapshots(
+      spark: SparkSession, tablePath: String,
+      olderThanMillis: Long, retainLast: Int = 1): Long = {
+    require(retainLast >= 1, "IcebergTable: expireSnapshots must retain at least 1 snapshot")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val metaPath = currentMetadataPath(fs, tablePath)
+    val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(fs, metaPath)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val currentId = meta.get("current-snapshot-id").asLong()
+    val snapsArr = meta.get("snapshots")
+    val all = (0 until snapsArr.size()).map(snapsArr.get)
+    def idOf(s: com.fasterxml.jackson.databind.JsonNode) = s.get("snapshot-id").asLong()
+    def tsOf(s: com.fasterxml.jackson.databind.JsonNode) = s.get("timestamp-ms").asLong()
+    val newestIds = all.sortBy(-tsOf(_)).take(retainLast).map(idOf).toSet
+    val keepIds = all.filter(s =>
+      idOf(s) == currentId || newestIds(idOf(s)) || tsOf(s) >= olderThanMillis)
+      .map(idOf).toSet
+    val (keep, expired) = all.partition(s => keepIds(idOf(s)))
+    if (expired.isEmpty) return 0L
+    def q(p: String): String = fs.makeQualified(new Path(p)).toString
+    // everything a snapshot reaches: its manifest list, the manifests
+    // in it, and every file path those manifests carry (data + delete)
+    def reach(s: com.fasterxml.jackson.databind.JsonNode): (String, Seq[String], Seq[String]) = {
+      val list = q(s.get("manifest-list").asText())
+      val manifests = readAvro(fs, new Path(list), conf)
+        .map(r => q(r.get("manifest_path").toString))
+      val files = manifests.flatMap(mp => readAvro(fs, new Path(mp), conf).map(r =>
+        q(r.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)))
+      (list, manifests, files)
+    }
+    val keepReach = keep.map(reach)
+    val keepLists = keepReach.map(_._1).toSet
+    val keepManifests = keepReach.flatMap(_._2).toSet
+    val keepFiles = keepReach.flatMap(_._3).toSet
+    val expReach = expired.map(reach)
+    val delete = (expReach.map(_._1).filterNot(keepLists) ++
+      expReach.flatMap(_._2).filterNot(keepManifests) ++
+      expReach.flatMap(_._3).filterNot(keepFiles)).distinct
+    // publish the shrunk snapshot list FIRST, then reclaim
+    val newSnaps = mapper.createArrayNode()
+    keep.foreach(s => newSnaps.add(s))
+    meta.set[com.fasterxml.jackson.databind.node.ObjectNode]("snapshots", newSnaps)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    val newVersion = prevVersion + 1
+    val outPath = new Path(metadataDir(tablePath), s"v$newVersion.metadata.json")
+    val out = fs.create(outPath, false) // put-if-absent publish
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hint = fs.create(new Path(metadataDir(tablePath), "version-hint.text"), true)
+    try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
+    delete.foreach(p => fs.delete(new Path(p), false))
+    delete.size.toLong
   }
 }

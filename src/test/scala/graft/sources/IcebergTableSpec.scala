@@ -361,6 +361,37 @@ class IcebergTableSpec extends SparkSpec {
     assert(e.getMessage.contains("FULL partition tuple"), e.getMessage)
   }
 
+  test("rewriteDataFiles + expireSnapshots: compaction orphans old files; expiry reclaims them") {
+    import spark.implicits._
+    val t = newTable()
+    val snapA = IcebergTable.append(spark, t, (1L to 4L).map(i => (i, s"t$i")).toDF("id", "tag"))
+    IcebergTable.append(spark, t, (5L to 8L).map(i => (i, s"t$i")).toDF("id", "tag"))
+    IcebergTable.deleteRows(spark, t, col("id") % 2 === 0) // v2 position deletes
+    def dataFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$t/data")).filter(_.getName.endsWith(".parquet"))
+    }
+    val preCount = dataFiles.size
+    assert(preCount >= 3, "two appends + a position-delete file")
+    // REWRITE: live rows republish clean; nothing carried forward
+    IcebergTable.rewriteDataFiles(spark, t)
+    def liveIds = IcebergTable.read(spark, t)
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    assert(liveIds == Seq(1L, 3L, 5L, 7L))
+    // pre-rewrite time travel still works while snapshots survive
+    assert(IcebergTable.read(spark, t, Some(snapA)).count() == 4)
+    // EXPIRE everything but the rewrite snapshot, then the old data,
+    // delete files, manifests and lists are physically gone
+    val reclaimed = IcebergTable.expireSnapshots(spark, t,
+      olderThanMillis = System.currentTimeMillis() + 10000, retainLast = 1)
+    assert(reclaimed >= preCount, s"reclaimed $reclaimed of at least $preCount old files")
+    assert(liveIds == Seq(1L, 3L, 5L, 7L), "current read intact after expiry")
+    assert(dataFiles.size < preCount, "orphaned data files physically deleted")
+    val e = intercept[IllegalArgumentException](IcebergTable.read(spark, t, Some(snapA)))
+    assert(e.getMessage.contains("expired"), e.getMessage)
+  }
+
   test("v2 guards: id-less equality deletes refuse on read") {
     import spark.implicits._
     import org.apache.avro.Schema
