@@ -3018,6 +3018,62 @@ object CoreQueries {
       |WHERE o_custkey % 10 <> 4
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S47Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s47_delta_clone"
+  private val s47BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S47 — SHALLOW CLONE lifecycle: the source takes two appends and a
+    * DV delete, the clone is a metadata-only v0 referencing the
+    * source's files absolutely (zero bytes copied — the fixture build
+    * would be 2× slower otherwise), and the s39 MERGE then runs ON THE
+    * CLONE: copy-on-write replaces exactly the affected absolute
+    * references with clone-local rewrites while untouched source files
+    * stay shared. The query reads the CLONE; the oracle recomputes its
+    * end state from raw `orders` — a merge that leaked into the source,
+    * resurrected the DV-dead rows through the clone, or dropped a
+    * shared file hash-fails.
+    */
+  def s47DeltaClone(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    val srcRoot = s"$S47Root/src"
+    val cloneRoot = s"$S47Root/clone"
+    def proj(df: DataFrame) = df.select(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    s47BuiltFor.synchronized {
+      if (s47BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S47Root))
+        val all = proj(Tables.orders(spark, dir))
+        val base = all.filter(col("o_orderkey") % 5 =!= 4)
+        graft.sources.DeltaLog.append(spark, srcRoot,
+          base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.DeltaLog.append(spark, srcRoot,
+          base.filter(col("o_orderkey") % 2 =!= 0))
+        graft.sources.DeltaLog.deleteWithDv(spark, srcRoot, col("o_orderkey") % 7 === 3)
+        graft.sources.DeltaLog.shallowClone(spark, srcRoot, cloneRoot)
+        val updated = base.filter(col("o_orderkey") % 10 < 2)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserted = all.filter(col("o_orderkey") % 5 === 4)
+        graft.sources.DeltaLog.merge(spark, cloneRoot,
+          updated.unionByName(inserted), keys = Seq("o_orderkey"))
+        s47BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, cloneRoot).orderBy("o_orderkey")
+  }
+
+  /** The s39 end state, computed on the CLONE. */
+  private val s47DeltaCloneSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
+      |       THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
+      |       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 5 = 4 OR o_orderkey % 10 < 2 OR NOT (o_orderkey % 7 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -3274,6 +3330,7 @@ object CoreQueries {
     "s44_delta_replicate" -> s44DeltaReplicate _,
     "s45_iceberg_eq_scoped" -> s45IcebergEqScoped _,
     "s46_iceberg_rewrite" -> s46IcebergRewrite _,
+    "s47_delta_clone" -> s47DeltaClone _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3609,6 +3666,7 @@ object CoreQueries {
     "s44_delta_replicate" -> s44DeltaReplicateSql,
     "s45_iceberg_eq_scoped" -> s45IcebergEqScopedSql,
     "s46_iceberg_rewrite" -> s46IcebergRewriteSql,
+    "s47_delta_clone" -> s47DeltaCloneSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

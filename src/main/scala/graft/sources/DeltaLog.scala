@@ -1825,6 +1825,94 @@ object DeltaLog {
       checkpointInterval, txn, cdcLines)
   }
 
+  /** SHALLOW CLONE — the CLONE TABLE semantics: a NEW table whose v0
+    * commit references the SOURCE snapshot's data files by ABSOLUTE
+    * path, so zero data copies and the cost is metadata-sized. The
+    * clone then lives its own life: appends land clone-local files,
+    * copy-on-write merge/delete REPLACE absolute references with
+    * clone-local rewrites of only the affected files, and vacuum on
+    * the clone never touches the source (it scans only the clone's own
+    * directory). Deletion-vector descriptors re-anchor as
+    * absolute-path (`p`) descriptors so DV decode keeps working from
+    * the clone; stats and partition values carry verbatim, so data
+    * skipping works immediately. Time-travel base: `versionAsOf`
+    * clones a historical source version. Returns the clone's version
+    * (always 0).
+    *
+    * Caveat shared with every shallow clone: vacuuming the SOURCE can
+    * reclaim files the clone still references — the clone must be
+    * deep-copied (rewritten) or re-cloned before that horizon passes.
+    */
+  def shallowClone(
+      spark: SparkSession, sourcePath: String, targetPath: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val snap = snapshot(spark, sourcePath, versionAsOf)
+    val srcFs = fsOf(spark, new Path(sourcePath))
+    val table = new Path(targetPath)
+    val fs = fsOf(spark, table)
+    val logDir = logDirOf(targetPath)
+    require(!fs.exists(logDir) || fs.listStatus(logDir).isEmpty,
+      s"DeltaLog: shallowClone target $targetPath is already a Delta table")
+    fs.mkdirs(logDir)
+    val protocolLine = actionLineStatic { root =>
+      val p = root.putObject("protocol")
+      p.put("minReaderVersion", snap.readerVersion.getOrElse(1))
+      p.put("minWriterVersion", snap.writerVersion.getOrElse(2))
+      if (snap.readerFeatures.nonEmpty) {
+        val rf = p.putArray("readerFeatures")
+        snap.readerFeatures.toSeq.sorted.foreach(rf.add)
+      }
+      if (snap.writerFeatures.nonEmpty) {
+        val wf = p.putArray("writerFeatures")
+        snap.writerFeatures.toSeq.sorted.foreach(wf.add)
+      }
+    }
+    val metaLine = actionLineStatic { root =>
+      val m = root.putObject("metaData")
+      m.put("id", s"graft-${java.util.UUID.randomUUID()}") // a clone is a NEW table
+      val f = m.putObject("format"); f.put("provider", "parquet"); f.putObject("options")
+      m.put("schemaString", snap.schemaString.getOrElse(""))
+      val pc = m.putArray("partitionColumns")
+      snap.partitionColumns.foreach(pc.add)
+      val cfg = m.putObject("configuration")
+      snap.configuration.foreach { case (k, v) => cfg.put(k, v) }
+    }
+    val addLines = snap.files.map { f =>
+      val abs = srcFs.makeQualified(new Path(resolve(sourcePath, f.path))).toString
+      actionLineStatic { root =>
+        val a = root.putObject("add")
+        a.put("path", abs) // scheme-qualified: resolve() serves it verbatim
+        val pv = a.putObject("partitionValues")
+        f.partitionValues.foreach { case (k, v) =>
+          if (v == null) pv.putNull(k) else pv.put(k, v)
+        }
+        a.put("size", f.size)
+        a.put("modificationTime", 0L)
+        a.put("dataChange", true)
+        f.stats.foreach(s => a.put("stats", s))
+        f.dv.foreach { d =>
+          val dv = a.putObject("deletionVector")
+          if (d.storageType == "i") {
+            // inline descriptors carry the bitmap in the token itself
+            dv.put("storageType", "i")
+            dv.put("pathOrInlineDv", d.pathOrInlineDv)
+          } else {
+            dv.put("storageType", "p")
+            dv.put("pathOrInlineDv",
+              if (d.storageType == "p") d.pathOrInlineDv
+              else srcFs.makeQualified(d.absolutePath(sourcePath)).toString)
+          }
+          d.offset.foreach(o => dv.put("offset", o))
+          dv.put("sizeInBytes", d.sizeInBytes)
+          dv.put("cardinality", d.cardinality)
+        }
+      }
+    }
+    commitActions(fs, logDir, targetPath,
+      _ => Seq(protocolLine, metaLine) ++ addLines,
+      withIct = ictEnabled(snap.configuration))
+  }
+
   /** Apply a CHANGE BATCH (table columns + `_change_type`) to the
     * table as ONE transaction — the sink half of table-to-table
     * replication: rows tagged `insert`/`update_postimage` upsert by

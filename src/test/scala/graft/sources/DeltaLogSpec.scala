@@ -1461,6 +1461,35 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).count() == 2)
   }
 
+  test("shallow clone: metadata-only copy that diverges without ever touching the source") {
+    import spark.implicits._
+    val src = newTable()
+    val dst = newTable() + "/clone"
+    DeltaLog.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    DeltaLog.append(spark, src, Seq((3L, "c"), (4L, "d")).toDF("id", "tag"))
+    DeltaLog.deleteWithDv(spark, src, col("id") === 2L) // a DV rides into the clone
+    def rows(t: String) = DeltaLog.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    DeltaLog.shallowClone(spark, src, dst)
+    assert(rows(dst) == rows(src) && rows(dst) == Seq((1L, "a"), (3L, "c"), (4L, "d")))
+    // zero data copied: the clone dir holds only its _delta_log
+    val copied = Option(new java.io.File(dst).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+    assert(copied.isEmpty, copied.map(_.getName).toString)
+    // the clone diverges; the source never notices
+    DeltaLog.merge(spark, dst, Seq((1L, "z"), (9L, "i")).toDF("id", "tag"), Seq("id"))
+    assert(rows(dst) == Seq((1L, "z"), (3L, "c"), (4L, "d"), (9L, "i")))
+    assert(rows(src) == Seq((1L, "a"), (3L, "c"), (4L, "d")), "source untouched")
+    // vacuum on the clone scans only ITS directory — source files survive
+    DeltaLog.vacuum(spark, dst, retainMs = 0L, force = true)
+    assert(rows(src) == Seq((1L, "a"), (3L, "c"), (4L, "d")))
+    assert(rows(dst) == Seq((1L, "z"), (3L, "c"), (4L, "d"), (9L, "i")))
+    // historical clone: versionAsOf anchors the copied snapshot
+    val dst0 = newTable() + "/clone0"
+    DeltaLog.shallowClone(spark, src, dst0, versionAsOf = Some(0L))
+    assert(rows(dst0) == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("in-commit timestamps: a monotonic commitInfo clock drives timestamp travel, not mtimes") {
     import spark.implicits._
     val t = newTable()
