@@ -570,9 +570,11 @@ object IcebergTable {
     */
   def append(
       spark: SparkSession, tablePath: String, df: DataFrame,
-      partitionBy: Seq[String] = Seq.empty): Long =
+      partitionBy: Seq[String] = Seq.empty,
+      allowSchemaEvolution: Boolean = false): Long =
     publishDataSnapshot(spark, tablePath, df, partitionBy,
-      carryForward = true, operation = "append")
+      carryForward = true, operation = "append",
+      allowSchemaEvolution = allowSchemaEvolution)
 
   /** REWRITE DATA FILES — the `rewrite_data_files` maintenance twin
     * (Iceberg's compaction): the current LIVE rows (position and
@@ -595,7 +597,8 @@ object IcebergTable {
 
   private def publishDataSnapshot(
       spark: SparkSession, tablePath: String, df: DataFrame,
-      partitionBy: Seq[String], carryForward: Boolean, operation: String): Long = {
+      partitionBy: Seq[String], carryForward: Boolean, operation: String,
+      allowSchemaEvolution: Boolean = false): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
@@ -610,11 +613,23 @@ object IcebergTable {
     val fv = prevMeta.map(_.get("format-version").asInt()).getOrElse(1)
     require(fv == 1 || fv == 2,
       s"IcebergTable: append into format-version $fv is not supported")
+    var schemaEvolved = false
     prevMeta.foreach { m =>
       val have = currentSchema(m).fields.map(f => (f.name, f.dataType)).toSeq
       val incoming = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      require(have == incoming,
-        s"IcebergTable: append schema mismatch — table declares $have, append brings $incoming")
+      if (have != incoming) {
+        require(allowSchemaEvolution,
+          s"IcebergTable: append schema mismatch — table declares $have, append " +
+            s"brings $incoming (pass allowSchemaEvolution = true for add-column evolution)")
+        // APPEND-only evolution: the declared fields must survive as a
+        // PREFIX with their types — schemaJson assigns field ids by
+        // position, so any reorder/insert/retype would silently rebind
+        // the ids that older equality-delete manifests reference
+        require(incoming.take(have.size) == have,
+          s"IcebergTable: schema evolution may only APPEND columns — declared " +
+            s"$have must survive as a prefix of $incoming")
+        schemaEvolved = true
+      }
       val prevSpec = specColumnNames(m)
       require(prevSpec == partitionBy,
         s"IcebergTable: append partitioning mismatch — table declares " +
@@ -765,12 +780,17 @@ object IcebergTable {
     meta.put("last-column-id", df.schema.size)
     meta.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema", schemaJson(df.schema))
     // v2's required "schemas"/"current-schema-id" pair (also legal —
-    // and ignored — under v1 readers that use the legacy "schema")
+    // and ignored — under v1 readers that use the legacy "schema");
+    // an add-column evolution publishes under a BUMPED schema id
+    val schemaId = prevMeta.map { m =>
+      val prev = if (m.has("current-schema-id")) m.get("current-schema-id").asInt() else 0
+      if (schemaEvolved) prev + 1 else prev
+    }.getOrElse(0)
     val schemasArr = meta.putArray("schemas")
     val schema0 = schemaJson(df.schema)
-    schema0.put("schema-id", 0)
+    schema0.put("schema-id", schemaId)
     schemasArr.add(schema0)
-    meta.put("current-schema-id", 0)
+    meta.put("current-schema-id", schemaId)
     // v1's required legacy "partition-spec" plus the modern
     // "partition-specs"/"default-spec-id" pair; identity transforms
     // over the schema field ids assigned by schemaJson (index + 1)

@@ -361,6 +361,27 @@ class IcebergTableSpec extends SparkSpec {
     assert(e.getMessage.contains("FULL partition tuple"), e.getMessage)
   }
 
+  test("append schema evolution: add-column keeps field ids stable; old files null-fill") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    // non-prefix evolution refuses (ids are positional)
+    val eR = intercept[IllegalArgumentException](IcebergTable.append(spark, t,
+      Seq((0.5, 3L, "c")).toDF("score", "id", "tag"), allowSchemaEvolution = true))
+    assert(eR.getMessage.contains("prefix"), eR.getMessage)
+    // APPENDED column evolves; old rows read back null-filled
+    IcebergTable.append(spark, t, Seq((3L, "c", 0.9)).toDF("id", "tag", "score"),
+      allowSchemaEvolution = true)
+    val back = IcebergTable.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(back == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.9))))
+    // equality deletes still bind the ORIGINAL field ids after evolution
+    IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(2L).toDF("id"))
+    assert(IcebergTable.read(spark, t).orderBy("id").select("id")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+  }
+
   test("rewriteDataFiles + expireSnapshots: compaction orphans old files; expiry reclaims them") {
     import spark.implicits._
     val t = newTable()
