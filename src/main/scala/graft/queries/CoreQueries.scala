@@ -3074,6 +3074,93 @@ object CoreQueries {
       |WHERE o_orderkey % 5 = 4 OR o_orderkey % 10 < 2 OR NOT (o_orderkey % 7 = 3)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S48Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s48_delta_rename"
+  private val s48BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S48 — metadata-only RENAME + DROP COLUMN on a mapped table (the
+    * capability column mapping exists for): the even half lands under
+    * the original names, `o_totalprice` renames to `price` (zero files
+    * touched — the physicalName is the data-file identity), the odd
+    * half appends under the NEW logical schema (two generations of
+    * files, one physical column name between them), `o_orderstatus`
+    * drops logically while staying in every file, and a DV delete runs
+    * across both generations. A reader that binds logical instead of
+    * physical names anywhere — scan, partition values, DV provenance —
+    * loses a generation or resurrects the dropped column; the oracle
+    * recomputes the final 3-column shape from raw `orders`.
+    */
+  def s48DeltaRenameDrop(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s48BuiltFor.synchronized {
+      if (s48BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S48Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.DeltaLog.append(spark, S48Root,
+          base.filter(col("o_orderkey") % 2 === 0), columnMapping = "name")
+        graft.sources.DeltaLog.renameColumn(spark, S48Root, "o_totalprice", "price")
+        graft.sources.DeltaLog.append(spark, S48Root,
+          base.filter(col("o_orderkey") % 2 =!= 0)
+            .withColumnRenamed("o_totalprice", "price"))
+        graft.sources.DeltaLog.dropColumn(spark, S48Root, "o_orderstatus")
+        graft.sources.DeltaLog.deleteWithDv(spark, S48Root, col("o_orderkey") % 7 === 3)
+        s48BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S48Root).orderBy("o_orderkey")
+  }
+
+  private val s48DeltaRenameDropSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice AS price
+      |FROM orders WHERE NOT (o_orderkey % 7 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val S49Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s49_delta_widen"
+  private val s49BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S49 — TYPE WIDENING (`typeWidening` table feature): the even half
+    * lands with an INT key column, ALTER COLUMN TYPE widens it to
+    * BIGINT as a METADATA-ONLY commit (no file rewritten — the
+    * feature's whole point), the odd half appends values only BIGINT
+    * can hold (+10^10), and a DV delete runs across both width
+    * generations. Every read upcasts the narrow files through the
+    * declared schema; the oracle recomputes the mixed-width column
+    * exactly, so a lost upcast (int32 bits reinterpreted), a rewrite
+    * masquerading as widening, or stats skipping mis-typed against the
+    * int-era min/max hash-fails.
+    */
+  def s49DeltaTypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s49BuiltFor.synchronized {
+      if (s49BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S49Root))
+        val base = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        graft.sources.DeltaLog.append(spark, S49Root,
+          base.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("ck", col("o_custkey").cast(IntegerType)).drop("o_custkey"))
+        graft.sources.DeltaLog.widenColumnType(spark, S49Root, "ck", LongType)
+        graft.sources.DeltaLog.append(spark, S49Root,
+          base.filter(col("o_orderkey") % 2 =!= 0)
+            .withColumn("ck", col("o_custkey") + lit(10000000000L)).drop("o_custkey"))
+        graft.sources.DeltaLog.deleteWithDv(spark, S49Root, col("o_orderkey") % 7 === 3)
+        s49BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S49Root).orderBy("o_orderkey")
+  }
+
+  private val s49DeltaTypeWideningSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
+      |       ELSE o_custkey + 10000000000 END AS ck
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -3331,6 +3418,8 @@ object CoreQueries {
     "s45_iceberg_eq_scoped" -> s45IcebergEqScoped _,
     "s46_iceberg_rewrite" -> s46IcebergRewrite _,
     "s47_delta_clone" -> s47DeltaClone _,
+    "s48_delta_rename_drop" -> s48DeltaRenameDrop _,
+    "s49_delta_type_widening" -> s49DeltaTypeWidening _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3667,6 +3756,8 @@ object CoreQueries {
     "s45_iceberg_eq_scoped" -> s45IcebergEqScopedSql,
     "s46_iceberg_rewrite" -> s46IcebergRewriteSql,
     "s47_delta_clone" -> s47DeltaCloneSql,
+    "s48_delta_rename_drop" -> s48DeltaRenameDropSql,
+    "s49_delta_type_widening" -> s49DeltaTypeWideningSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

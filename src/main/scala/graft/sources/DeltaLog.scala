@@ -530,12 +530,14 @@ object DeltaLog {
       // implements deletionVectors, columnMapping (name mode) and
       // v2Checkpoint — any OTHER declared feature (typeWidening, ...)
       // refuses
-      val unsupported = readerFeats -- Set("deletionVectors", "columnMapping", "v2Checkpoint")
+      val unsupported = readerFeats --
+        Set("deletionVectors", "columnMapping", "v2Checkpoint",
+          "typeWidening", "typeWidening-preview")
       require(rv <= 2 || (rv == 3 && unsupported.isEmpty),
         s"DeltaLog: minReaderVersion $rv with reader features " +
           s"[${readerFeats.mkString(",")}] requires " +
           s"[${unsupported.mkString(",")}] this reader does not implement " +
-          "(supported: column mapping name-mode, deletion vectors, v2 checkpoints)")
+          "(supported: column mapping, deletion vectors, v2 checkpoints, type widening)")
     }
     // latest metaData wins (schema evolution replaces the action)
     val metaRow = acts
@@ -1541,7 +1543,8 @@ object DeltaLog {
   private def protocolWriteGuards(snap: Snapshot, op: String): Unit = {
     val unknown = snap.writerFeatures --
       Set("appendOnly", "invariants", "deletionVectors", "columnMapping", "v2Checkpoint",
-        "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp")
+        "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp",
+        "typeWidening", "typeWidening-preview")
     require(unknown.isEmpty,
       s"DeltaLog: $op into a table declaring writer features " +
         s"[${unknown.mkString(",")}] this writer does not implement")
@@ -1823,6 +1826,188 @@ object DeltaLog {
       }
     commitRewrite(spark, fs, logDir, tablePath, snap, affectedFiles, moved,
       checkpointInterval, txn, cdcLines)
+  }
+
+  /** The declared rules that MENTION a column (conservative word-match
+    * over CHECK constraints, invariants and generation expressions) —
+    * renaming or dropping a column one of them references would leave
+    * the rule unevaluable, so those schema changes refuse by name.
+    */
+  private def rulesMentioning(snap: Snapshot, column: String): Seq[String] = {
+    val word = ("(?i)\\b" + java.util.regex.Pattern.quote(column) + "\\b").r
+    val fromConf = snap.configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") && word.findFirstIn(v).isDefined => k
+    }
+    val fromFields = snap.schema.toSeq.flatMap(_.fields.flatMap { f =>
+      val inv = if (f.metadata.contains("delta.invariants") &&
+        word.findFirstIn(f.metadata.getString("delta.invariants")).isDefined)
+        Some(s"invariant on ${f.name}") else None
+      val gen = if (f.metadata.contains("delta.generationExpression") &&
+        word.findFirstIn(f.metadata.getString("delta.generationExpression")).isDefined)
+        Some(s"generation expression of ${f.name}") else None
+      inv.toSeq ++ gen.toSeq
+    })
+    fromConf ++ fromFields
+  }
+
+  /** Commit a schema-only metaData change (same table id, same
+    * configuration) — the shared tail of [[renameColumn]] and
+    * [[dropColumn]].
+    */
+  private def commitSchemaChange(
+      spark: SparkSession, tablePath: String, snap: Snapshot,
+      newSchema: StructType, newPartitionColumns: Seq[String]): Long = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val line = actionLineStatic { root =>
+      val m = root.putObject("metaData")
+      m.put("id", snap.metaId.getOrElse("graft"))
+      val f = m.putObject("format"); f.put("provider", "parquet"); f.putObject("options")
+      m.put("schemaString", newSchema.json)
+      val pc = m.putArray("partitionColumns")
+      newPartitionColumns.foreach(pc.add)
+      val cfg = m.putObject("configuration")
+      snap.configuration.foreach { case (k, v) => cfg.put(k, v) }
+    }
+    commitActions(fs, logDirOf(tablePath), tablePath, _ => Seq(line),
+      withIct = ictEnabled(snap.configuration))
+  }
+
+  /** RENAME COLUMN — metadata-only on a COLUMN-MAPPED table (the very
+    * reason column mapping exists): the LOGICAL name changes in
+    * schemaString while `delta.columnMapping.physicalName` stays, so
+    * no data file is touched, every existing file keeps reading, and
+    * time travel to pre-rename versions still serves the old name.
+    * Partition columns rename too (partitionValues key by PHYSICAL
+    * name — unaffected). Unmapped tables refuse: there the logical
+    * name IS the physical one, and an honest rename would rewrite
+    * every file. Rules referencing the column refuse by name.
+    */
+  def renameColumn(
+      spark: SparkSession, tablePath: String, from: String, to: String): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    require(snap.columnMappingMode != "none",
+      "DeltaLog: renameColumn needs column mapping — on an unmapped table the " +
+        "logical name is the physical one and a rename would rewrite every data file")
+    protocolWriteGuards(snap, "renameColumn")
+    val schema = snap.schema.getOrElse(throw new IllegalArgumentException(
+      s"DeltaLog: renameColumn needs a parseable metaData.schemaString at $tablePath"))
+    require(schema.fieldNames.contains(from),
+      s"DeltaLog: renameColumn source '$from' not in the table schema")
+    require(!schema.fieldNames.contains(to),
+      s"DeltaLog: renameColumn target '$to' already exists")
+    val blocking = rulesMentioning(snap, from)
+    require(blocking.isEmpty,
+      s"DeltaLog: renameColumn('$from') would break [${blocking.mkString(", ")}] — " +
+        "update those rules first")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newPcols = snap.partitionColumns.map(c => if (c == from) to else c)
+    commitSchemaChange(spark, tablePath, snap, newSchema, newPcols)
+  }
+
+  /** DROP COLUMN — metadata-only on a COLUMN-MAPPED table: the field
+    * leaves the logical schema; the physical column stays in the data
+    * files, invisible to every reader of this and later versions
+    * (time travel to pre-drop versions still serves it). Partition
+    * columns cannot drop (the partitioning identity would dangle).
+    */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    require(snap.columnMappingMode != "none",
+      "DeltaLog: dropColumn needs column mapping — on an unmapped table a drop " +
+        "would rewrite every data file")
+    protocolWriteGuards(snap, "dropColumn")
+    val schema = snap.schema.getOrElse(throw new IllegalArgumentException(
+      s"DeltaLog: dropColumn needs a parseable metaData.schemaString at $tablePath"))
+    require(schema.fieldNames.contains(name),
+      s"DeltaLog: dropColumn '$name' not in the table schema")
+    require(!snap.partitionColumns.contains(name),
+      s"DeltaLog: dropColumn '$name' is a partition column")
+    require(schema.size > 1, "DeltaLog: dropColumn would leave an empty schema")
+    val blocking = rulesMentioning(snap, name)
+    require(blocking.isEmpty,
+      s"DeltaLog: dropColumn('$name') would break [${blocking.mkString(", ")}] — " +
+        "drop those rules first")
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    commitSchemaChange(spark, tablePath, snap, newSchema, snap.partitionColumns)
+  }
+
+  /** The widenings the `typeWidening` table feature permits AND
+    * Spark's parquet reader performs natively when the declared schema
+    * is wider than the file (probed: int32→long/double, float→double,
+    * date→timestamp_ntz all upcast in the vectorized reader).
+    */
+  private def widenable(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (DateType, TimestampNTZType) => true
+    case _ => false
+  }
+
+  /** ALTER COLUMN TYPE under the `typeWidening` table feature — a
+    * METADATA-ONLY type change: the field widens in schemaString (with
+    * the spec's `delta.typeChanges` history entry), existing data
+    * files keep their narrow physical type and every read upcasts
+    * through the declared schema (no rewrite — the reason the feature
+    * exists), later appends write the wide type natively. First use
+    * upgrades the protocol to (3, 7) declaring `typeWidening` on both
+    * feature lists. Works on mapped and unmapped tables alike.
+    */
+  def widenColumnType(
+      spark: SparkSession, tablePath: String, column: String, to: DataType): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    protocolWriteGuards(snap, "widenColumnType")
+    val schema = snap.schema.getOrElse(throw new IllegalArgumentException(
+      s"DeltaLog: widenColumnType needs a parseable metaData.schemaString at $tablePath"))
+    val field = schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaLog: widenColumnType column '$column' not in the table schema"))
+    require(widenable(field.dataType, to),
+      s"DeltaLog: ${field.dataType.simpleString} -> ${to.simpleString} is not a " +
+        "permitted widening (integral up-casts, float->double, date->timestamp_ntz)")
+    require(!snap.partitionColumns.contains(column),
+      s"DeltaLog: widenColumnType '$column' is a partition column — its string-coded " +
+        "partitionValues would re-type under every reader at once; rewrite instead")
+    val changes = mapper.createArrayNode()
+    if (field.metadata.contains("delta.typeChanges")) {
+      val prior = mapper.readTree(field.metadata.getString("delta.typeChanges"))
+      (0 until prior.size()).foreach(i => changes.add(prior.get(i)))
+    }
+    val entry = changes.addObject()
+    entry.put("fromType", field.dataType.typeName)
+    entry.put("toType", to.typeName)
+    val newField = field.copy(dataType = to,
+      metadata = new MetadataBuilder().withMetadata(field.metadata)
+        .putString("delta.typeChanges", mapper.writeValueAsString(changes)).build())
+    val newSchema = StructType(schema.fields.map(f => if (f.name == column) newField else f))
+    val fs = fsOf(spark, new Path(tablePath))
+    val needsUpgrade = !(snap.readerVersion.exists(_ >= 3) &&
+      snap.readerFeatures.contains("typeWidening"))
+    val protocolLines = if (!needsUpgrade) Seq.empty else Seq(
+      actionLineStatic { root =>
+        val p = root.putObject("protocol")
+        p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+        val rf = p.putArray("readerFeatures")
+        (snap.readerFeatures + "typeWidening").toSeq.sorted.foreach(rf.add)
+        val wf = p.putArray("writerFeatures")
+        // legacy implicit features re-declare explicitly at (3, 7)
+        (snap.writerFeatures ++ Set("appendOnly", "invariants", "typeWidening"))
+          .toSeq.sorted.foreach(wf.add)
+      })
+    val metaLine = actionLineStatic { root =>
+      val m = root.putObject("metaData")
+      m.put("id", snap.metaId.getOrElse("graft"))
+      val f = m.putObject("format"); f.put("provider", "parquet"); f.putObject("options")
+      m.put("schemaString", newSchema.json)
+      val pc = m.putArray("partitionColumns")
+      snap.partitionColumns.foreach(pc.add)
+      val cfg = m.putObject("configuration")
+      snap.configuration.foreach { case (k, v) => cfg.put(k, v) }
+    }
+    commitActions(fs, logDirOf(tablePath), tablePath,
+      _ => protocolLines :+ metaLine, withIct = ictEnabled(snap.configuration))
   }
 
   /** SHALLOW CLONE — the CLONE TABLE semantics: a NEW table whose v0

@@ -35,7 +35,7 @@ class RegistrySpec extends AnyFunSuite {
     "s38_delta_changes", "s39_delta_dv_merge", "s40_delta_v2_checkpoint",
     "s41_delta_column_mapping", "s42_delta_cm_id", "s43_delta_cdf",
     "s44_delta_replicate", "s45_iceberg_eq_scoped", "s46_iceberg_rewrite",
-    "s47_delta_clone",
+    "s47_delta_clone", "s48_delta_rename_drop", "s49_delta_type_widening",
     "s3_malformed_scan",
     "s3_scan_project", "s7_partitioned_write", "set1_except", "set2_union",
     "set3_union_by_name", "w1_surrogate_key", "w1_surrogate_key_scalable",

