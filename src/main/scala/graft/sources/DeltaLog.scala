@@ -532,7 +532,7 @@ object DeltaLog {
       // refuses
       val unsupported = readerFeats --
         Set("deletionVectors", "columnMapping", "v2Checkpoint",
-          "typeWidening", "typeWidening-preview")
+          "typeWidening", "typeWidening-preview", "timestampNtz")
       require(rv <= 2 || (rv == 3 && unsupported.isEmpty),
         s"DeltaLog: minReaderVersion $rv with reader features " +
           s"[${readerFeats.mkString(",")}] requires " +
@@ -1544,7 +1544,7 @@ object DeltaLog {
     val unknown = snap.writerFeatures --
       Set("appendOnly", "invariants", "deletionVectors", "columnMapping", "v2Checkpoint",
         "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp",
-        "typeWidening", "typeWidening-preview")
+        "typeWidening", "typeWidening-preview", "timestampNtz")
     require(unknown.isEmpty,
       s"DeltaLog: $op into a table declaring writer features " +
         s"[${unknown.mkString(",")}] this writer does not implement")

@@ -347,10 +347,10 @@ class DeltaLogSpec extends SparkSpec {
     val t1 = newTable()
     dataFile(t1, "a.parquet", "a", 1)
     commit(t1, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","variantType"]}}""",
       Meta, add("a.parquet")))
     val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark, t1))
-    assert(e1.getMessage.contains("typeWidening"), e1.getMessage)
+    assert(e1.getMessage.contains("variantType"), e1.getMessage)
     // reader version 4 refuses even with supported features alone
     val t1b = newTable()
     dataFile(t1b, "a.parquet", "a", 1)
