@@ -749,6 +749,22 @@ object DeltaLog {
     * in the unmapped scan, so deletion vectors and the copy-on-write
     * rewrite scans compose unchanged.
     */
+  /** Enable parquet field-id READ resolution for this session, once.
+    * Spark reads this flag from the SESSION conf at scan-build time
+    * (`ParquetFileFormat` overwrites the per-relation hadoop conf with
+    * the session value, so a `DataFrameReader.option` cannot carry it),
+    * and the frames we return are LAZY — a save-and-restore around
+    * this call would un-resolve them at action time. Enabling is
+    * behavior-neutral for every other read in the session: Spark only
+    * consults field ids when the REQUESTED schema itself carries
+    * `parquet.field.id` metadata (`ParquetReadSupport` gates on
+    * `ParquetUtils.hasFieldIds`), which only id-mode frames built here
+    * do. Set once and left on — never toggled back and forth.
+    */
+  private def enableFieldIdRead(spark: SparkSession): Unit =
+    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   private def readMappedFiles(
       spark: SparkSession, tablePath: String, snap: Snapshot,
       files: Seq[DeltaFile], addFileColumn: Boolean, addRowIndex: Boolean): DataFrame = {
@@ -762,10 +778,7 @@ object DeltaLog {
     if (mode == "id") {
       require(logical.fields.forall(f => ids.contains(f.name)),
         s"DeltaLog: id-mapped table $tablePath has fields without delta.columnMapping.id")
-      // session-conf driven (Spark reads it at scan build time, not
-      // per-relation); leaving it on is harmless — fields WITHOUT id
-      // metadata keep resolving by name as always
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      enableFieldIdRead(spark)
     }
     val pcols = snap.partitionColumns
     val dataFields = logical.fields.filterNot(f => pcols.contains(f.name)).toSeq
@@ -1156,8 +1169,10 @@ object DeltaLog {
     val snap0 = snapshot(spark, tablePath, None)
     if (!(snap0.readerVersion.exists(_ >= 3) && snap0.readerFeatures.contains("v2Checkpoint"))) {
       val rf = (snap0.readerFeatures + "v2Checkpoint" ++
+        snap0.readerVersion.toSet.flatMap(legacyImpliedReaderFeatures) ++
         (if (snap0.columnMappingMode != "none") Set("columnMapping") else Set.empty)).toSeq.sorted
       val wf = (snap0.writerFeatures ++
+        snap0.writerVersion.toSet.flatMap(legacyImpliedWriterFeatures) ++
         Set("appendOnly", "invariants", "v2Checkpoint")).toSeq.sorted
       val line = actionLineStatic { root =>
         val p = root.putObject("protocol")
@@ -1540,36 +1555,58 @@ object DeltaLog {
     * columnMapping-write@5, identityColumns@6 carry no feature list —
     * the protocol requires a writer to enforce them or refuse).
     */
+  /** Writer features IMPLIED by a legacy `minWriterVersion` — the
+    * table-features spec's upgrade rule: moving a legacy table to
+    * (3, 7) must re-declare every capability the old version number
+    * implied, or a spec-compliant engine could e.g. append without
+    * enforcing CHECK constraints it can no longer see.
+    */
+  private[graft] def legacyImpliedWriterFeatures(minWriterVersion: Int): Set[String] = {
+    val byVersion = Seq(
+      2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("changeDataFeed", "generatedColumns"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns"))
+    byVersion.collect { case (v, fs) if minWriterVersion >= v => fs }
+      .foldLeft(Set.empty[String])(_ ++ _)
+  }
+
+  /** Reader features implied by a legacy `minReaderVersion` (only
+    * columnMapping — everything else already requires explicit v3
+    * reader features).
+    */
+  private[graft] def legacyImpliedReaderFeatures(minReaderVersion: Int): Set[String] =
+    if (minReaderVersion >= 2) Set("columnMapping") else Set.empty
+
   private def protocolWriteGuards(snap: Snapshot, op: String): Unit = {
     val unknown = snap.writerFeatures --
       Set("appendOnly", "invariants", "deletionVectors", "columnMapping", "v2Checkpoint",
         "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp",
-        "typeWidening", "typeWidening-preview", "timestampNtz")
+        "typeWidening", "typeWidening-preview", "timestampNtz", "identityColumns")
     require(unknown.isEmpty,
       s"DeltaLog: $op into a table declaring writer features " +
         s"[${unknown.mkString(",")}] this writer does not implement")
-    require(!snap.writerFeatures.contains("identityColumns"),
-      s"DeltaLog: $op into a table declaring identityColumns — monotonic key " +
-        "allocation against the high-water mark is not implemented")
-    snap.writerVersion.foreach { v =>
-      if (v >= 3 && v <= 6) {
-        // CHECK constraints, invariants, generated-column validation
-        // (v3/v4) and column mapping (v5) are all ENFORCED by this
-        // writer ([[enforceWriteRules]], [[toPhysical]]); identity
-        // columns (v6) remain unimplemented — refuse only when one is
-        // ACTIVE in the schema (monotonic allocation needs the
-        // high-water-mark protocol).
-        require(snap.schemaString.isEmpty || snap.schema.isDefined,
-          s"DeltaLog: $op into a legacy minWriterVersion $v table whose schemaString " +
-            "does not parse — implied writer invariants cannot be checked")
-        def flagged(key: String): Seq[String] = snap.schema.toSeq.flatMap(
-          _.fields.filter(_.metadata.contains(key)).map(f => s"${f.name}($key)"))
-        val identity =
-          flagged("delta.identity.start") ++ flagged("delta.identity.allowExplicitInsert")
-        require(identity.isEmpty,
-          s"DeltaLog: $op into a table with legacy minWriterVersion $v declaring ACTIVE " +
-            s"identity columns [${identity.mkString(", ")}] this writer does not implement")
-      }
+    // identityColumns — DECLARED (explicitly at v7 or implied by legacy
+    // v6) is tolerated; an ACTIVE identity column needs monotonic
+    // high-water-mark allocation this writer does not implement, so
+    // refuse exactly then. CHECK constraints, invariants, generated
+    // columns (v3/v4) and column mapping (v5) are all ENFORCED here
+    // ([[enforceWriteRules]], [[toPhysical]]).
+    val identityPossible = snap.writerFeatures.contains("identityColumns") ||
+      snap.writerVersion.exists(v => v >= 3 && v <= 6)
+    if (identityPossible) {
+      require(snap.schemaString.isEmpty || snap.schema.isDefined,
+        s"DeltaLog: $op into a table that may declare identity columns but whose " +
+          "schemaString does not parse — the writer obligation cannot be checked")
+      def flagged(key: String): Seq[String] = snap.schema.toSeq.flatMap(
+        _.fields.filter(_.metadata.contains(key)).map(f => s"${f.name}($key)"))
+      val identity =
+        flagged("delta.identity.start") ++ flagged("delta.identity.allowExplicitInsert")
+      require(identity.isEmpty,
+        s"DeltaLog: $op into a table with ACTIVE identity columns " +
+          s"[${identity.mkString(", ")}] — monotonic key allocation against the " +
+          "high-water mark is not implemented")
     }
   }
 
@@ -1583,7 +1620,10 @@ object DeltaLog {
         "row-removing transactions are forbidden by the table's own declaration")
 
   private def writeGuards(snap: Snapshot, tablePath: String, op: String): Unit = {
-    if (op != "compact") appendOnlyGuard(snap, op)
+    // the guard forbids ROW REMOVAL, not writes: appends and layout-only
+    // compaction are exactly what an append-only table is for — gating
+    // them here refused legal APPENDs into mapped append-only tables
+    if (op != "compact" && op != "append") appendOnlyGuard(snap, op)
     require(snap.schema.isDefined,
       s"DeltaLog: $op requires a parseable metaData.schemaString at $tablePath")
     if (snap.columnMappingMode != "none")
@@ -1609,7 +1649,13 @@ object DeltaLog {
       // pass through unmapped; every TABLE field must carry its id
       require(df.schema.fieldNames.filter(phys.contains).forall(ids.contains),
         "DeltaLog: id-mapped write with fields missing delta.columnMapping.id")
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      // no session mutation: field-id WRITE is on by Spark default and
+      // only applies to schemas that carry `parquet.field.id` metadata
+      // (ours below) — but a session that explicitly disabled it would
+      // silently write id-less footers no id-mode reader can resolve
+      require(spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "true").toBoolean,
+        "DeltaLog: writing an id-mapped table needs " +
+          "spark.sql.parquet.fieldId.write.enabled=true (this session disabled it)")
     }
     df.select(df.schema.fields.map { f =>
       val md =
@@ -1989,11 +2035,18 @@ object DeltaLog {
       actionLineStatic { root =>
         val p = root.putObject("protocol")
         p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+        // EVERY feature the legacy version numbers implied re-declares
+        // explicitly at (3, 7) — dropping one (say checkConstraints on
+        // a v4 table) would let a spec-compliant engine append without
+        // enforcing it while its metadata stays active
         val rf = p.putArray("readerFeatures")
-        (snap.readerFeatures + "typeWidening").toSeq.sorted.foreach(rf.add)
+        (snap.readerFeatures ++
+          snap.readerVersion.toSet.flatMap(legacyImpliedReaderFeatures) +
+          "typeWidening").toSeq.sorted.foreach(rf.add)
         val wf = p.putArray("writerFeatures")
-        // legacy implicit features re-declare explicitly at (3, 7)
-        (snap.writerFeatures ++ Set("appendOnly", "invariants", "typeWidening"))
+        (snap.writerFeatures ++
+          snap.writerVersion.toSet.flatMap(legacyImpliedWriterFeatures) ++
+          Set("appendOnly", "invariants", "typeWidening"))
           .toSeq.sorted.foreach(wf.add)
       })
     val metaLine = actionLineStatic { root =>
@@ -2146,7 +2199,22 @@ object DeltaLog {
         .select("__file").distinct()
         .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
     val affectedFiles = snap.files.filter(f => affectedIds.contains(fileIdentity(fs, tablePath, f)))
-    if (affectedFiles.isEmpty && ins.isEmpty) return -1L
+    if (affectedFiles.isEmpty && ins.isEmpty) {
+      // net-zero batch: with a txn stamp the CURSOR must still advance
+      // — otherwise every later poll replays an ever-growing version
+      // range, and a schema change landing inside it wedges replication
+      // permanently. A txn-only commit persists the epoch; without a
+      // stamp there is nothing to persist and no commit to make.
+      txn match {
+        case Some((appId, epoch)) =>
+          return commitActions(fs, logDir, tablePath, _ => Seq(
+            actionLineStatic { root =>
+              val t = root.putObject("txn")
+              t.put("appId", appId); t.put("version", epoch)
+            }), withIct = ictEnabled(snap.configuration))
+        case None => return -1L
+      }
+    }
     val survivors =
       if (affectedFiles.isEmpty) ins
       else readLiveRows(spark, tablePath, snap, affectedFiles, addFileColumn = false)
@@ -2351,11 +2419,16 @@ object DeltaLog {
       actionLineStatic { root =>
         val p = root.putObject("protocol")
         p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
-        p.putArray("readerFeatures").add("deletionVectors")
+        // features already declared AND those the legacy version
+        // numbers implied must all re-declare explicitly at (3, 7)
+        val rf = p.putArray("readerFeatures")
+        (snap.readerFeatures ++
+          snap.readerVersion.toSet.flatMap(legacyImpliedReaderFeatures) +
+          "deletionVectors").toSeq.sorted.foreach(rf.add)
         val wf = p.putArray("writerFeatures")
-        // the legacy features implied by the (1,2) protocol this table
-        // upgraded from must be re-declared explicitly at writer v7
-        Seq("appendOnly", "invariants", "deletionVectors").foreach(wf.add)
+        (snap.writerFeatures ++
+          snap.writerVersion.toSet.flatMap(legacyImpliedWriterFeatures) ++
+          Set("appendOnly", "invariants", "deletionVectors")).toSeq.sorted.foreach(wf.add)
       })
     val txnLines = txn.toSeq.map { case (appId, epoch) =>
       actionLineStatic { root =>
@@ -2692,7 +2765,7 @@ object DeltaLog {
     val mode = snap.columnMappingMode
     val phys = snap.physicalNames
     val ids = snap.fieldIds
-    if (mode == "id") spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    if (mode == "id") enableFieldIdRead(spark)
     val pcols = snap.partitionColumns
     val dataFields = logical.fields.filterNot(f => pcols.contains(f.name)).toSeq
     val readSchema = StructType(dataFields.map { f =>

@@ -787,6 +787,17 @@ object IcebergTable {
       if (schemaEvolved) prev + 1 else prev
     }.getOrElse(0)
     val schemasArr = meta.putArray("schemas")
+    // prior schemas CARRY FORWARD: still-listed historical snapshots
+    // reference their schema-id, and the spec requires every schema a
+    // live snapshot references to stay resolvable (an external reader
+    // time-traveling to a pre-evolution snapshot needs it)
+    prevMeta.foreach { m =>
+      val prev = m.get("schemas")
+      if (prev != null && prev.isArray)
+        (0 until prev.size()).map(prev.get)
+          .filter(s => !s.has("schema-id") || s.get("schema-id").asInt() != schemaId)
+          .foreach(schemasArr.add)
+    }
     val schema0 = schemaJson(df.schema)
     schema0.put("schema-id", schemaId)
     schemasArr.add(schema0)

@@ -1677,4 +1677,57 @@ class DeltaLogSpec extends SparkSpec {
     DeltaLog.append(spark, t2, Seq(("b", 9L)).toDF("tag", "i"))
     assert(DeltaLog.read(spark, t2).count() == 3)
   }
+
+  test("delta.appendOnly composes with column mapping: appends land, removes refuse") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq((1L, "a")).toDF("id", "tag"),
+      columnMapping = "name",
+      configuration = Map("delta.appendOnly" -> "true"))
+    // the guard forbids ROW REMOVAL — a mapped append is legal
+    DeltaLog.append(spark, t, Seq((2L, "b")).toDF("id", "tag"))
+    assert(DeltaLog.read(spark, t).count() == 2)
+    val e = intercept[IllegalArgumentException](DeltaLog.delete(spark, t, col("id") === 1L))
+    assert(e.getMessage.contains("APPEND-ONLY"), e.getMessage)
+  }
+
+  test("applyChanges: a net-zero batch with a txn stamp still advances the cursor") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    // change batch that nets to nothing: delete of a key that is not
+    // in the table; the txn epoch must still persist (otherwise a
+    // replication cursor never advances past a no-op interval)
+    val v = DeltaLog.applyChanges(spark, t,
+      Seq((99L, "x", "delete")).toDF("id", "tag", "_change_type"), Seq("id"),
+      txn = Some(("repl-z", 7L)))
+    assert(v >= 0L, "txn-stamped no-op must COMMIT the cursor")
+    assert(DeltaLog.lastTxnVersion(spark, t, "repl-z").contains(7L))
+    assert(DeltaLog.read(spark, t).count() == 1)
+    // without a stamp there is nothing to persist: no commit
+    val v2 = DeltaLog.applyChanges(spark, t,
+      Seq((99L, "x", "delete")).toDF("id", "tag", "_change_type"), Seq("id"))
+    assert(v2 == -1L)
+  }
+
+  test("protocol upgrade from legacy versions re-declares every implied feature") {
+    import spark.implicits._
+    // a legacy (1,4) table: changeDataFeed + generatedColumns +
+    // checkConstraints + appendOnly + invariants are all IMPLIED; the
+    // widening upgrade to (3,7) must enumerate them or a spec-compliant
+    // engine could append without enforcing what the config activates
+    val t = newTable()
+    dataFile(t, "a.parquet", "a", 2)
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[]}}""",
+      add("a.parquet")))
+    DeltaLog.widenColumnType(spark, t, "i", LongType)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+      "generatedColumns", "typeWidening").subsetOf(snap.writerFeatures),
+      snap.writerFeatures.toString)
+    // and the upgraded table still reads + widens correctly
+    assert(DeltaLog.read(spark, t).schema("i").dataType == LongType)
+  }
 }

@@ -380,6 +380,22 @@ class IcebergTableSpec extends SparkSpec {
     IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(2L).toDF("id"))
     assert(IcebergTable.read(spark, t).orderBy("id").select("id")
       .as[Long].collect().toSeq == Seq(1L, 3L))
+    // the PRIOR schema stays in the schemas array (historical snapshots
+    // reference their schema-id; the spec requires it stay resolvable)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/metadata")).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("""v\d+\.metadata\.json""") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }.max
+    val meta = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$t/metadata/v$latest.metadata.json"))
+      try mapper.readTree(in) finally in.close()
+    }
+    val ids = (0 until meta.get("schemas").size())
+      .map(i => meta.get("schemas").get(i).get("schema-id").asInt()).toSet
+    assert(ids == Set(0, 1), s"pre- and post-evolution schemas must both survive: $ids")
   }
 
   test("rewriteDataFiles + expireSnapshots: compaction orphans old files; expiry reclaims them") {
