@@ -2979,15 +2979,17 @@ object CoreQueries {
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** S46 — Iceberg MAINTENANCE lifecycle (`rewrite_data_files` +
-    * `expire_snapshots`): two appends take an equality tombstone
-    * (`o_custkey % 10 = 4`), the REWRITE republishes only the live
-    * rows (tombstones physically applied, nothing carried forward),
-    * and the EXPIRY drops every pre-rewrite snapshot and physically
-    * reclaims the files only they reached — old data, the delete file,
-    * their manifests and lists. The final read runs AFTER the cleanup,
-    * so an expiry that over-deletes (a live file stranded by the
-    * reachability set difference) throws, and one that under-applies
-    * the tombstones hash-fails against the oracle.
+    * `expire_snapshots`) over a MIXED-SIZE fixture: the even half lands
+    * as ONE full-sized file, the odd half as eight small ones, and an
+    * equality tombstone (`o_custkey % 10 = 4`) bites into both. The
+    * REWRITE selects only the small-file debt — the full-sized file is
+    * guarded to survive BY EXACT PATH (never read, never moved; at
+    * 100 TB this is the difference between compaction costing the debt
+    * and costing the table) — with the carried delete manifest still
+    * gating it; the EXPIRY then reclaims everything only the
+    * pre-rewrite snapshots reached. The final read runs AFTER the
+    * cleanup, so an expiry that over-deletes throws and a rewrite that
+    * loses the carried tombstones or the untouched file hash-fails.
     */
   def s46IcebergRewrite(spark: SparkSession, dir: String): DataFrame = {
     sweepStaleFixtureDirs()
@@ -2997,13 +2999,25 @@ object CoreQueries {
         val base = Tables.orders(spark, dir)
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         graft.sources.IcebergTable.append(spark, S46Root,
-          base.filter(col("o_orderkey") % 2 === 0))
+          base.filter(col("o_orderkey") % 2 === 0).coalesce(1))
         graft.sources.IcebergTable.append(spark, S46Root,
-          base.filter(col("o_orderkey") % 2 =!= 0))
+          base.filter(col("o_orderkey") % 2 =!= 0).repartition(8))
         graft.sources.IcebergTable.deleteRowsEquality(spark, S46Root,
           Seq("o_custkey"),
           base.filter(col("o_custkey") % 10 === 4).select("o_custkey").distinct())
-        graft.sources.IcebergTable.rewriteDataFiles(spark, S46Root)
+        val before = graft.sources.IcebergTable.snapshot(spark, S46Root)
+        val largePath = before.dataRefs.maxBy(_.sizeBytes).path
+        // threshold right below the big file: ONLY the small debt selects
+        graft.sources.IcebergTable.rewriteDataFiles(spark, S46Root,
+          targetFileBytes = 1L << 30,
+          minFileSizeBytes = before.dataRefs.map(_.sizeBytes).max)
+        val after = graft.sources.IcebergTable.snapshot(spark, S46Root)
+        require(after.files.contains(largePath),
+          "s46: the full-sized file must survive the rewrite by exact path")
+        require(after.files.size < before.files.size,
+          "s46: the small-file debt must bin-pack into fewer files")
+        require(after.deleteFiles.nonEmpty,
+          "s46: the delete manifest must carry forward for the untouched file")
         graft.sources.IcebergTable.expireSnapshots(spark, S46Root,
           olderThanMillis = System.currentTimeMillis() + 60000, retainLast = 1)
         s46BuiltFor.set(dir)

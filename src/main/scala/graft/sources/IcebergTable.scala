@@ -243,9 +243,13 @@ object IcebergTable {
     * unpartitioned tables or manifests written without the field.
     */
   /** One live data file with its v2 data sequence number (0 for v1 /
-    * upgraded files) and its identity partition tuple.
+    * upgraded files), its identity partition tuple, and the manifest's
+    * declared size/row count (what compaction selection and the
+    * metadata tables run on — never a data-file read).
     */
-  final case class DataFileRef(path: String, sequence: Long, partition: Map[String, String])
+  final case class DataFileRef(
+      path: String, sequence: Long, partition: Map[String, String],
+      sizeBytes: Long = 0L, records: Long = 0L)
 
   /** One delete file with the sequence number that gates which data
     * files it applies to: POSITION deletes (`equalityColumns` empty)
@@ -353,8 +357,8 @@ object IcebergTable {
         recOpt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
     }
     val idToName = fieldIdToName(meta)
-    // (path, status, tuple, dataSeq) / (path, status, deleteSeq, recs, eqCols)
-    val dataEntries = Seq.newBuilder[(String, Int, Map[String, String], Long)]
+    // (path, status, tuple, dataSeq, size, recs) / (path, status, deleteSeq, recs, eqCols)
+    val dataEntries = Seq.newBuilder[(String, Int, Map[String, String], Long, Long, Long)]
     val deleteEntries = Seq.newBuilder[(String, Int, Long, Long, Seq[String], Map[String, String])]
     manifests.foreach { case (mp, mContent, mSeq) =>
       readAvro(fs, new Path(mp), conf).foreach { e =>
@@ -405,7 +409,10 @@ object IcebergTable {
           val recs = recOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L)
           deleteEntries += ((path, status, entrySeq, recs, Seq.empty, tuple))
         } else {
-          dataEntries += ((path, status, tuple, entrySeq))
+          val size =
+            recOpt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L)
+          val recs = recOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L)
+          dataEntries += ((path, status, tuple, entrySeq, size, recs))
         }
       }
     }
@@ -413,9 +420,9 @@ object IcebergTable {
     // defensive toward lists that still carry the pre-delete manifest
     val dataSeq = dataEntries.result()
     val delSeq = deleteEntries.result()
-    val deadData = dataSeq.collect { case (p, 2, _, _) => p }.toSet
+    val deadData = dataSeq.collect { case (p, 2, _, _, _, _) => p }.toSet
     val live = dataSeq.collect {
-      case (p, s, t, q) if s != 2 && !deadData(p) => (p, t, q)
+      case (p, s, t, q, size, recs) if s != 2 && !deadData(p) => (p, t, q, size, recs)
     }.distinctBy(_._1)
     val deadDel = delSeq.collect { case (p, 2, _, _, _, _) => p }.toSet
     val liveDel = delSeq.collect {
@@ -423,7 +430,8 @@ object IcebergTable {
         DeleteFileRef(p, q, recs, eqCols, t)
     }.distinctBy(_.path)
     Snapshot(wantId, live.map(_._1), schema, pcols, live.map(_._2),
-      live.map { case (p, t, q) => DataFileRef(p, q, t) }, liveDel, fv)
+      live.map { case (p, t, q, size, recs) => DataFileRef(p, q, t, size, recs) },
+      liveDel, fv)
   }
 
   /** Read a snapshot as a DataFrame: metadata walk → declared-schema
@@ -577,22 +585,271 @@ object IcebergTable {
       allowSchemaEvolution = allowSchemaEvolution)
 
   /** REWRITE DATA FILES — the `rewrite_data_files` maintenance twin
-    * (Iceberg's compaction): the current LIVE rows (position and
-    * equality deletes applied) publish as a fresh set of data files
-    * under a `replace` snapshot whose manifest list carries NOTHING
-    * forward — no delete manifests survive (their tombstones are now
-    * physically applied), and every pre-rewrite file becomes
-    * unreachable from the new snapshot, reclaimable by
-    * [[expireSnapshots]]. Time travel to pre-rewrite snapshots keeps
-    * working until then. Returns the new snapshot id.
+    * (Iceberg's bin-packing compaction), cost ∝ SMALL-FILE DEBT, never
+    * O(table):
+    *
+    *  - SELECTION per partition: files under `minFileSizeBytes`
+    *    (default ¾ of the target, Iceberg's own min-input default)
+    *    bin-pack together; a lone small file rewrites only when an
+    *    applicable delete file tombstones into it (the rewrite then
+    *    physically purges the tombstones). Full-sized files are NEVER
+    *    read or moved — their bytes and exact paths survive.
+    *  - The selected rows re-read with every applicable position and
+    *    equality delete applied, then land as ~`targetFileBytes`
+    *    outputs (content-hash salting splits a partition whose debt
+    *    exceeds one target file).
+    *  - MANIFESTS: untouched data manifests carry forward VERBATIM;
+    *    a manifest that named a rewritten file is replaced by one
+    *    re-listing only its surviving entries as EXISTING with their
+    *    original explicit sequence numbers (the spec's rule — EXISTING
+    *    entries never inherit); delete manifests carry forward while
+    *    any pre-rewrite data file survives (their tombstones still
+    *    gate it) and drop once nothing they can apply to remains. The
+    *    compacted files enter at the NEW sequence number, so carried
+    *    deletes never re-apply to them (pos `>=` / eq `>` both fail).
+    *
+    * Old files stay reachable through prior snapshots for time travel
+    * until [[expireSnapshots]]. Returns the new snapshot id, or -1
+    * when nothing needed compacting.
     */
-  def rewriteDataFiles(spark: SparkSession, tablePath: String): Long = {
-    val fs = fsOf(spark, new Path(tablePath))
-    val meta = readJson(fs, currentMetadataPath(fs, tablePath))
+  def rewriteDataFiles(
+      spark: SparkSession, tablePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFileSizeBytes: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.{col => fcol, hash => fhash, lit => flit, pmod}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val metaPath = currentMetadataPath(fs, tablePath)
+    val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(fs, metaPath)
+    val fv = meta.get("format-version").asInt()
     val pby = specColumnNames(meta)
-    val rows = read(spark, tablePath)
-    publishDataSnapshot(spark, tablePath, rows, pby,
-      carryForward = false, operation = "replace")
+    val schema = currentSchema(meta)
+    val snap = snapshot(spark, tablePath, None)
+    val minSize = if (minFileSizeBytes >= 0) minFileSizeBytes else (targetFileBytes * 3) / 4
+    def deleteApplies(r: DataFileRef): Boolean = snap.deleteFiles.exists { d =>
+      if (d.equalityColumns.isEmpty) d.sequence >= r.sequence
+      else d.sequence > r.sequence && (d.partition.isEmpty || d.partition == r.partition)
+    }
+    val selected: Seq[DataFileRef] = snap.dataRefs.groupBy(_.partition).toSeq
+      .flatMap { case (_, refs) =>
+        val small = refs.filter(r => r.sizeBytes > 0 && r.sizeBytes < minSize)
+        if (small.size >= 2) small else small.filter(deleteApplies)
+      }
+    if (selected.isEmpty) return -1L
+    val selectedPaths = selected.map(_.path).toSet
+    // output sizing ∝ debt: enough tasks for the total, salt splits a
+    // partition whose own debt exceeds one target file
+    val totalBytes = selected.map(_.sizeBytes).sum
+    val nOut = math.max(1L, math.min(selected.size.toLong,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes)).toInt
+    val maxPerPartition = selected.groupBy(_.partition).values
+      .map(g => ((g.map(_.sizeBytes).sum + targetFileBytes - 1) / targetFileBytes).toInt)
+      .max
+    val rows = readWithPositionDeletes(spark, snap, selected)
+    val packed =
+      if (pby.isEmpty) rows.coalesce(nOut)
+      else if (maxPerPartition <= 1) rows.repartition(nOut, pby.map(fcol): _*)
+      else rows.repartition(nOut,
+        (pby.map(fcol) :+
+          pmod(fhash(schema.fieldNames.map(fcol).toIndexedSeq: _*),
+            flit(maxPerPartition))): _*)
+    val pfields: Seq[(String, DataType)] = pby.map(c => c -> schema(c).dataType)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val metaDir = metadataDir(tablePath)
+    val staged = stageDataFiles(spark, fs, table, packed, pby, pfields, stamp)
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val newSeq: Long =
+      if (fv == 2)
+        (if (meta.has("last-sequence-number")) meta.get("last-sequence-number").asLong() else 0L) + 1
+      else 1L
+    // ADDED manifest for the compacted outputs (v2 entry shape: the
+    // explicit content/sequence fields gate carried deletes OFF them)
+    val entrySchema =
+      if (fv == 2) deleteManifestEntrySchema(pfields) else manifestEntrySchema(pfields)
+    val added = staged.map { sf =>
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      if (fv == 2) e.put("sequence_number", newSeq)
+      val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+      if (fv == 2) d.put("content", 0)
+      d.put("file_path", sf.path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", sf.records)
+      d.put("file_size_in_bytes", sf.len)
+      if (pby.nonEmpty) {
+        val pr = new GenericData.Record(
+          entrySchema.getField("data_file").schema().getField("partition").schema())
+        sf.tuple.foreach { case (k, v) => pr.put(k, v) }
+        d.put("partition", pr)
+      }
+      e.put("data_file", d)
+      e
+    }
+    val addedPath = new Path(metaDir, s"manifest-$stamp.avro")
+    val addedLen = writeAvro(fs, addedPath, entrySchema, added)
+
+    // walk the current snapshot's manifest list; rewrite only the
+    // manifests that named a compacted file
+    val curId = meta.get("current-snapshot-id").asLong()
+    val snapsNode = meta.get("snapshots")
+    val curSnap = (0 until snapsNode.size()).map(snapsNode.get)
+      .find(_.get("snapshot-id").asLong() == curId).get
+    val livePaths = snap.dataRefs.map(_.path).toSet
+    val anySurvivor = snap.dataRefs.exists(r => !selectedPaths(r.path))
+    def opt(r: GenericRecord, n: String): Option[AnyRef] =
+      if (r.getSchema.getField(n) == null) None else Option(r.get(n))
+    var replaceIdx = 0
+    val carried: Seq[(String, Long, Int, Long, Long)] =
+      readAvro(fs, new Path(curSnap.get("manifest-list").asText()), conf).flatMap { r =>
+        val mPath = r.get("manifest_path").toString
+        val mLen = r.get("manifest_length").asInstanceOf[Long]
+        val mContent = opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+        val mSeq = opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
+        val mMin = opt(r, "min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (mContent == 1) {
+          // delete manifest: still gates the surviving pre-rewrite
+          // files; inert (and dropped) once none remain
+          if (anySurvivor) Some((mPath, mLen, mContent, mSeq, mMin)) else None
+        } else {
+          val entries = readAvro(fs, new Path(mPath), conf)
+          def pathOf(e: GenericRecord) =
+            e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+          if (!entries.exists(e => selectedPaths(pathOf(e))))
+            Some((mPath, mLen, mContent, mSeq, mMin)) // untouched: verbatim
+          else {
+            val keep = entries.filter { e =>
+              val p = pathOf(e)
+              e.get("status").asInstanceOf[Int] != 2 && !selectedPaths(p) && livePaths(p)
+            }
+            if (keep.isEmpty) None
+            else {
+              // replacement: surviving entries as EXISTING with their
+              // original EXPLICIT sequence numbers (never inherited)
+              val outEntries = keep.map { e =>
+                val src = e.get("data_file").asInstanceOf[GenericRecord]
+                val seq = opt(e, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(mSeq)
+                val o = new GenericData.Record(entrySchema)
+                o.put("status", 0) // EXISTING
+                opt(e, "snapshot_id").foreach(o.put("snapshot_id", _))
+                if (fv == 2) o.put("sequence_number", seq)
+                val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+                if (fv == 2) d.put("content", 0)
+                d.put("file_path", src.get("file_path").toString)
+                d.put("file_format", src.get("file_format").toString)
+                d.put("record_count",
+                  opt(src, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L))
+                d.put("file_size_in_bytes",
+                  opt(src, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L))
+                if (pby.nonEmpty) {
+                  val pr = new GenericData.Record(
+                    entrySchema.getField("data_file").schema().getField("partition").schema())
+                  src.get("partition") match {
+                    case p: GenericRecord => pby.foreach { c =>
+                      if (p.getSchema.getField(c) != null) pr.put(c, p.get(c)) }
+                    case _ =>
+                  }
+                  d.put("partition", pr)
+                }
+                o.put("data_file", d)
+                o
+              }
+              replaceIdx += 1
+              val repPath = new Path(metaDir, s"manifest-$stamp-x$replaceIdx.avro")
+              val repLen = writeAvro(fs, repPath, entrySchema, outEntries)
+              val seqs = keep.map(e =>
+                opt(e, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(mSeq))
+              Some((fs.makeQualified(repPath).toString, repLen, 0,
+                seqs.max, seqs.min))
+            }
+          }
+        }
+      }
+    val listPath = writeManifestList(fs, metaDir, fv, snapshotId, stamp,
+      carried :+ (fs.makeQualified(addedPath).toString, addedLen, 0, newSeq, newSeq))
+    publishMetadataJson(fs, tablePath, Some(meta), prevVersion, fv, schema, pby,
+      schemaEvolved = false, newSeq, snapshotId, listPath, "replace")
+    snapshotId
+  }
+
+  /** One data file staged into `data/`: qualified path, byte length,
+    * typed identity partition tuple, and its REAL row count (footer
+    * truth — what `record_count` must carry so readers can size
+    * broadcasts and metadata tables report honestly).
+    */
+  private final case class StagedFile(
+      path: String, len: Long, tuple: Map[String, Any], records: Long)
+
+  /** Write `df`'s part files through a staging dir and move them under
+    * the table's `data/` tree (Hive layout for partitioned tables) —
+    * the shared data path of [[publishDataSnapshot]] and
+    * [[rewriteDataFiles]]. Driver work is O(new files): one rename +
+    * one footer row-count read per staged file, the same order as the
+    * move itself.
+    */
+  private def stageDataFiles(
+      spark: SparkSession, fs: FileSystem, table: Path, df: DataFrame,
+      partitionBy: Seq[String], pfields: Seq[(String, DataType)],
+      stamp: String): Seq[StagedFile] = {
+    val stage = new Path(table, s"_ice_stage_$stamp")
+    if (partitionBy.isEmpty) {
+      df.write.parquet(stage.toString)
+      val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq.map(_.getPath)
+      val m = parts.zipWithIndex.map { case (p, i) =>
+        val dest = new Path(table, s"data/part-$stamp-$i.parquet")
+        require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
+        val st = fs.getFileStatus(dest)
+        StagedFile(fs.makeQualified(dest).toString, st.getLen,
+          Map.empty[String, Any], parquetRowCount(fs, dest))
+      }
+      fs.delete(stage, true)
+      m
+    } else {
+      // Iceberg data files carry COMPLETE rows — identity partition
+      // source columns included — but Spark's partitionBy drops the
+      // partitioning columns from the files. Duplicating each source
+      // column under a __p_ alias keeps the real column in the data
+      // while the alias drives the Hive-style placement; the alias
+      // prefix is stripped from the directory names on the move.
+      val dup = partitionBy.foldLeft(df)((d, c) =>
+        d.withColumn(s"__p_$c", org.apache.spark.sql.functions.col(c)))
+      dup.write.partitionBy(partitionBy.map(c => s"__p_$c"): _*).parquet(stage.toString)
+      val pattern = partitionBy.map(_ => "*").mkString("/")
+      val parts = fs.globStatus(new Path(stage, s"$pattern/part-*.parquet"))
+        .toSeq.map(_.getPath).sortBy(_.toString)
+      val stagePrefix = fs.makeQualified(stage).toString + "/"
+      val ptypes = pfields.toMap
+      val m = parts.zipWithIndex.map { case (p, i) =>
+        val rel0 = fs.makeQualified(p).toString.stripPrefix(stagePrefix)
+        require(rel0.length < fs.makeQualified(p).toString.length,
+          s"IcebergTable: stage-relative path resolution failed for $p")
+        val segs = rel0.split('/').dropRight(1).map(_.stripPrefix("__p_"))
+        val tuple: Map[String, Any] = segs.map { s =>
+          val Array(k, v) = s.split("=", 2)
+          val typed: Any =
+            if (v == "__HIVE_DEFAULT_PARTITION__") null
+            else ptypes(k) match {
+              case IntegerType => Integer.valueOf(DeltaLog.unescapePathName(v).toInt)
+              case LongType => java.lang.Long.valueOf(DeltaLog.unescapePathName(v).toLong)
+              case _ => DeltaLog.unescapePathName(v)
+            }
+          k -> typed
+        }.toMap
+        require(tuple.keySet == partitionBy.toSet,
+          s"IcebergTable: unexpected partition layout under $p")
+        val rel = "data/" + segs.mkString("/") + s"/part-$stamp-$i.parquet"
+        val dest = new Path(table, rel)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
+        val st = fs.getFileStatus(dest)
+        StagedFile(fs.makeQualified(dest).toString, st.getLen, tuple,
+          parquetRowCount(fs, dest))
+      }
+      fs.delete(stage, true)
+      m
+    }
   }
 
   private def publishDataSnapshot(
@@ -644,79 +901,24 @@ object IcebergTable {
     fs.mkdirs(metaDir)
     fs.mkdirs(new Path(table, "data"))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val stage = new Path(table, s"_ice_stage_$stamp")
-    // (path, len, typed identity partition tuple) per moved data file
-    val dataFiles: Seq[(String, Long, Map[String, Any])] =
-      if (partitionBy.isEmpty) {
-        df.write.parquet(stage.toString)
-        val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq.map(_.getPath)
-        val m = parts.zipWithIndex.map { case (p, i) =>
-          val dest = new Path(table, s"data/part-$stamp-$i.parquet")
-          require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
-          val st = fs.getFileStatus(dest)
-          (fs.makeQualified(dest).toString, st.getLen, Map.empty[String, Any])
-        }
-        fs.delete(stage, true)
-        m
-      } else {
-        // Iceberg data files carry COMPLETE rows — identity partition
-        // source columns included — but Spark's partitionBy drops the
-        // partitioning columns from the files. Duplicating each source
-        // column under a __p_ alias keeps the real column in the data
-        // while the alias drives the Hive-style placement; the alias
-        // prefix is stripped from the directory names on the move.
-        val dup = partitionBy.foldLeft(df)((d, c) =>
-          d.withColumn(s"__p_$c", org.apache.spark.sql.functions.col(c)))
-        dup.write.partitionBy(partitionBy.map(c => s"__p_$c"): _*).parquet(stage.toString)
-        val pattern = partitionBy.map(_ => "*").mkString("/")
-        val parts = fs.globStatus(new Path(stage, s"$pattern/part-*.parquet"))
-          .toSeq.map(_.getPath).sortBy(_.toString)
-        val stagePrefix = fs.makeQualified(stage).toString + "/"
-        val ptypes = pfields.toMap
-        val m = parts.zipWithIndex.map { case (p, i) =>
-          val rel0 = fs.makeQualified(p).toString.stripPrefix(stagePrefix)
-          require(rel0.length < fs.makeQualified(p).toString.length,
-            s"IcebergTable: stage-relative path resolution failed for $p")
-          val segs = rel0.split('/').dropRight(1).map(_.stripPrefix("__p_"))
-          val tuple: Map[String, Any] = segs.map { s =>
-            val Array(k, v) = s.split("=", 2)
-            val typed: Any =
-              if (v == "__HIVE_DEFAULT_PARTITION__") null
-              else ptypes(k) match {
-                case IntegerType => Integer.valueOf(DeltaLog.unescapePathName(v).toInt)
-                case LongType => java.lang.Long.valueOf(DeltaLog.unescapePathName(v).toLong)
-                case _ => DeltaLog.unescapePathName(v)
-              }
-            k -> typed
-          }.toMap
-          require(tuple.keySet == partitionBy.toSet,
-            s"IcebergTable: unexpected partition layout under $p")
-          val rel = "data/" + segs.mkString("/") + s"/part-$stamp-$i.parquet"
-          val dest = new Path(table, rel)
-          fs.mkdirs(dest.getParent)
-          require(fs.rename(p, dest), s"IcebergTable: move failed for $p")
-          val st = fs.getFileStatus(dest)
-          (fs.makeQualified(dest).toString, st.getLen, tuple)
-        }
-        fs.delete(stage, true)
-        m
-      }
+    val dataFiles = stageDataFiles(spark, fs, table, df, partitionBy, pfields, stamp)
 
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
-    // one manifest for this append
-    val entries = dataFiles.map { case (path, len, tuple) =>
+    // one manifest for this append; record_count carries the footer
+    // truth (readers size broadcasts and metadata tables off it)
+    val entries = dataFiles.map { sf =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
       val d = new GenericData.Record(entrySchema.getField("data_file").schema())
-      d.put("file_path", path)
+      d.put("file_path", sf.path)
       d.put("file_format", "PARQUET")
-      d.put("record_count", 0L) // stats optional for this reader; loud zeros
-      d.put("file_size_in_bytes", len)
+      d.put("record_count", sf.records)
+      d.put("file_size_in_bytes", sf.len)
       if (partitionBy.nonEmpty) {
         val pr = new GenericData.Record(
           entrySchema.getField("data_file").schema().getField("partition").schema())
-        tuple.foreach { case (k, v) => pr.put(k, v) }
+        sf.tuple.foreach { case (k, v) => pr.put(k, v) }
         d.put("partition", pr)
       }
       e.put("data_file", d)
@@ -750,26 +952,52 @@ object IcebergTable {
           }
         }
     }
+    val listPath = writeManifestList(fs, metaDir, fv, snapshotId, stamp,
+      prevManifests :+
+        (fs.makeQualified(manifestPath).toString, manifestLen, 0, newSeq, newSeq))
+    publishMetadataJson(fs, tablePath, prevMeta, prevVersion, fv, df.schema,
+      partitionBy, schemaEvolved, newSeq, snapshotId, listPath, operation)
+    snapshotId
+  }
+
+  /** Write a snapshot's manifest LIST avro. `rows` are
+    * `(manifest_path, length, content, sequence, min_sequence)`; the
+    * v2 fields are dropped under v1.
+    */
+  private def writeManifestList(
+      fs: FileSystem, metaDir: Path, fv: Int, snapshotId: Long, stamp: String,
+      rows: Seq[(String, Long, Int, Long, Long)]): Path = {
     val listSchema = if (fv == 2) ManifestListSchemaV2 else ManifestListSchema
-    val listRecords = (prevManifests :+
-      (fs.makeQualified(manifestPath).toString, manifestLen, 0, newSeq, newSeq))
-      .map { case (p, len, content, seq, minSeq) =>
-        val r = new GenericData.Record(listSchema)
-        r.put("manifest_path", p)
-        r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
-        if (fv == 2) {
-          r.put("content", content)
-          r.put("sequence_number", seq)
-          r.put("min_sequence_number", minSeq)
-        }
-        r.put("added_snapshot_id", snapshotId)
-        r
+    val listRecords = rows.map { case (p, len, content, seq, minSeq) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", p)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      if (fv == 2) {
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", minSeq)
       }
+      r.put("added_snapshot_id", snapshotId)
+      r
+    }
     val listPath = new Path(metaDir, s"snap-$snapshotId-$stamp.avro")
     writeAvro(fs, listPath, listSchema, listRecords)
+    listPath
+  }
 
-    // new metadata json: prior snapshots + this one
+  /** Assemble and publish `vN+1.metadata.json` for a new DATA snapshot
+    * (append / replace): prior snapshots and schemas carry forward,
+    * the new snapshot appends, `version-hint.text` repoints — the
+    * shared publish tail of [[publishDataSnapshot]] and
+    * [[rewriteDataFiles]].
+    */
+  private def publishMetadataJson(
+      fs: FileSystem, tablePath: String,
+      prevMeta: Option[com.fasterxml.jackson.databind.JsonNode], prevVersion: Long,
+      fv: Int, schema: StructType, partitionBy: Seq[String], schemaEvolved: Boolean,
+      newSeq: Long, snapshotId: Long, listPath: Path, operation: String): Unit = {
+    val metaDir = metadataDir(tablePath)
     val meta = mapper.createObjectNode()
     meta.put("format-version", fv)
     if (fv == 2) meta.put("last-sequence-number", newSeq)
@@ -777,8 +1005,8 @@ object IcebergTable {
       prevMeta.map(_.get("table-uuid").asText()).getOrElse(java.util.UUID.randomUUID().toString))
     meta.put("location", tablePath)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    meta.put("last-column-id", df.schema.size)
-    meta.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema", schemaJson(df.schema))
+    meta.put("last-column-id", schema.size)
+    meta.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema", schemaJson(schema))
     // v2's required "schemas"/"current-schema-id" pair (also legal —
     // and ignored — under v1 readers that use the legacy "schema");
     // an add-column evolution publishes under a BUMPED schema id
@@ -798,7 +1026,7 @@ object IcebergTable {
           .filter(s => !s.has("schema-id") || s.get("schema-id").asInt() != schemaId)
           .foreach(schemasArr.add)
     }
-    val schema0 = schemaJson(df.schema)
+    val schema0 = schemaJson(schema)
     schema0.put("schema-id", schemaId)
     schemasArr.add(schema0)
     meta.put("current-schema-id", schemaId)
@@ -810,7 +1038,7 @@ object IcebergTable {
       val f = legacySpec.addObject()
       f.put("name", c)
       f.put("transform", "identity")
-      f.put("source-id", df.schema.fieldIndex(c) + 1)
+      f.put("source-id", schema.fieldIndex(c) + 1)
       f.put("field-id", 1000 + i)
     }
     val specs = meta.putArray("partition-specs")
@@ -821,7 +1049,7 @@ object IcebergTable {
       val f = specFields.addObject()
       f.put("name", c)
       f.put("transform", "identity")
-      f.put("source-id", df.schema.fieldIndex(c) + 1)
+      f.put("source-id", schema.fieldIndex(c) + 1)
       f.put("field-id", 1000 + i)
     }
     meta.put("default-spec-id", 0)
@@ -832,7 +1060,12 @@ object IcebergTable {
       o0.putArray("fields")
       meta.put("default-sort-order-id", 0)
     }
-    meta.putObject("properties")
+    // table properties carry forward verbatim (empty object when none)
+    val props = meta.putObject("properties")
+    prevMeta.map(_.get("properties")).filter(p => p != null && p.isObject).foreach { p =>
+      val it = p.fields()
+      while (it.hasNext) { val e = it.next(); props.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue) }
+    }
     meta.put("current-snapshot-id", snapshotId)
     val snaps = meta.putArray("snapshots")
     prevMeta.foreach { m =>
@@ -853,7 +1086,6 @@ object IcebergTable {
     finally out.close()
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
-    snapshotId
   }
 
   private def parquetRowCount(fs: FileSystem, p: Path): Long = {

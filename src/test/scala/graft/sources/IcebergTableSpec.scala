@@ -398,6 +398,76 @@ class IcebergTableSpec extends SparkSpec {
     assert(ids == Set(0, 1), s"pre- and post-evolution schemas must both survive: $ids")
   }
 
+  test("rewriteDataFiles selection: full-sized files keep exact paths; cost is the small-file debt") {
+    import spark.implicits._
+    val t = newTable()
+    // one LARGE file + three small appends, then tombstones in BOTH
+    IcebergTable.append(spark, t,
+      (1L to 3000L).map(i => (i, s"t$i")).toDF("id", "tag").coalesce(1))
+    IcebergTable.append(spark, t,
+      (3001L to 3010L).map(i => (i, s"t$i")).toDF("id", "tag").coalesce(1))
+    IcebergTable.append(spark, t,
+      (3011L to 3020L).map(i => (i, s"t$i")).toDF("id", "tag").coalesce(1))
+    IcebergTable.append(spark, t,
+      (3021L to 3030L).map(i => (i, s"t$i")).toDF("id", "tag").coalesce(1))
+    IcebergTable.deleteRows(spark, t, col("id") === 5L || col("id") === 3005L)
+    val before = IcebergTable.snapshot(spark, t)
+    val largePath = before.dataRefs.maxBy(_.sizeBytes).path
+    val smallPaths = before.dataRefs.filterNot(_.path == largePath).map(_.path).toSet
+    assert(before.dataRefs.forall(_.records > 0L), "manifests must carry real record counts")
+    // threshold right below the large file: ONLY the smalls select
+    val minSize = before.dataRefs.map(_.sizeBytes).max
+    val preSnapId = before.snapshotId
+    val sid = IcebergTable.rewriteDataFiles(spark, t,
+      targetFileBytes = 1L << 20, minFileSizeBytes = minSize)
+    assert(sid > 0L)
+    val after = IcebergTable.snapshot(spark, t)
+    // the full-sized file survives BY EXACT PATH — never read, never moved
+    assert(after.files.contains(largePath), "large file must keep its exact path")
+    assert(after.files.toSet.intersect(smallPaths).isEmpty, "every small file rewrites")
+    assert(after.files.size < before.files.size, "smalls must bin-pack into fewer files")
+    // deletes: physically purged from the packed rows, still GATING the
+    // untouched large file via the carried delete manifest
+    assert(after.deleteFiles.nonEmpty,
+      "delete manifests must carry forward while pre-rewrite files survive")
+    def ids = IcebergTable.read(spark, t).select("id").as[Long].collect().toSet
+    assert(!ids.contains(5L) && !ids.contains(3005L) && ids.size == 3028)
+    // pre-rewrite time travel intact
+    assert(IcebergTable.read(spark, t, Some(preSnapId)).count() == 3028)
+    // a second pass with EVERYTHING under threshold = full-debt rewrite:
+    // no pre-rewrite file survives, so the delete manifests drop
+    assert(IcebergTable.rewriteDataFiles(spark, t,
+      targetFileBytes = 1L << 30, minFileSizeBytes = Long.MaxValue) > 0L)
+    val after2 = IcebergTable.snapshot(spark, t)
+    assert(after2.deleteFiles.isEmpty, "full rewrite physically applies every tombstone")
+    assert(ids.size == 3028 && !ids.contains(5L))
+    // nothing under threshold -> no-op
+    assert(IcebergTable.rewriteDataFiles(spark, t,
+      targetFileBytes = 1L << 20, minFileSizeBytes = 0L) == -1L)
+  }
+
+  test("rewriteDataFiles on partitioned tables: packing never crosses tuples") {
+    import spark.implicits._
+    val t = newTable()
+    def rows(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("id", "p")
+    IcebergTable.append(spark, t, rows(1, 20).coalesce(1), partitionBy = Seq("p"))
+    IcebergTable.append(spark, t, rows(21, 40).coalesce(1), partitionBy = Seq("p"))
+    // equality tombstone scoped to partition A only
+    IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(2L, 4L).toDF("id"),
+      partitionScope = Map("p" -> "A"))
+    assert(IcebergTable.rewriteDataFiles(spark, t) > 0L)
+    val snap = IcebergTable.snapshot(spark, t)
+    // every packed file belongs to exactly one partition tuple
+    assert(snap.dataRefs.forall(r => r.partition.keySet == Set("p")))
+    assert(snap.dataRefs.map(_.partition("p")).toSet == Set("A", "B"))
+    val back = IcebergTable.read(spark, t).orderBy("id")
+      .select("id").as[Long].collect().toSeq
+    assert(back == (1L to 40L).filterNot(i => i == 2L || i == 4L))
+    // partition pruning still runs off the rewritten manifests
+    assert(IcebergTable.read(spark, t, partitionFilter = Map("p" -> "A")).count() == 18)
+  }
+
   test("rewriteDataFiles + expireSnapshots: compaction orphans old files; expiry reclaims them") {
     import spark.implicits._
     val t = newTable()
