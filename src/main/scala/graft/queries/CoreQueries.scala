@@ -3175,6 +3175,99 @@ object CoreQueries {
       |WHERE NOT (o_orderkey % 7 = 3)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S50Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s50_iceberg_rename"
+  private val s50BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S50 — Iceberg metadata-only RENAME + DROP via field ids (the
+    * twin of the Delta s48): the even half lands under the original
+    * names and takes an equality tombstone (`o_custkey % 10 = 7`, seq-
+    * gated to THIS generation only), `o_totalprice` renames to `price`
+    * with ZERO files touched (field id 4 is the binding — parquet
+    * footers and the delete's `equality_ids` both resolve by it), the
+    * odd half appends under the NEW name, `o_orderstatus` drops
+    * logically while staying in every file, and a SECOND equality
+    * tombstone (`% 10 = 4`) lands post-rename over both generations.
+    * A reader binding names instead of ids anywhere loses a
+    * generation, resurrects id=7 rows, or misses the dropped column;
+    * the oracle recomputes the 3-column end state from raw `orders`.
+    */
+  def s50IcebergRenameDrop(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s50BuiltFor.synchronized {
+      if (s50BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S50Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.IcebergTable.append(spark, S50Root,
+          base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.IcebergTable.deleteRowsEquality(spark, S50Root,
+          Seq("o_custkey"),
+          base.filter(col("o_custkey") % 10 === 7).select("o_custkey").distinct())
+        graft.sources.IcebergTable.renameColumn(spark, S50Root, "o_totalprice", "price")
+        graft.sources.IcebergTable.append(spark, S50Root,
+          base.filter(col("o_orderkey") % 2 =!= 0)
+            .withColumnRenamed("o_totalprice", "price"))
+        graft.sources.IcebergTable.dropColumn(spark, S50Root, "o_orderstatus")
+        graft.sources.IcebergTable.deleteRowsEquality(spark, S50Root,
+          Seq("o_custkey"),
+          base.filter(col("o_custkey") % 10 === 4).select("o_custkey").distinct())
+        s50BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.read(spark, S50Root).orderBy("o_orderkey")
+  }
+
+  private val s50IcebergRenameDropSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice AS price
+      |FROM orders
+      |WHERE NOT (o_orderkey % 2 = 0 AND o_custkey % 10 = 7)
+      |  AND o_custkey % 10 <> 4
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val S51Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s51_iceberg_widen"
+  private val s51BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S51 — Iceberg TYPE WIDENING (the twin of the Delta s49): the even
+    * half lands with an INT key column, `widenColumnType` promotes it
+    * to LONG as a METADATA-ONLY commit (Iceberg's `int -> long`
+    * promotion rule — no file rewritten), the odd half appends values
+    * only LONG can hold (+10^10), and a position delete runs across
+    * both width generations. Every read upcasts the narrow files
+    * through the declared schema; the oracle recomputes the
+    * mixed-width column exactly.
+    */
+  def s51IcebergWidening(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s51BuiltFor.synchronized {
+      if (s51BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S51Root))
+        val base = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        graft.sources.IcebergTable.append(spark, S51Root,
+          base.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("ck", col("o_custkey").cast(IntegerType)).drop("o_custkey"))
+        graft.sources.IcebergTable.widenColumnType(spark, S51Root, "ck", LongType)
+        graft.sources.IcebergTable.append(spark, S51Root,
+          base.filter(col("o_orderkey") % 2 =!= 0)
+            .withColumn("ck", col("o_custkey") + lit(10000000000L)).drop("o_custkey"))
+        graft.sources.IcebergTable.deleteRows(spark, S51Root, col("o_orderkey") % 7 === 3)
+        s51BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.read(spark, S51Root).orderBy("o_orderkey")
+  }
+
+  private val s51IcebergWideningSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
+      |       ELSE o_custkey + 10000000000 END AS ck
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -3434,6 +3527,8 @@ object CoreQueries {
     "s47_delta_clone" -> s47DeltaClone _,
     "s48_delta_rename_drop" -> s48DeltaRenameDrop _,
     "s49_delta_type_widening" -> s49DeltaTypeWidening _,
+    "s50_iceberg_rename_drop" -> s50IcebergRenameDrop _,
+    "s51_iceberg_widening" -> s51IcebergWidening _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3772,6 +3867,8 @@ object CoreQueries {
     "s47_delta_clone" -> s47DeltaCloneSql,
     "s48_delta_rename_drop" -> s48DeltaRenameDropSql,
     "s49_delta_type_widening" -> s49DeltaTypeWideningSql,
+    "s50_iceberg_rename_drop" -> s50IcebergRenameDropSql,
+    "s51_iceberg_widening" -> s51IcebergWideningSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -761,7 +761,7 @@ object DeltaLog {
     * `ParquetUtils.hasFieldIds`), which only id-mode frames built here
     * do. Set once and left on — never toggled back and forth.
     */
-  private def enableFieldIdRead(spark: SparkSession): Unit =
+  private[sources] def enableFieldIdRead(spark: SparkSession): Unit =
     if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 

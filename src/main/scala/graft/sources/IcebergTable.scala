@@ -170,13 +170,26 @@ object IcebergTable {
       s"IcebergTable: unsupported Iceberg type $other")
   }
 
-  private def schemaJson(schema: StructType): com.fasterxml.jackson.databind.node.ObjectNode = {
+  /** One schema field with its STABLE Iceberg field id — the identity
+    * everything else binds to (parquet footers, equality-delete
+    * `equality_ids`, partition-spec `source-id`). Names are labels;
+    * ids are the truth, which is what makes rename/drop/widen
+    * metadata-only operations.
+    */
+  final case class IceField(id: Int, name: String, dataType: DataType)
+
+  private def schemaJson(schema: StructType): com.fasterxml.jackson.databind.node.ObjectNode =
+    schemaJsonOf(schema.fields.zipWithIndex.map { case (f, i) =>
+      IceField(i + 1, f.name, f.dataType) }.toSeq)
+
+  private def schemaJsonOf(
+      fields: Seq[IceField]): com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
     node.put("type", "struct")
-    val fields = node.putArray("fields")
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val fn = fields.addObject()
-      fn.put("id", i + 1)
+    val arr = node.putArray("fields")
+    fields.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("id", f.id)
       fn.put("name", f.name)
       fn.put("required", false)
       fn.put("type", toIcebergType(f.dataType))
@@ -184,18 +197,29 @@ object IcebergTable {
     node
   }
 
-  private def parseSchema(node: com.fasterxml.jackson.databind.JsonNode): StructType = {
+  private def parseFields(node: com.fasterxml.jackson.databind.JsonNode): Seq[IceField] = {
     require(node != null && node.get("type") != null &&
       node.get("type").asText() == "struct", "IcebergTable: malformed schema node")
     val fields = node.get("fields")
-    StructType((0 until fields.size()).map { i =>
+    (0 until fields.size()).map { i =>
       val f = fields.get(i)
       require(f.get("type").isTextual,
         s"IcebergTable: non-primitive column type ${f.get("type")} not supported")
-      StructField(f.get("name").asText(), fromIcebergType(f.get("type").asText()),
-        nullable = !f.get("required").asBoolean(false))
-    })
+      IceField(f.get("id").asInt(i + 1), f.get("name").asText(),
+        fromIcebergType(f.get("type").asText()))
+    }
   }
+
+  /** The parsed StructType carries each field's id as
+    * `parquet.field.id` metadata: inert under by-name reads (the
+    * default), and exactly what Spark's field-id resolution needs when
+    * an id-capable table reads by id.
+    */
+  private def parseSchema(node: com.fasterxml.jackson.databind.JsonNode): StructType =
+    StructType(parseFields(node).map { f =>
+      StructField(f.name, f.dataType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", f.id.toLong).build())
+    })
 
   // ---------- metadata location ----------
 
@@ -272,7 +296,29 @@ object IcebergTable {
       filePartitions: Seq[Map[String, String]] = Seq.empty,
       dataRefs: Seq[DataFileRef] = Seq.empty,
       deleteFiles: Seq[DeleteFileRef] = Seq.empty,
-      formatVersion: Int = 1)
+      formatVersion: Int = 1,
+      properties: Map[String, String] = Map.empty) {
+    /** Whether every data/delete file of this table carries parquet
+      * field ids (set at creation by this writer) — the gate for
+      * by-id column resolution and metadata-only schema evolution.
+      */
+    def fieldIdsWritten: Boolean = properties.get(FieldIdsProperty).contains("true")
+  }
+
+  /** Table property marking that all files carry parquet field ids. */
+  val FieldIdsProperty = "graft.parquet.field-ids"
+
+  private def propertiesOf(
+      meta: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
+    val p = meta.get("properties")
+    if (p == null || !p.isObject) Map.empty
+    else {
+      val it = p.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }
+  }
 
   private def specColumnNames(meta: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
     // modern pair first (the only shape v2 requires), legacy fallback
@@ -431,7 +477,7 @@ object IcebergTable {
     }.distinctBy(_.path)
     Snapshot(wantId, live.map(_._1), schema, pcols, live.map(_._2),
       live.map { case (p, t, q, size, recs) => DataFileRef(p, q, t, size, recs) },
-      liveDel, fv)
+      liveDel, fv, propertiesOf(meta))
   }
 
   /** Read a snapshot as a DataFrame: metadata walk → declared-schema
@@ -479,6 +525,11 @@ object IcebergTable {
     require(refs.nonEmpty,
       s"IcebergTable: snapshot ${snap.snapshotId} of $tablePath has no data files" +
         (if (partitionFilter.nonEmpty) s" matching $partitionFilter" else ""))
+    // id-capable tables resolve columns by FIELD ID (the schema carries
+    // parquet.field.id metadata from parseSchema) — names in the files
+    // are whatever the column was CALLED when written, which is what
+    // makes rename/drop metadata-only; legacy tables read by name
+    if (snap.fieldIdsWritten) DeltaLog.enableFieldIdRead(spark)
     if (snap.deleteFiles.isEmpty) spark.read.schema(snap.schema).parquet(refs.map(_.path): _*)
     else readWithPositionDeletes(spark, snap, refs)
   }
@@ -500,6 +551,7 @@ object IcebergTable {
   private def readWithPositionDeletes(
       spark: SparkSession, snap: Snapshot, refs: Seq[DataFileRef]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    if (snap.fieldIdsWritten) DeltaLog.enableFieldIdRead(spark)
     def fits(dels: Seq[DeleteFileRef]): Boolean =
       dels.map(_.records).forall(_ > 0L) && dels.map(_.records).sum <= 4000000L
     // group data files by the delete sets that apply to them: position
@@ -546,7 +598,16 @@ object IcebergTable {
       val eqRefs = snap.deleteFiles.filter(d => eqPaths.contains(d.path))
       eqRefs.groupBy(_.equalityColumns).toSeq.sortBy(_._2.head.path)
         .foldLeft(afterPos) { case (acc, (cols, dfiles)) =>
-          val dels0 = spark.read.parquet(dfiles.map(_.path): _*).select(
+          // id-capable tables read the delete file BY FIELD ID (its
+          // columns carry whatever the field was NAMED when the delete
+          // was written — binding by id is what keeps old equality
+          // deletes applying across renames); legacy tables by name
+          val eqScan =
+            if (snap.fieldIdsWritten)
+              spark.read.schema(StructType(cols.map(c => snap.schema(c))))
+                .parquet(dfiles.map(_.path): _*)
+            else spark.read.parquet(dfiles.map(_.path): _*)
+          val dels0 = eqScan.select(
             cols.map(c => col(c).as(s"__eq_$c")): _*).distinct()
           val dels = if (fits(dfiles)) broadcast(dels0) else dels0
           val cond = cols.map(c => acc(c) <=> dels(s"__eq_$c")).reduce(_ && _)
@@ -647,6 +708,7 @@ object IcebergTable {
     val maxPerPartition = selected.groupBy(_.partition).values
       .map(g => ((g.map(_.sizeBytes).sum + targetFileBytes - 1) / targetFileBytes).toInt)
       .max
+    if (snap.fieldIdsWritten) DeltaLog.enableFieldIdRead(spark)
     val rows = readWithPositionDeletes(spark, snap, selected)
     val packed =
       if (pby.isEmpty) rows.coalesce(nOut)
@@ -658,7 +720,11 @@ object IcebergTable {
     val pfields: Seq[(String, DataType)] = pby.map(c => c -> schema(c).dataType)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val metaDir = metadataDir(tablePath)
-    val staged = stageDataFiles(spark, fs, table, packed, pby, pfields, stamp)
+    val toStage =
+      if (snap.fieldIdsWritten)
+        withFieldIds(spark, packed, parseFields(currentSchemaNode(meta)))
+      else packed
+    val staged = stageDataFiles(spark, fs, table, toStage, pby, pfields, stamp)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val newSeq: Long =
       if (fv == 2)
@@ -769,8 +835,11 @@ object IcebergTable {
       }
     val listPath = writeManifestList(fs, metaDir, fv, snapshotId, stamp,
       carried :+ (fs.makeQualified(addedPath).toString, addedLen, 0, newSeq, newSeq))
-    publishMetadataJson(fs, tablePath, Some(meta), prevVersion, fv, schema, pby,
-      schemaEvolved = false, newSeq, snapshotId, listPath, "replace")
+    publishMetadataJson(fs, tablePath, Some(meta), prevVersion, fv,
+      parseFields(currentSchemaNode(meta)),
+      if (meta.has("last-column-id")) meta.get("last-column-id").asInt()
+      else parseFields(currentSchemaNode(meta)).map(_.id).max,
+      pby, schemaEvolved = false, newSeq, snapshotId, listPath, "replace")
     snapshotId
   }
 
@@ -852,6 +921,28 @@ object IcebergTable {
     }
   }
 
+  /** Decorate each column with its `parquet.field.id` so the written
+    * footers carry Iceberg field ids (Spark's field-id write is on by
+    * default when the schema declares them) — the physical binding
+    * that makes rename/drop metadata-only and keeps equality deletes
+    * applying across them.
+    */
+  private def withFieldIds(
+      spark: SparkSession, df: DataFrame, fields: Seq[IceField]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "true").toBoolean,
+      "IcebergTable: writing field-id-capable tables needs " +
+        "spark.sql.parquet.fieldId.write.enabled=true (this session disabled it)")
+    val ids = fields.map(f => f.name -> f.id).toMap
+    df.select(df.schema.fieldNames.map { n =>
+      ids.get(n) match {
+        case Some(id) => col(n).as(n,
+          new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+        case None => col(n)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   private def publishDataSnapshot(
       spark: SparkSession, tablePath: String, df: DataFrame,
       partitionBy: Seq[String], carryForward: Boolean, operation: String,
@@ -878,10 +969,11 @@ object IcebergTable {
         require(allowSchemaEvolution,
           s"IcebergTable: append schema mismatch — table declares $have, append " +
             s"brings $incoming (pass allowSchemaEvolution = true for add-column evolution)")
-        // APPEND-only evolution: the declared fields must survive as a
-        // PREFIX with their types — schemaJson assigns field ids by
-        // position, so any reorder/insert/retype would silently rebind
-        // the ids that older equality-delete manifests reference
+        // APPEND-only evolution here: the declared fields must survive
+        // as a PREFIX with their types (new columns take FRESH ids past
+        // last-column-id); reorders/retypes go through the dedicated
+        // metadata-only ops ([[renameColumn]]/[[dropColumn]]/
+        // [[widenColumnType]]) which keep ids stable
         require(incoming.take(have.size) == have,
           s"IcebergTable: schema evolution may only APPEND columns — declared " +
             s"$have must survive as a prefix of $incoming")
@@ -895,13 +987,34 @@ object IcebergTable {
     df.schema.fields.foreach(f => toIcebergType(f.dataType)) // loud unsupported-type check
     partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
       s"IcebergTable: partition column $c missing from the append schema"))
+    // STABLE field ids: an existing table's ids come from its current
+    // schema (evolution appends fresh ids past last-column-id); a new
+    // table assigns 1..n and declares the field-ids property so reads
+    // resolve by id from the first file on
+    val prevLastCol: Int = prevMeta.map { m =>
+      val declared = if (m.has("last-column-id")) m.get("last-column-id").asInt() else 0
+      math.max(declared, parseFields(currentSchemaNode(m)).map(_.id).max)
+    }.getOrElse(0)
+    val fields: Seq[IceField] = prevMeta match {
+      case Some(m) =>
+        val prior = parseFields(currentSchemaNode(m))
+        prior ++ df.schema.fields.drop(prior.size).zipWithIndex.map { case (f, i) =>
+          IceField(prevLastCol + 1 + i, f.name, f.dataType) }
+      case None =>
+        df.schema.fields.zipWithIndex.map { case (f, i) =>
+          IceField(i + 1, f.name, f.dataType) }.toSeq
+    }
+    val lastColumnId = math.max(prevLastCol, fields.map(_.id).max)
+    val idCapable = prevMeta.fold(true)(m =>
+      propertiesOf(m).get(FieldIdsProperty).contains("true"))
+    val idDf = if (idCapable) withFieldIds(spark, df, fields) else df
     val pfields: Seq[(String, DataType)] =
       partitionBy.map(c => c -> df.schema(c).dataType)
     val entrySchema = manifestEntrySchema(pfields)
     fs.mkdirs(metaDir)
     fs.mkdirs(new Path(table, "data"))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val dataFiles = stageDataFiles(spark, fs, table, df, partitionBy, pfields, stamp)
+    val dataFiles = stageDataFiles(spark, fs, table, idDf, partitionBy, pfields, stamp)
 
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     // one manifest for this append; record_count carries the footer
@@ -955,8 +1068,10 @@ object IcebergTable {
     val listPath = writeManifestList(fs, metaDir, fv, snapshotId, stamp,
       prevManifests :+
         (fs.makeQualified(manifestPath).toString, manifestLen, 0, newSeq, newSeq))
-    publishMetadataJson(fs, tablePath, prevMeta, prevVersion, fv, df.schema,
-      partitionBy, schemaEvolved, newSeq, snapshotId, listPath, operation)
+    publishMetadataJson(fs, tablePath, prevMeta, prevVersion, fv, fields, lastColumnId,
+      partitionBy, schemaEvolved, newSeq, snapshotId, listPath, operation,
+      newProperties =
+        if (idCapable && prevMeta.isEmpty) Map(FieldIdsProperty -> "true") else Map.empty)
     snapshotId
   }
 
@@ -995,8 +1110,10 @@ object IcebergTable {
   private def publishMetadataJson(
       fs: FileSystem, tablePath: String,
       prevMeta: Option[com.fasterxml.jackson.databind.JsonNode], prevVersion: Long,
-      fv: Int, schema: StructType, partitionBy: Seq[String], schemaEvolved: Boolean,
-      newSeq: Long, snapshotId: Long, listPath: Path, operation: String): Unit = {
+      fv: Int, fields: Seq[IceField], lastColumnId: Int,
+      partitionBy: Seq[String], schemaEvolved: Boolean,
+      newSeq: Long, snapshotId: Long, listPath: Path, operation: String,
+      newProperties: Map[String, String] = Map.empty): Unit = {
     val metaDir = metadataDir(tablePath)
     val meta = mapper.createObjectNode()
     meta.put("format-version", fv)
@@ -1005,8 +1122,8 @@ object IcebergTable {
       prevMeta.map(_.get("table-uuid").asText()).getOrElse(java.util.UUID.randomUUID().toString))
     meta.put("location", tablePath)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    meta.put("last-column-id", schema.size)
-    meta.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema", schemaJson(schema))
+    meta.put("last-column-id", lastColumnId)
+    meta.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema", schemaJsonOf(fields))
     // v2's required "schemas"/"current-schema-id" pair (also legal —
     // and ignored — under v1 readers that use the legacy "schema");
     // an add-column evolution publishes under a BUMPED schema id
@@ -1026,19 +1143,22 @@ object IcebergTable {
           .filter(s => !s.has("schema-id") || s.get("schema-id").asInt() != schemaId)
           .foreach(schemasArr.add)
     }
-    val schema0 = schemaJson(schema)
+    val schema0 = schemaJsonOf(fields)
     schema0.put("schema-id", schemaId)
     schemasArr.add(schema0)
     meta.put("current-schema-id", schemaId)
     // v1's required legacy "partition-spec" plus the modern
     // "partition-specs"/"default-spec-id" pair; identity transforms
-    // over the schema field ids assigned by schemaJson (index + 1)
+    // over the STABLE schema field ids
+    def sourceId(c: String): Int = fields.find(_.name == c).map(_.id).getOrElse(
+      throw new IllegalArgumentException(
+        s"IcebergTable: partition column $c not in the schema fields"))
     val legacySpec = meta.putArray("partition-spec")
     partitionBy.zipWithIndex.foreach { case (c, i) =>
       val f = legacySpec.addObject()
       f.put("name", c)
       f.put("transform", "identity")
-      f.put("source-id", schema.fieldIndex(c) + 1)
+      f.put("source-id", sourceId(c))
       f.put("field-id", 1000 + i)
     }
     val specs = meta.putArray("partition-specs")
@@ -1049,7 +1169,7 @@ object IcebergTable {
       val f = specFields.addObject()
       f.put("name", c)
       f.put("transform", "identity")
-      f.put("source-id", schema.fieldIndex(c) + 1)
+      f.put("source-id", sourceId(c))
       f.put("field-id", 1000 + i)
     }
     meta.put("default-spec-id", 0)
@@ -1060,12 +1180,13 @@ object IcebergTable {
       o0.putArray("fields")
       meta.put("default-sort-order-id", 0)
     }
-    // table properties carry forward verbatim (empty object when none)
+    // table properties carry forward verbatim, new ones layered on top
     val props = meta.putObject("properties")
     prevMeta.map(_.get("properties")).filter(p => p != null && p.isObject).foreach { p =>
       val it = p.fields()
       while (it.hasNext) { val e = it.next(); props.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue) }
     }
+    newProperties.foreach { case (k, v) => props.put(k, v) }
     meta.put("current-snapshot-id", snapshotId)
     val snaps = meta.putArray("snapshots")
     prevMeta.foreach { m =>
@@ -1126,6 +1247,7 @@ object IcebergTable {
     val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
     val meta = readJson(fs, metaPath)
     val snap = snapshot(spark, tablePath, None)
+    if (snap.fieldIdsWritten) DeltaLog.enableFieldIdRead(spark)
     // live-row scan WITH existing POSITION deletes applied, so a
     // predicate matching only position-dead rows is a no-op, plus the
     // row provenance the delete file needs (rows dead under EQUALITY
@@ -1239,8 +1361,16 @@ object IcebergTable {
       s"IcebergTable: no field id for equality key '$k'")))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(table, s"_ice_stage_eqdel_$stamp")
-    keysDf.distinct().orderBy(keys.map(org.apache.spark.sql.functions.col): _*)
-      .write.parquet(stage.toString)
+    val distinctKeys = keysDf.distinct()
+      .orderBy(keys.map(org.apache.spark.sql.functions.col): _*)
+    // id-capable tables stamp the key columns with their field ids so
+    // the delete file stays resolvable across later renames
+    val keyedOut =
+      if (snap.fieldIdsWritten)
+        withFieldIds(spark, distinctKeys,
+          keys.zip(ids).map { case (k, id) => IceField(id, k, snap.schema(k).dataType) })
+      else distinctKeys
+    keyedOut.write.parquet(stage.toString)
     val parts = fs.globStatus(new Path(stage, "part-*.parquet")).toSeq
       .map(_.getPath).sortBy(_.toString)
     // scoped deletes carry their typed tuple in the manifest entry;
@@ -1392,6 +1522,134 @@ object IcebergTable {
     try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
     snapshotId
   }
+
+  // ------------------------------------------ schema evolution (by id)
+
+  /** Shared tail of the METADATA-ONLY schema-evolution ops: verify the
+    * table is field-id-capable (files resolve by id, so no data file
+    * needs touching), apply `transform` to the current fields, publish
+    * `vN+1.metadata.json` with the new schema under a BUMPED schema-id
+    * while every prior schema and snapshot carries forward verbatim.
+    */
+  private def publishSchemaEvolution(
+      spark: SparkSession, tablePath: String, op: String)(
+      transform: Seq[IceField] => Seq[IceField]): Unit = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val metaPath = currentMetadataPath(fs, tablePath)
+    val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(fs, metaPath)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    require(propertiesOf(meta).get(FieldIdsProperty).contains("true"),
+      s"IcebergTable: $op needs a field-id-capable table " +
+        s"($FieldIdsProperty=true) — files without parquet field ids could not " +
+        "re-resolve the evolved schema; rewrite the table first")
+    val fields = parseFields(currentSchemaNode(meta))
+    val newFields = transform(fields)
+    newFields.foreach(f => toIcebergType(f.dataType)) // loud unsupported-type check
+    require(newFields.map(_.name).distinct.size == newFields.size,
+      s"IcebergTable: $op would leave duplicate column names")
+    val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    val curId =
+      if (meta.has("current-schema-id")) meta.get("current-schema-id").asInt() else 0
+    val newId = curId + 1
+    // legacy inline "schema" tracks the current shape; the schemas
+    // array keeps every prior entry (live snapshots reference them)
+    val inline = schemaJsonOf(newFields)
+    inline.put("schema-id", newId)
+    newMeta.set[com.fasterxml.jackson.databind.node.ObjectNode]("schema", inline)
+    val schemasArr =
+      if (newMeta.has("schemas") && newMeta.get("schemas").isArray)
+        newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+      else {
+        val arr = newMeta.putArray("schemas")
+        val s0 = schemaJsonOf(fields)
+        s0.put("schema-id", curId)
+        arr.add(s0)
+        arr
+      }
+    val bumped = schemaJsonOf(newFields)
+    bumped.put("schema-id", newId)
+    schemasArr.add(bumped)
+    newMeta.put("current-schema-id", newId)
+    val newVersion = prevVersion + 1
+    val outPath = new Path(metadataDir(tablePath), s"v$newVersion.metadata.json")
+    val out = fs.create(outPath, false) // put-if-absent publish
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(newMeta))
+    finally out.close()
+    val hint = fs.create(new Path(metadataDir(tablePath), "version-hint.text"), true)
+    try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
+  }
+
+  /** RENAME COLUMN — metadata-only (zero files touched): the field id
+    * is the binding everywhere (parquet footers, equality-delete
+    * `equality_ids`, spec `source-id`), so only the label changes.
+    * Old data AND old equality-delete files keep resolving by id —
+    * deletes written before the rename still apply after it.
+    */
+  def renameColumn(spark: SparkSession, tablePath: String, from: String, to: String): Unit =
+    publishSchemaEvolution(spark, tablePath, s"renameColumn($from -> $to)") { fields =>
+      require(fields.exists(_.name == from),
+        s"IcebergTable: renameColumn '$from' not in the table schema")
+      require(!fields.exists(_.name == to),
+        s"IcebergTable: renameColumn target '$to' already exists")
+      val fs0 = fsOf(spark, new Path(tablePath))
+      val pby = specColumnNames(readJson(fs0, currentMetadataPath(fs0, tablePath)))
+      require(!pby.contains(from),
+        s"IcebergTable: renameColumn '$from' is a partition source column — its name " +
+          "keys the Hive-style data paths and stringified manifest tuples; rewrite instead")
+      fields.map(f => if (f.name == from) f.copy(name = to) else f)
+    }
+
+  /** DROP COLUMN — metadata-only: the field vanishes from the current
+    * schema (its id is never reused — `last-column-id` stays put) and
+    * every data file keeps the bytes invisibly. Refuses while a LIVE
+    * equality-delete file still references the field (dropping it
+    * would make the tombstones unresolvable and resurrect rows);
+    * compact first.
+    */
+  def dropColumn(spark: SparkSession, tablePath: String, column: String): Unit = {
+    val snap = snapshot(spark, tablePath, None)
+    require(!snap.deleteFiles.exists(_.equalityColumns.contains(column)),
+      s"IcebergTable: dropColumn '$column' is referenced by a live equality-delete " +
+        "file — dropping it would orphan the tombstones; rewriteDataFiles first")
+    publishSchemaEvolution(spark, tablePath, s"dropColumn($column)") { fields =>
+      require(fields.exists(_.name == column),
+        s"IcebergTable: dropColumn '$column' not in the table schema")
+      require(fields.size > 1,
+        s"IcebergTable: dropColumn '$column' would leave an empty schema")
+      require(!snap.partitionColumns.contains(column),
+        s"IcebergTable: dropColumn '$column' is a partition source column")
+      fields.filterNot(_.name == column)
+    }
+  }
+
+  /** WIDEN COLUMN TYPE — metadata-only, following Iceberg's type
+    * promotion rules (`int -> long`, `float -> double`): existing
+    * narrow files upcast through the declared schema on every read,
+    * later writes land wide natively. Partition source columns refuse
+    * (their stringified manifest tuples would re-type underneath every
+    * reader at once).
+    */
+  def widenColumnType(
+      spark: SparkSession, tablePath: String, column: String, to: DataType): Unit =
+    publishSchemaEvolution(spark, tablePath, s"widenColumnType($column)") { fields =>
+      val f = fields.find(_.name == column).getOrElse(throw new IllegalArgumentException(
+        s"IcebergTable: widenColumnType '$column' not in the table schema"))
+      val ok = (f.dataType, to) match {
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      require(ok, s"IcebergTable: ${f.dataType.simpleString} -> ${to.simpleString} is " +
+        "not an Iceberg type promotion (int -> long, float -> double)")
+      val fs0 = fsOf(spark, new Path(tablePath))
+      val pby = specColumnNames(readJson(fs0, currentMetadataPath(fs0, tablePath)))
+      require(!pby.contains(column),
+        s"IcebergTable: widenColumnType '$column' is a partition source column — its " +
+          "stringified manifest tuples would re-type under every reader; rewrite instead")
+      fields.map(x => if (x.name == column) x.copy(dataType = to) else x)
+    }
 
   /** EXPIRE SNAPSHOTS — the `expire_snapshots` maintenance twin
     * (Iceberg's vacuum): snapshots whose `timestamp-ms` is older than

@@ -398,6 +398,124 @@ class IcebergTableSpec extends SparkSpec {
     assert(ids == Set(0, 1), s"pre- and post-evolution schemas must both survive: $ids")
   }
 
+  test("field-id evolution: rename is metadata-only and OLD equality deletes still apply") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "tag", "v"))
+    // tombstone id=2 BEFORE the rename: equality_ids bind field id 1
+    IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(2L).toDF("id"))
+    val dataFilesBefore = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$t/data")).map(_.getName).toSet
+    }
+    IcebergTable.renameColumn(spark, t, "id", "key")
+    IcebergTable.renameColumn(spark, t, "v", "score")
+    // ZERO files touched
+    def walk2(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk2) else Seq(f)
+    assert(walk2(new java.io.File(s"$t/data")).map(_.getName).toSet == dataFilesBefore)
+    // reads resolve by field id: new names, old files, delete applied
+    val back = IcebergTable.read(spark, t).orderBy("key")
+    assert(back.schema.fieldNames.toSeq == Seq("key", "tag", "score"))
+    assert(back.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((1L, 10.0), (3L, 30.0)), "the pre-rename equality delete must still bind")
+    // appends speak the NEW names, same ids — both generations read
+    IcebergTable.append(spark, t, Seq((4L, "d", 40.0)).toDF("key", "tag", "score"))
+    assert(IcebergTable.read(spark, t).orderBy("key").select("key")
+      .as[Long].collect().toSeq == Seq(1L, 3L, 4L))
+    // a POST-rename equality delete binds the same field id
+    IcebergTable.deleteRowsEquality(spark, t, Seq("key"), Seq(1L).toDF("key"))
+    assert(IcebergTable.read(spark, t).orderBy("key").select("key")
+      .as[Long].collect().toSeq == Seq(3L, 4L))
+    // guards: unknown source, taken target, partition source column
+    assert(intercept[IllegalArgumentException](
+      IcebergTable.renameColumn(spark, t, "nope", "x")).getMessage.contains("not in the"))
+    assert(intercept[IllegalArgumentException](
+      IcebergTable.renameColumn(spark, t, "key", "tag")).getMessage.contains("already exists"))
+  }
+
+  test("field-id evolution: drop column is metadata-only; eq-delete references refuse") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "v"))
+    IcebergTable.deleteRowsEquality(spark, t, Seq("tag"), Seq("b").toDF("tag"))
+    // 'tag' is referenced by a live equality delete — dropping it would
+    // orphan the tombstones
+    val e = intercept[IllegalArgumentException](IcebergTable.dropColumn(spark, t, "tag"))
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+    // compaction physically applies the tombstone; then the drop lands
+    IcebergTable.rewriteDataFiles(spark, t, minFileSizeBytes = Long.MaxValue)
+    IcebergTable.dropColumn(spark, t, "tag")
+    val back = IcebergTable.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(back.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 10.0)))
+    // the dropped id is never reused: a later add-column takes a fresh id
+    IcebergTable.append(spark, t, Seq((5L, 50.0, "x")).toDF("id", "v", "note"),
+      allowSchemaEvolution = true)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/metadata")).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("""v\d+\.metadata\.json""") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }.max
+    val meta = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$t/metadata/v$latest.metadata.json"))
+      try mapper.readTree(in) finally in.close()
+    }
+    val cur = meta.get("schemas")
+    val curSchema = (0 until cur.size()).map(cur.get)
+      .find(_.get("schema-id").asInt() == meta.get("current-schema-id").asInt()).get
+    val idsNow = (0 until curSchema.get("fields").size())
+      .map(i => (curSchema.get("fields").get(i).get("name").asText(),
+        curSchema.get("fields").get(i).get("id").asInt())).toMap
+    assert(idsNow("id") == 1 && idsNow("v") == 3 && idsNow("note") == 4,
+      s"dropped id 2 (tag) must never be reused: $idsNow")
+  }
+
+  test("field-id evolution: widen int->long reads narrow files upcast; mixed generations") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t,
+      Seq((1L, 10), (2L, 20)).toDF("id", "ck")) // ck is INT
+    IcebergTable.widenColumnType(spark, t, "ck", LongType)
+    assert(IcebergTable.read(spark, t).schema("ck").dataType == LongType)
+    // post-widen append carries values only LONG holds
+    IcebergTable.append(spark, t, Seq((3L, 10000000000L)).toDF("id", "ck"))
+    // a delete composes across the width generations
+    IcebergTable.deleteRows(spark, t, col("id") === 2L)
+    assert(IcebergTable.read(spark, t).orderBy("id").select("ck")
+      .as[Long].collect().toSeq == Seq(10L, 10000000000L))
+    // narrowing and unknown columns refuse
+    assert(intercept[IllegalArgumentException](
+      IcebergTable.widenColumnType(spark, t, "ck", IntegerType))
+      .getMessage.contains("not an Iceberg type promotion"))
+    // a table WITHOUT the field-ids property refuses evolution loudly
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/metadata")).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("""v\d+\.metadata\.json""") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }.max
+    val mp = new org.apache.hadoop.fs.Path(s"$t/metadata/v$latest.metadata.json")
+    val meta = {
+      val in = fs.open(mp)
+      try mapper.readTree(in).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    meta.putObject("properties") // strip the capability marker
+    val out = fs.create(mp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.renameColumn(spark, t, "ck", "c2"))
+    assert(e.getMessage.contains("field-id-capable"), e.getMessage)
+  }
+
   test("rewriteDataFiles selection: full-sized files keep exact paths; cost is the small-file debt") {
     import spark.implicits._
     val t = newTable()
