@@ -3268,6 +3268,59 @@ object CoreQueries {
       |WHERE NOT (o_orderkey % 7 = 3)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S52Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s52_iceberg_files"
+  private val s52BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S52 — the Iceberg `files` METADATA TABLE, hash-checked: a
+    * partitioned table takes two appends, per-partition POSITION
+    * deletes, and a GLOBAL equality delete; the query aggregates the
+    * metadata relation (content code × partition tuple → declared
+    * `record_count`) and the oracle recomputes every number from raw
+    * `orders` — so a manifest walk that drops a delete manifest, fakes
+    * a record count (the old loud-zero habit), loses a partition
+    * tuple, or mis-assigns content codes hash-fails. No data file is
+    * opened: the relation is the avro/json chain itself.
+    */
+  def s52IcebergFilesTable(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s52BuiltFor.synchronized {
+      if (s52BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S52Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.IcebergTable.append(spark, S52Root,
+          base.filter(col("o_orderkey") % 2 === 0), partitionBy = Seq("o_orderstatus"))
+        graft.sources.IcebergTable.append(spark, S52Root,
+          base.filter(col("o_orderkey") % 2 =!= 0), partitionBy = Seq("o_orderstatus"))
+        graft.sources.IcebergTable.deleteRows(spark, S52Root, col("o_orderkey") % 9 === 1)
+        graft.sources.IcebergTable.deleteRowsEquality(spark, S52Root,
+          Seq("o_custkey"),
+          base.filter(col("o_custkey") % 10 === 6).select("o_custkey").distinct())
+        s52BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.filesTable(spark, S52Root)
+      .groupBy(
+        coalesce(col("partition")("o_orderstatus"), lit("")).as("status"),
+        col("content"))
+      .agg(sum("record_count").as("rows"))
+      .orderBy("content", "status")
+  }
+
+  private val s52IcebergFilesTableSql =
+    """SELECT * FROM (
+      |  SELECT o_orderstatus AS status, 0 AS content, count(*) AS rows
+      |  FROM orders GROUP BY 1
+      |  UNION ALL
+      |  SELECT o_orderstatus, 1, count(*) FROM orders
+      |  WHERE o_orderkey % 9 = 1 GROUP BY 1
+      |  UNION ALL
+      |  SELECT '', 2, count(DISTINCT o_custkey) FROM orders
+      |  WHERE o_custkey % 10 = 6
+      |) ORDER BY content, status""".stripMargin
+
   private val S18Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s18_snapshot"
   private val s18BuiltFor =
@@ -3529,6 +3582,7 @@ object CoreQueries {
     "s49_delta_type_widening" -> s49DeltaTypeWidening _,
     "s50_iceberg_rename_drop" -> s50IcebergRenameDrop _,
     "s51_iceberg_widening" -> s51IcebergWidening _,
+    "s52_iceberg_files_table" -> s52IcebergFilesTable _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3869,6 +3923,7 @@ object CoreQueries {
     "s49_delta_type_widening" -> s49DeltaTypeWideningSql,
     "s50_iceberg_rename_drop" -> s50IcebergRenameDropSql,
     "s51_iceberg_widening" -> s51IcebergWideningSql,
+    "s52_iceberg_files_table" -> s52IcebergFilesTableSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -288,7 +288,8 @@ object IcebergTable {
   final case class DeleteFileRef(
       path: String, sequence: Long, records: Long = 0L,
       equalityColumns: Seq[String] = Seq.empty,
-      partition: Map[String, String] = Map.empty)
+      partition: Map[String, String] = Map.empty,
+      sizeBytes: Long = 0L)
 
   final case class Snapshot(
       snapshotId: Long, files: Seq[String], schema: StructType,
@@ -405,7 +406,8 @@ object IcebergTable {
     val idToName = fieldIdToName(meta)
     // (path, status, tuple, dataSeq, size, recs) / (path, status, deleteSeq, recs, eqCols)
     val dataEntries = Seq.newBuilder[(String, Int, Map[String, String], Long, Long, Long)]
-    val deleteEntries = Seq.newBuilder[(String, Int, Long, Long, Seq[String], Map[String, String])]
+    val deleteEntries =
+      Seq.newBuilder[(String, Int, Long, Long, Seq[String], Map[String, String], Long)]
     manifests.foreach { case (mp, mContent, mSeq) =>
       readAvro(fs, new Path(mp), conf).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
@@ -450,10 +452,12 @@ object IcebergTable {
             throw new IllegalArgumentException(
               s"IcebergTable: equality delete field id $id not in the current schema")))
           val recs = recOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L)
-          deleteEntries += ((path, status, entrySeq, recs, cols, tuple))
+          val dsz = recOpt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L)
+          deleteEntries += ((path, status, entrySeq, recs, cols, tuple, dsz))
         } else if (fContent == 1) {
           val recs = recOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L)
-          deleteEntries += ((path, status, entrySeq, recs, Seq.empty, tuple))
+          val dsz = recOpt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L)
+          deleteEntries += ((path, status, entrySeq, recs, Seq.empty, tuple, dsz))
         } else {
           val size =
             recOpt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -470,10 +474,10 @@ object IcebergTable {
     val live = dataSeq.collect {
       case (p, s, t, q, size, recs) if s != 2 && !deadData(p) => (p, t, q, size, recs)
     }.distinctBy(_._1)
-    val deadDel = delSeq.collect { case (p, 2, _, _, _, _) => p }.toSet
+    val deadDel = delSeq.collect { case (p, 2, _, _, _, _, _) => p }.toSet
     val liveDel = delSeq.collect {
-      case (p, s, q, recs, eqCols, t) if s != 2 && !deadDel(p) =>
-        DeleteFileRef(p, q, recs, eqCols, t)
+      case (p, s, q, recs, eqCols, t, dsz) if s != 2 && !deadDel(p) =>
+        DeleteFileRef(p, q, recs, eqCols, t, dsz)
     }.distinctBy(_.path)
     Snapshot(wantId, live.map(_._1), schema, pcols, live.map(_._2),
       live.map { case (p, t, q, size, recs) => DataFileRef(p, q, t, size, recs) },
@@ -1650,6 +1654,131 @@ object IcebergTable {
           "stringified manifest tuples would re-type under every reader; rewrite instead")
       fields.map(x => if (x.name == column) x.copy(dataType = to) else x)
     }
+
+  // ------------------------------------------------ metadata tables
+
+  /** The `snapshots` metadata table: one row per snapshot still listed
+    * in the current table metadata — what an operator debugging a
+    * 100 TB table reaches for first. Driver-parsed (the metadata JSON
+    * is metadata-sized by design), handed to Spark as a local relation.
+    */
+  def snapshotsTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = readJson(fs, currentMetadataPath(fs, tablePath))
+    val snaps = meta.get("snapshots")
+    require(snaps != null && snaps.isArray, "IcebergTable: no snapshots array")
+    val rows = (0 until snaps.size()).map(snaps.get).map { s =>
+      org.apache.spark.sql.Row(
+        new java.sql.Timestamp(s.get("timestamp-ms").asLong()),
+        s.get("snapshot-id").asLong(),
+        if (s.has("sequence-number")) s.get("sequence-number").asLong() else 0L,
+        Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+          .map(_.asText()).getOrElse(""),
+        s.get("manifest-list").asText())
+    }
+    val schema = StructType(Seq(
+      StructField("committed_at", TimestampType),
+      StructField("snapshot_id", LongType),
+      StructField("sequence_number", LongType),
+      StructField("operation", StringType),
+      StructField("manifest_list", StringType)))
+    spark.createDataFrame(new java.util.ArrayList(rows.asJavaList), schema)
+  }
+
+  /** The `history` metadata table: when each snapshot became current.
+    * This writer's lineage is linear (no branch rollback), so every
+    * listed snapshot is a current-ancestor.
+    */
+  def historyTable(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    snapshotsTable(spark, tablePath).select(
+      col("committed_at").as("made_current_at"),
+      col("snapshot_id"),
+      org.apache.spark.sql.functions.lit(true).as("is_current_ancestor"))
+  }
+
+  /** The `manifests` metadata table: one row per manifest in the
+    * CURRENT (or asked) snapshot's manifest list.
+    */
+  def manifestsTable(
+      spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = readJson(fs, currentMetadataPath(fs, tablePath))
+    val snaps = meta.get("snapshots")
+    val wantId = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
+    val snapNode = (0 until snaps.size()).map(snaps.get)
+      .find(_.get("snapshot-id").asLong() == wantId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"IcebergTable: snapshot $wantId not found (expired?)"))
+    def opt(r: GenericRecord, n: String): Option[AnyRef] =
+      if (r.getSchema.getField(n) == null) None else Option(r.get(n))
+    val rows = readAvro(fs, new Path(snapNode.get("manifest-list").asText()), conf).map { r =>
+      org.apache.spark.sql.Row(
+        r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[Long],
+        opt(r, "partition_spec_id").map(_.asInstanceOf[Int]).getOrElse(0),
+        opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+        opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+        opt(r, "min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+        opt(r, "added_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(wantId))
+    }
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("length", LongType),
+      StructField("partition_spec_id", IntegerType),
+      StructField("content", IntegerType),
+      StructField("sequence_number", LongType),
+      StructField("min_sequence_number", LongType),
+      StructField("added_snapshot_id", LongType)))
+    spark.createDataFrame(new java.util.ArrayList(rows.asJavaList), schema)
+  }
+
+  /** The `files` metadata table: one row per LIVE file of the current
+    * (or asked) snapshot — data files (`content = 0`) AND delete files
+    * (1 position / 2 equality; Iceberg splits these into
+    * `delete_files`, folded here under the spec's own content code),
+    * with the manifests' declared counts/sizes, the identity partition
+    * tuple, the gating sequence number, and equality field ids. Built
+    * from the same avro walk as [[snapshot]] — no data file is opened.
+    */
+  def filesTable(
+      spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = readJson(fs, currentMetadataPath(fs, tablePath))
+    val nameToId = fieldIdToName(meta).map(_.swap)
+    val snap = snapshot(spark, tablePath, snapshotId)
+    val rows =
+      snap.dataRefs.map { r =>
+        org.apache.spark.sql.Row(0, r.path, "PARQUET", r.records, r.sizeBytes,
+          r.sequence, r.partition, null)
+      } ++ snap.deleteFiles.map { d =>
+        org.apache.spark.sql.Row(
+          if (d.equalityColumns.isEmpty) 1 else 2,
+          d.path, "PARQUET", d.records, d.sizeBytes, d.sequence, d.partition,
+          if (d.equalityColumns.isEmpty) null
+          else d.equalityColumns.map(c => nameToId.getOrElse(c, -1)))
+      }
+    val schema = StructType(Seq(
+      StructField("content", IntegerType),
+      StructField("file_path", StringType),
+      StructField("file_format", StringType),
+      StructField("record_count", LongType),
+      StructField("file_size_in_bytes", LongType),
+      StructField("sequence_number", LongType),
+      StructField("partition", MapType(StringType, StringType)),
+      StructField("equality_ids", ArrayType(IntegerType))))
+    spark.createDataFrame(new java.util.ArrayList(rows.asJavaList), schema)
+  }
+
+  private implicit class RowsOps(rows: Seq[org.apache.spark.sql.Row]) {
+    def asJavaList: java.util.List[org.apache.spark.sql.Row] = {
+      import scala.jdk.CollectionConverters._
+      rows.asJava
+    }
+  }
 
   /** EXPIRE SNAPSHOTS — the `expire_snapshots` maintenance twin
     * (Iceberg's vacuum): snapshots whose `timestamp-ms` is older than

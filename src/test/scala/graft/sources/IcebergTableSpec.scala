@@ -516,6 +516,49 @@ class IcebergTableSpec extends SparkSpec {
     assert(e.getMessage.contains("field-id-capable"), e.getMessage)
   }
 
+  test("metadata tables: snapshots/history/manifests/files over a table with both delete kinds") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t,
+      Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, "A", 3.0), (4L, "B", 4.0))
+        .toDF("id", "p", "v"), partitionBy = Seq("p"))
+    IcebergTable.deleteRows(spark, t, col("id") === 1L) // position, partition A
+    IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(4L).toDF("id")) // global eq
+    // snapshots: three linear commits with honest operations
+    val snaps = IcebergTable.snapshotsTable(spark, t)
+      .orderBy("committed_at", "snapshot_id").collect()
+    assert(snaps.length == 3)
+    assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "delete", "delete"))
+    assert(snaps.map(_.getAs[Long]("sequence_number")).toSeq == Seq(0L, 1L, 2L))
+    // history mirrors the lineage
+    assert(IcebergTable.historyTable(spark, t).count() == 3)
+    // manifests of the CURRENT snapshot: 1 data + 2 delete manifests
+    val mans = IcebergTable.manifestsTable(spark, t).collect()
+    assert(mans.count(_.getAs[Int]("content") == 0) == 1)
+    assert(mans.count(_.getAs[Int]("content") == 1) == 2)
+    // files: data rows carry real counts + tuples; delete rows their kinds
+    val files = IcebergTable.filesTable(spark, t).collect()
+    val data = files.filter(_.getAs[Int]("content") == 0)
+    assert(data.map(_.getAs[Long]("record_count")).sum == 4L)
+    assert(data.map(_.getAs[Map[String, String]]("partition")("p")).toSet == Set("A", "B"))
+    assert(data.forall(_.getAs[Long]("file_size_in_bytes") > 0L))
+    val pos = files.filter(_.getAs[Int]("content") == 1)
+    assert(pos.map(_.getAs[Long]("record_count")).sum == 1L)
+    assert(pos.forall(_.getAs[Map[String, String]]("partition")("p") == "A"))
+    val eq = files.filter(_.getAs[Int]("content") == 2)
+    assert(eq.length == 1 && eq.head.getAs[Long]("record_count") == 1L)
+    assert(eq.head.getAs[Map[String, String]]("partition").isEmpty, "global delete: no tuple")
+    assert(eq.head.getAs[scala.collection.Seq[Int]]("equality_ids").toSeq == Seq(1),
+      "id binds field 1 (id)")
+    // the metadata relations never open a data file: read still agrees
+    assert(IcebergTable.read(spark, t).orderBy("id").select("id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    // time travel: the files table AT the first snapshot has no deletes
+    val firstId = snaps.head.getAs[Long]("snapshot_id")
+    assert(IcebergTable.filesTable(spark, t, Some(firstId))
+      .filter(col("content") > 0).count() == 0)
+  }
+
   test("rewriteDataFiles selection: full-sized files keep exact paths; cost is the small-file debt") {
     import spark.implicits._
     val t = newTable()
