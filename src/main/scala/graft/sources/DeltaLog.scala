@@ -2270,14 +2270,51 @@ object DeltaLog {
     val cursor =
       if (!targetExists) -1L
       else lastTxnVersion(spark, targetPath, appId).getOrElse(-1L)
-    val (changes, newCursor) = readChangesSince(spark, sourcePath, cursor)
-    if (newCursor == cursor) return cursor
-    if (cursor < 0)
-      append(spark, targetPath, changes.drop("_change_type"),
-        txn = Some((appId, newCursor)))
-    else
-      applyChanges(spark, targetPath, changes, keys, txn = Some((appId, newCursor)))
-    newCursor
+    val cur = currentVersion(spark, sourcePath)
+    if (cursor >= 0 && cur <= cursor) return cursor // idle poll: one listing, no commit
+    if (cursor < 0) {
+      append(spark, targetPath, read(spark, sourcePath), txn = Some((appId, cur)))
+      return cur
+    }
+    // CDF-PREFERRED pull: when the source materializes change files,
+    // replay the `_change_data` bytes — for frequent small changes
+    // that is orders of magnitude less IO than diffing the rewritten
+    // data files. Multi-commit ranges NET per key (only the LAST
+    // commit's state of each key applies — intermediate updates must
+    // not surface as duplicate upserts). Any commit in the range that
+    // rewrote files without cdc actions falls the whole pull back to
+    // the file-diff path, which is always derivable.
+    val snapTo = snapshot(spark, sourcePath, Some(cur))
+    val changes: DataFrame = {
+      val cdfPull =
+        if (!cdfEnabled(snapTo) || snapTo.schema.isEmpty) None
+        else snapshot(spark, sourcePath, Some(cursor)) match {
+          case sFrom if sFrom.schemaString != snapTo.schemaString => None
+          case _ =>
+            cdfFrames(spark, sourcePath, cursor, cur, snapTo, snapTo.schema.get) match {
+              case Right(frames) =>
+                val declared = snapTo.schema.get
+                val ordered = declared.fieldNames.map(col).toSeq
+                if (frames.isEmpty)
+                  Some(spark.createDataFrame(
+                      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+                    .withColumn("_change_type", lit("")))
+                else {
+                  val w = org.apache.spark.sql.expressions.Window
+                    .partitionBy(keys.map(col): _*)
+                  Some(frames.reduce(_.unionByName(_))
+                    .withColumn("__maxv", max(col("_commit_version")).over(w))
+                    .filter(col("_commit_version") === col("__maxv"))
+                    .filter(col("_change_type") =!= "update_preimage")
+                    .select((ordered :+ col("_change_type")): _*))
+                }
+              case Left(_) => None
+            }
+        }
+      cdfPull.getOrElse(diffVersions(spark, sourcePath, cursor, cur))
+    }
+    applyChanges(spark, targetPath, changes, keys, txn = Some((appId, cur)))
+    cur
   }
 
   /** DELETE as ONE Delta transaction — the reference's full-mode

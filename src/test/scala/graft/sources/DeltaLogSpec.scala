@@ -1710,6 +1710,47 @@ class DeltaLogSpec extends SparkSpec {
     assert(v2 == -1L)
   }
 
+  test("replicateOnce prefers _change_data: update-only commits pull without touching rewritten data files") {
+    import spark.implicits._
+    val src = newTable()
+    val dst = newTable()
+    DeltaLog.append(spark, src, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val c0 = DeltaLog.replicateOnce(spark, src, dst, Seq("id"), "r-cdf")
+    // TWO merges touch the same key between polls: the CDF pull must
+    // net them (only the LAST state of key 1 applies — a naive replay
+    // would upsert both and duplicate the row)
+    DeltaLog.merge(spark, src, Seq((1L, "x")).toDF("id", "tag"), Seq("id"))
+    DeltaLog.merge(spark, src, Seq((1L, "y"), (4L, "d")).toDF("id", "tag"), Seq("id"))
+    val cur = DeltaLog.currentVersion(spark, src)
+    // IO honesty: physically remove every NON-cdc data file those
+    // commits added — a pull that opens them instead of _change_data
+    // fails loudly, so success proves the CDF path reads change bytes
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    ((c0 + 1) to cur).foreach { v =>
+      val jp = new org.apache.hadoop.fs.Path(f"$src/_delta_log/$v%020d.json")
+      val in = fs.open(jp)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+      lines.map(mapper.readTree).flatMap(n => Option(n.get("add"))).foreach { a =>
+        val p = a.get("path").asText
+        if (!p.startsWith("_change_data/"))
+          assert(fs.delete(new org.apache.hadoop.fs.Path(s"$src/$p"), false),
+            s"fixture expects to remove $p")
+      }
+    }
+    assert(DeltaLog.replicateOnce(spark, src, dst, Seq("id"), "r-cdf") == cur)
+    assert(DeltaLog.read(spark, dst).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "y"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // idle poll after the CDF pull: no commit
+    val vBefore = DeltaLog.currentVersion(spark, dst)
+    assert(DeltaLog.replicateOnce(spark, src, dst, Seq("id"), "r-cdf") == cur)
+    assert(DeltaLog.currentVersion(spark, dst) == vBefore)
+  }
+
   test("protocol upgrade from legacy versions re-declares every implied feature") {
     import spark.implicits._
     // a legacy (1,4) table: changeDataFeed + generatedColumns +
