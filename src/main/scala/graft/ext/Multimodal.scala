@@ -555,11 +555,14 @@ object Multimodal {
         case Some(wav) =>
           MediaFeatures(r.doc_id, r.modality, n, 0, 0, wav.sampleRate, checksum)
         case None => Mp3.tryScan(r.payload) match {
-          // REAL frame-header scan (r12): sample rate off the MPEG
-          // header table; PCM decode stays out of scope
+          // REAL frame-header scan (r12); PCM decode exists for the
+          // digital-silence MONO subset ([[Mp3.decodePcm]], r15 —
+          // nonzero-spectrum synthesis refuses loudly there: the ISO
+          // D[512] window table is not transcribable verifiably under
+          // zero egress), exercised end-to-end by `x_mp3_decode`
           case Some(m) =>
             MediaFeatures(r.doc_id, r.modality, n, 0, 0, m.sampleRate, checksum)
-          // ??? remaining stub: PCM decode for non-WAV/non-MP3 bytes
+          // ??? remaining stub: decode for non-WAV/non-MP3 audio bytes
           case None =>
             MediaFeatures(r.doc_id, r.modality, n, 0, 0, 8000 * (b0 % 6 + 1), checksum)
         }
