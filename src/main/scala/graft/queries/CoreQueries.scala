@@ -3268,6 +3268,96 @@ object CoreQueries {
       |WHERE NOT (o_orderkey % 7 = 3)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S53Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s53_delta_rowtrack"
+  private val s53BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S53 — Delta ROW TRACKING read support (r14 verdict stretch): a
+    * hand-authored (3,7) log declaring the `rowTracking` writer
+    * feature, two sorted data files whose adds carry
+    * `baseRowId`/`defaultRowCommitVersion`, and an inline deletion
+    * vector tombstoning `o_orderkey % 7 = 3` in the FIRST file. The
+    * query reads through [[graft.sources.DeltaLog.readWithRowIds]]:
+    * survivors must keep their ORIGINAL position-derived identities
+    * (the feature's whole point — a CDC consumer keys on them), so a
+    * reader that renumbers after the DV drop, loses a file's base, or
+    * mixes up commit versions hash-fails against the oracle's
+    * row_number() reconstruction. Writes into the table keep refusing
+    * (this writer does not allocate base row ids).
+    */
+  def s53DeltaRowTracking(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s53BuiltFor.synchronized {
+      if (s53BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S53Root))
+        val fs = new org.apache.hadoop.fs.Path(S53Root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val base = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        // one sorted single-part file per half: row_index == rank
+        def stage(half: Int, name: String): Long = {
+          val df = base.filter(col("o_orderkey") % 2 === half)
+            .repartition(1).sortWithinPartitions("o_orderkey")
+          val st = s"$S53Root/_stage_$half"
+          df.write.parquet(st)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$st/part-*.parquet"))(0).getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$S53Root/$name"))
+          fs.delete(new org.apache.hadoop.fs.Path(st), true)
+          df.count()
+        }
+        val nEven = stage(0, "a.parquet")
+        stage(1, "b.parquet")
+        // inline DV over the even file: positions of o_orderkey%7==3
+        // by rank within the sorted file
+        import org.apache.spark.sql.expressions.Window
+        val positions = base.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("pos",
+            row_number().over(Window.orderBy("o_orderkey")).cast("long") - 1)
+          .filter(col("o_orderkey") % 7 === 3)
+          .select("pos").orderBy("pos")
+          .collect().map(_.getLong(0))
+        val dvData = graft.sources.DeletionVectors.serialize(positions)
+        val padded = java.util.Arrays.copyOf(dvData, (dvData.length + 3) / 4 * 4)
+        val inline = graft.sources.DeletionVectors.z85Encode(padded)
+        val schemaJson = base.schema.json.replace("\"", "\\\"")
+        def commit(v: Long, lines: Seq[String]): Unit = {
+          val p = new org.apache.hadoop.fs.Path(f"$S53Root/_delta_log/$v%020d.json")
+          fs.mkdirs(p.getParent)
+          val out = fs.create(p, false)
+          try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally out.close()
+        }
+        commit(0, Seq(
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["rowTracking","deletionVectors","appendOnly","invariants","domainMetadata"]}}""",
+          s"""{"metaData":{"id":"s53","format":{"provider":"parquet"},"schemaString":"$schemaJson","partitionColumns":[]}}""",
+          s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${dvData.length},"cardinality":${positions.length}}}}"""))
+        commit(1, Seq(
+          s"""{"add":{"path":"b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"baseRowId":$nEven,"defaultRowCommitVersion":1}}"""))
+        s53BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.readWithRowIds(spark, S53Root)
+      .select("o_orderkey", "o_custkey", "row_id", "row_commit_version")
+      .orderBy("row_id")
+  }
+
+  private val s53DeltaRowTrackingSql =
+    """WITH e AS (SELECT o_orderkey, o_custkey,
+      |    row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |o AS (SELECT o_orderkey, o_custkey,
+      |    row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders WHERE o_orderkey % 2 = 1),
+      |n AS (SELECT count(*) AS ne FROM e)
+      |SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, pos AS row_id,
+      |    CAST(0 AS BIGINT) AS row_commit_version
+      |  FROM e WHERE o_orderkey % 7 <> 3
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, pos + ne, CAST(1 AS BIGINT) FROM o, n
+      |) ORDER BY row_id""".stripMargin
+
   private val S52Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s52_iceberg_files"
   private val s52BuiltFor =
@@ -3583,6 +3673,7 @@ object CoreQueries {
     "s50_iceberg_rename_drop" -> s50IcebergRenameDrop _,
     "s51_iceberg_widening" -> s51IcebergWidening _,
     "s52_iceberg_files_table" -> s52IcebergFilesTable _,
+    "s53_delta_row_tracking" -> s53DeltaRowTracking _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -3924,6 +4015,7 @@ object CoreQueries {
     "s50_iceberg_rename_drop" -> s50IcebergRenameDropSql,
     "s51_iceberg_widening" -> s51IcebergWideningSql,
     "s52_iceberg_files_table" -> s52IcebergFilesTableSql,
+    "s53_delta_row_tracking" -> s53DeltaRowTrackingSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -64,6 +64,8 @@ object DeltaLog {
       StructField("size", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType),
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
         StructField("pathOrInlineDv", StringType),
@@ -250,6 +252,8 @@ object DeltaLog {
       sub("add", "partitionValues", MapType(StringType, StringType)).as("add_pvals"),
       sub("add", "size", LongType).as("add_size"),
       sub("add", "stats", StringType).as("add_stats"),
+      sub("add", "baseRowId", LongType).as("add_base_row_id"),
+      sub("add", "defaultRowCommitVersion", LongType).as("add_default_rcv"),
       dvSub("storageType", StringType).as("dv_storage"),
       dvSub("pathOrInlineDv", StringType).as("dv_path"),
       dvSub("offset", IntegerType).as("dv_offset"),
@@ -434,6 +438,7 @@ object DeltaLog {
         coalesce(col("add_path"), col("remove_path")).as("path"),
         col("add_path").isNotNull.as("is_add"),
         col("add_pvals"), col("add_size"), col("add_stats"),
+        col("add_base_row_id"), col("add_default_rcv"),
         col("remove_ts"), col("version"),
         col("dv_storage"), col("dv_path"), col("dv_offset"),
         col("dv_size"), col("dv_cardinality"))
@@ -449,7 +454,9 @@ object DeltaLog {
   final case class DeltaFile(
       path: String, partitionValues: Map[String, String], size: Long,
       dv: Option[DeletionVectors.Descriptor] = None,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
   final case class Snapshot(
       files: Seq[DeltaFile],
       metaId: Option[String],
@@ -555,7 +562,8 @@ object DeltaLog {
     }
     val live = reconcile(acts).filter(col("is_add"))
       .select("path", "add_pvals", "add_size", "add_stats",
-        "dv_storage", "dv_path", "dv_offset", "dv_size", "dv_cardinality")
+        "dv_storage", "dv_path", "dv_offset", "dv_size", "dv_cardinality",
+        "add_base_row_id", "add_default_rcv")
       .collect()
       .map { r =>
         val dv = Option(r.getString(4)).map { st =>
@@ -571,7 +579,9 @@ object DeltaLog {
           Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
           if (r.isNullAt(2)) 0L else r.getLong(2),
           dv,
-          Option(r.getString(3)))
+          Option(r.getString(3)),
+          if (r.isNullAt(9)) None else Some(r.getLong(9)),
+          if (r.isNullAt(10)) None else Some(r.getLong(10)))
       }.toSeq.sortBy(_.path)
     Snapshot(live, metaId, schemaStr, pcols, conf, readerVersion, readerFeats,
       writerVersion, writerFeats)
@@ -839,7 +849,7 @@ object DeltaLog {
     */
   private def readWithDv(
       spark: SparkSession, tablePath: String, snap: Snapshot,
-      keepFile: Boolean = false): DataFrame = {
+      keepFile: Boolean = false, keepPos: Boolean = false): DataFrame = {
     val fs = fsOf(spark, new Path(tablePath))
     val (dvFiles, plainFiles) = snap.files.partition(_.dv.isDefined)
     val descs: Seq[(String, String, String, Int, Int)] = dvFiles.map { f =>
@@ -865,18 +875,88 @@ object DeltaLog {
     val scanned = readSnapshotFiles(spark, tablePath, snap, dvFiles,
         addFileColumn = true, addRowIndex = true)
       .withColumn("__fid", normalizedFileId(col("__file")))
-    val kept0 = scanned
+    val kept1 = scanned
       .join(delSide,
         scanned("__fid") === delSide("__dv_file") && scanned("__pos") === delSide("__dv_pos"),
         "left_anti")
-      .drop("__pos", "__fid")
+      .drop("__fid")
+    val kept0 = if (keepPos) kept1 else kept1.drop("__pos")
     val kept = if (keepFile) kept0 else kept0.drop("__file")
     val all =
       if (plainFiles.isEmpty) kept
       else kept.unionByName(
-        readSnapshotFiles(spark, tablePath, snap, plainFiles, addFileColumn = keepFile))
+        readSnapshotFiles(spark, tablePath, snap, plainFiles,
+          addFileColumn = keepFile, addRowIndex = keepPos))
+    val extras = (if (keepFile) Seq("__file") else Nil) ++ (if (keepPos) Seq("__pos") else Nil)
     snap.schema.fold(all)(s => all.select(
-      (s.fieldNames.toSeq ++ (if (keepFile) Seq("__file") else Nil)).map(col): _*))
+      (s.fieldNames.toSeq ++ extras).map(col): _*))
+  }
+
+  /** Read a ROW-TRACKING table with its row identities surfaced — the
+    * protocol's `rowTracking` writer feature: every add action carries
+    * `baseRowId` and `defaultRowCommitVersion`, and a FRESH row's id
+    * is `baseRowId + its position in the file` (its commit version the
+    * file's default). The result is the table columns plus `row_id`
+    * and `row_commit_version` metadata columns — stable identities a
+    * downstream CDC consumer keys on.
+    *
+    * Scope, guarded loudly: tables whose live adds all carry the two
+    * fields (a rowTracking table checkpointed by THIS writer loses
+    * them — the classic-checkpoint schema here doesn't carry them —
+    * and refuses rather than fabricating ids); MATERIALIZED row-id
+    * columns (the protocol's carry across rewrites, named by
+    * `delta.rowTracking.materializedRowIdColumnName`) refuse — their
+    * physical columns live outside the declared schema. WRITES into
+    * rowTracking tables keep refusing via the writer-feature guard:
+    * this writer does not allocate base row ids against the
+    * domain-metadata high-water mark, and appending without them
+    * would corrupt the very identities this read surfaces.
+    *
+    * Scale shape: one provenance scan (file path + row index, both
+    * generated columns) plus a broadcast join against the
+    * metadata-sized (file -> baseRowId) map; DV-dead rows drop before
+    * id assignment but keep their ORIGINAL positions, so survivors'
+    * ids are stable across deletes — the feature's whole point.
+    */
+  def readWithRowIds(
+      spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, versionAsOf)
+    require(snap.writerFeatures.contains("rowTracking"),
+      s"DeltaLog: readWithRowIds needs the rowTracking table feature at $tablePath")
+    Seq("delta.rowTracking.materializedRowIdColumnName",
+        "delta.rowTracking.materializedRowCommitVersionColumnName").foreach { k =>
+      require(!snap.configuration.contains(k),
+        s"DeltaLog: $tablePath declares $k — materialized row-id columns " +
+          "(physical columns outside the declared schema) are not supported; " +
+          "fresh base-derived ids are the implemented subset")
+    }
+    val missing = snap.files.filterNot(f =>
+      f.baseRowId.isDefined && f.defaultRowCommitVersion.isDefined)
+    require(missing.isEmpty,
+      s"DeltaLog: rowTracking declared but ${missing.size} live add action(s) lack " +
+        s"baseRowId/defaultRowCommitVersion (first: ${missing.headOption.map(_.path).getOrElse("")}) — " +
+        "refusing to fabricate row identities")
+    require(snap.schema.isDefined,
+      s"DeltaLog: readWithRowIds needs a parseable metaData.schemaString at $tablePath")
+    val declared = snap.schema.get
+    require(!declared.fieldNames.exists(n => n == "row_id" || n == "row_commit_version"),
+      "DeltaLog: a physical row_id/row_commit_version column shadows the metadata columns")
+    val fs = fsOf(spark, new Path(tablePath))
+    val scanned =
+      if (snap.files.exists(_.dv.isDefined))
+        readWithDv(spark, tablePath, snap, keepFile = true, keepPos = true)
+      else readSnapshotFiles(spark, tablePath, snap, snap.files,
+        addFileColumn = true, addRowIndex = true)
+    import spark.implicits._
+    val fileMap = snap.files
+      .map(f => (fileIdentity(fs, tablePath, f), f.baseRowId.get, f.defaultRowCommitVersion.get))
+      .toDF("__rt_fid", "__rt_base", "__rt_ver")
+    scanned
+      .withColumn("__fid", normalizedFileId(col("__file")))
+      .join(broadcast(fileMap), col("__fid") === col("__rt_fid"))
+      .withColumn("row_id", col("__rt_base") + col("__pos"))
+      .withColumn("row_commit_version", col("__rt_ver"))
+      .select((declared.fieldNames.toSeq ++ Seq("row_id", "row_commit_version")).map(col): _*)
   }
 
   /** DV-aware live-row scan of a file SUBSET — the shared rewrite scan

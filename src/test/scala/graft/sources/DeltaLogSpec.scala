@@ -1751,6 +1751,61 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.currentVersion(spark, dst) == vBefore)
   }
 
+  test("row tracking: row_id/row_commit_version surface from baseRowId, stable across DV deletes") {
+    val t = newTable()
+    dataFile(t, "a.parquet", "a", 2)
+    dataFile(t, "b.parquet", "b", 3)
+    val meta = """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[]}}"""
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["rowTracking","deletionVectors","appendOnly","invariants","domainMetadata"]}}""",
+      meta,
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0}}"""))
+    commit(t, 1, Seq(
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"baseRowId":2,"defaultRowCommitVersion":1}}"""))
+    def rows = DeltaLog.readWithRowIds(spark, t).orderBy("row_id").collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[String]("tag"),
+        r.getAs[Long]("i"), r.getAs[Long]("row_commit_version"))).toSeq
+    assert(rows == Seq(
+      (0L, "a", 0L, 0L), (1L, "a", 1L, 0L),
+      (2L, "b", 0L, 1L), (3L, "b", 1L, 1L), (4L, "b", 2L, 1L)))
+    // a DV delete of a.parquet's FIRST row: survivors keep their
+    // ORIGINAL ids (position-derived, not renumbered) — the feature's
+    // whole point for CDC consumers
+    val data = DeletionVectors.serialize(Array(0L))
+    val padded = java.util.Arrays.copyOf(data, (data.length + 3) / 4 * 4)
+    val inline = DeletionVectors.z85Encode(padded)
+    commit(t, 2, Seq(
+      """{"remove":{"path":"a.parquet","deletionTimestamp":1,"dataChange":true}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${data.length},"cardinality":1}}}"""))
+    assert(rows == Seq(
+      (1L, "a", 1L, 0L),
+      (2L, "b", 0L, 1L), (3L, "b", 1L, 1L), (4L, "b", 2L, 1L)))
+    // the plain read serves the same table without the metadata columns
+    assert(DeltaLog.read(spark, t).count() == 4)
+    assert(!DeltaLog.read(spark, t).columns.contains("row_id"))
+    // WRITES keep refusing: this writer does not allocate base row ids
+    import spark.implicits._
+    val eW = intercept[IllegalArgumentException](
+      DeltaLog.append(spark, t, Seq(("c", 9L)).toDF("tag", "i")))
+    assert(eW.getMessage.contains("rowTracking") || eW.getMessage.contains("domainMetadata"),
+      eW.getMessage)
+    // an add WITHOUT the fields refuses rather than fabricating ids
+    val t2 = newTable()
+    dataFile(t2, "a.parquet", "a", 2)
+    commit(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","appendOnly","invariants"]}}""",
+      meta, add("a.parquet")))
+    val eM = intercept[IllegalArgumentException](DeltaLog.readWithRowIds(spark, t2))
+    assert(eM.getMessage.contains("fabricate"), eM.getMessage)
+    // and a table NOT declaring the feature refuses the api loudly
+    val t3 = newTable()
+    dataFile(t3, "a.parquet", "a", 2)
+    commit(t3, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta, add("a.parquet")))
+    val eF = intercept[IllegalArgumentException](DeltaLog.readWithRowIds(spark, t3))
+    assert(eF.getMessage.contains("rowTracking"), eF.getMessage)
+  }
+
   test("protocol upgrade from legacy versions re-declares every implied feature") {
     import spark.implicits._
     // a legacy (1,4) table: changeDataFeed + generatedColumns +
