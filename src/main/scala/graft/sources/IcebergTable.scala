@@ -384,7 +384,6 @@ object IcebergTable {
     // COMPLETE rows — the partition spec affects file placement and
     // pruning, never row content. Identity partition tuples are read
     // from data_file.partition for FILE-level pruning in [[read]].
-    val schema = currentSchema(meta)
     val pcols = specColumnNames(meta)
     val snapshots = meta.get("snapshots")
     require(snapshots != null && snapshots.size() > 0, "IcebergTable: no snapshots")
@@ -393,6 +392,25 @@ object IcebergTable {
       .find(_.get("snapshot-id").asLong() == wantId)
       .getOrElse(throw new IllegalArgumentException(
         s"IcebergTable: snapshot $wantId not found (expired?)"))
+    // TIME TRAVEL serves the snapshot's OWN schema (its `schema-id`
+    // into the schemas array, per spec) — the shape current WHEN THE
+    // SNAPSHOT COMMITTED. A CURRENT read always uses the CURRENT
+    // schema: metadata-only evolution (rename/drop/widen) publishes no
+    // snapshot, so the newest snapshot node intentionally predates it.
+    // Snapshots without the field (older writers) fall back to current.
+    val schemaNode = {
+      val fallback = currentSchemaNode(meta)
+      if (snapshotId.isEmpty || !snap.has("schema-id")) fallback
+      else {
+        val sid = snap.get("schema-id").asInt()
+        val schemas = meta.get("schemas")
+        if (schemas == null || !schemas.isArray) fallback
+        else (0 until schemas.size()).map(schemas.get)
+          .find(x => x.has("schema-id") && x.get("schema-id").asInt() == sid)
+          .getOrElse(fallback)
+      }
+    }
+    val schema = parseSchema(schemaNode)
     val listPath = new Path(snap.get("manifest-list").asText())
     def recOpt(r: GenericRecord, name: String): Option[AnyRef] =
       if (r.getSchema.getField(name) == null) None else Option(r.get(name))
@@ -403,7 +421,9 @@ object IcebergTable {
         recOpt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
         recOpt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
     }
-    val idToName = fieldIdToName(meta)
+    // equality-delete ids resolve against the SNAPSHOT's schema, the
+    // same one the scan will read under — names line up by field id
+    val idToName = parseFields(schemaNode).map(f => f.id -> f.name).toMap
     // (path, status, tuple, dataSeq, size, recs) / (path, status, deleteSeq, recs, eqCols)
     val dataEntries = Seq.newBuilder[(String, Int, Map[String, String], Long, Long, Long)]
     val deleteEntries =
@@ -1201,6 +1221,7 @@ object IcebergTable {
     sn.put("snapshot-id", snapshotId)
     if (fv == 2) sn.put("sequence-number", newSeq)
     sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.put("schema-id", schemaId) // time travel serves the snapshot's OWN shape
     sn.put("manifest-list", fs.makeQualified(listPath).toString)
     sn.putObject("summary").put("operation", operation)
 
@@ -1515,6 +1536,8 @@ object IcebergTable {
     sn.put("snapshot-id", snapshotId)
     sn.put("sequence-number", newSeq)
     sn.put("timestamp-ms", System.currentTimeMillis())
+    if (newMeta.has("current-schema-id"))
+      sn.put("schema-id", newMeta.get("current-schema-id").asInt())
     sn.put("manifest-list", fs.makeQualified(listPath).toString)
     sn.putObject("summary").put("operation", "delete")
     val newVersion = prevVersion + 1

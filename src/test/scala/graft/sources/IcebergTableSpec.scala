@@ -429,6 +429,15 @@ class IcebergTableSpec extends SparkSpec {
     IcebergTable.deleteRowsEquality(spark, t, Seq("key"), Seq(1L).toDF("key"))
     assert(IcebergTable.read(spark, t).orderBy("key").select("key")
       .as[Long].collect().toSeq == Seq(3L, 4L))
+    // TIME TRAVEL serves each snapshot under its OWN schema-id: the
+    // pre-rename snapshot still answers to the OLD names
+    val preRenameId = IcebergTable.snapshotsTable(spark, t)
+      .orderBy("committed_at", "snapshot_id").collect().head.getAs[Long]("snapshot_id")
+    val old = IcebergTable.read(spark, t, Some(preRenameId))
+    assert(old.schema.fieldNames.toSeq == Seq("id", "tag", "v"),
+      old.schema.fieldNames.mkString(","))
+    assert(old.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L, 3L),
+      "the first snapshot predates the equality delete")
     // guards: unknown source, taken target, partition source column
     assert(intercept[IllegalArgumentException](
       IcebergTable.renameColumn(spark, t, "nope", "x")).getMessage.contains("not in the"))
