@@ -3268,6 +3268,52 @@ object CoreQueries {
       |WHERE NOT (o_orderkey % 7 = 3)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S54Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s54_iceberg_range"
+  private val s54BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S54 — Iceberg MANIFEST-BOUNDS file skipping: orders land
+    * range-partitioned into disjoint-keyrange files whose manifests
+    * carry real `lower_bounds`/`upper_bounds` (field-id keyed,
+    * single-value binary), and a keyrange probe reads through
+    * [[graft.sources.IcebergTable.readRange]] — files provably outside
+    * the range drop at PLAN time from the metadata walk alone (guarded
+    * in-query: at least half the files must skip; at 100 TB this is
+    * the difference between a probe costing its selectivity and
+    * costing the table). The oracle recomputes the exact rows, so
+    * over-pruning (a lost row) or bound mis-encoding hash-fails.
+    */
+  def s54IcebergRange(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s54BuiltFor.synchronized {
+      if (s54BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S54Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.IcebergTable.append(spark, S54Root,
+          base.repartitionByRange(8, col("o_orderkey")))
+        s54BuiltFor.set(dir)
+      }
+    }
+    val mx = Tables.orders(spark, dir)
+      .agg(max("o_orderkey")).head().getLong(0)
+    val (lo, hi) = (mx * 2 / 10, mx * 3 / 10)
+    val snap = graft.sources.IcebergTable.snapshot(spark, S54Root)
+    val kept = graft.sources.IcebergTable.rangePruneFiles(snap, "o_orderkey", lo, hi)
+    require(kept.size * 2 <= snap.dataRefs.size,
+      s"s54: bounds must skip at least half the files " +
+        s"(kept ${kept.size} of ${snap.dataRefs.size})")
+    graft.sources.IcebergTable.readRange(spark, S54Root, "o_orderkey", lo, hi)
+      .orderBy("o_orderkey")
+  }
+
+  private val s54IcebergRangeSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey >= (SELECT max(o_orderkey) * 2 // 10 FROM orders)
+      |  AND o_orderkey <= (SELECT max(o_orderkey) * 3 // 10 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S53Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s53_delta_rowtrack"
   private val s53BuiltFor =
@@ -3674,6 +3720,7 @@ object CoreQueries {
     "s51_iceberg_widening" -> s51IcebergWidening _,
     "s52_iceberg_files_table" -> s52IcebergFilesTable _,
     "s53_delta_row_tracking" -> s53DeltaRowTracking _,
+    "s54_iceberg_range" -> s54IcebergRange _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -4016,6 +4063,7 @@ object CoreQueries {
     "s51_iceberg_widening" -> s51IcebergWideningSql,
     "s52_iceberg_files_table" -> s52IcebergFilesTableSql,
     "s53_delta_row_tracking" -> s53DeltaRowTrackingSql,
+    "s54_iceberg_range" -> s54IcebergRangeSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -36,6 +36,8 @@ class RegistrySpec extends AnyFunSuite {
     "s41_delta_column_mapping", "s42_delta_cm_id", "s43_delta_cdf",
     "s44_delta_replicate", "s45_iceberg_eq_scoped", "s46_iceberg_rewrite",
     "s47_delta_clone", "s48_delta_rename_drop", "s49_delta_type_widening",
+    "s50_iceberg_rename_drop", "s51_iceberg_widening",
+    "s52_iceberg_files_table", "s53_delta_row_tracking", "s54_iceberg_range",
     "s3_malformed_scan",
     "s3_scan_project", "s7_partitioned_write", "set1_except", "set2_union",
     "set3_union_by_name", "w1_surrogate_key", "w1_surrogate_key_scalable",
@@ -64,7 +66,7 @@ class RegistrySpec extends AnyFunSuite {
     "x_jpeg_roundtrip",
     "x_ivfpq_recall", "x_ivfpq_serve", "x_join_size_est", "x_knn_bulk",
     "x_knn_bulk_agreement", "x_knn_classify", "x_ks_drift", "x_lang_id",
-    "x_lm_score", "x_media_decode", "x_mixture_sample", "x_mp3_scan",
+    "x_lm_score", "x_media_decode", "x_mixture_sample", "x_mp3_scan", "x_mp3_decode",
     "x_mp4_demux", "x_mp4_frame_sample",
     "x_encoding_quality", "x_lr_eval", "x_lr_model", "x_lr_pr_curve",
     "x_lr_score",

@@ -525,6 +525,44 @@ class IcebergTableSpec extends SparkSpec {
     assert(e.getMessage.contains("field-id-capable"), e.getMessage)
   }
 
+  test("manifest column bounds: range reads prune files at plan time; deletes still apply") {
+    import spark.implicits._
+    val t = newTable()
+    (0 until 4).foreach { k =>
+      IcebergTable.append(spark, t,
+        (k * 100L until k * 100L + 50L).map(i => (i, s"t$i", i.toDouble / 2))
+          .toDF("id", "tag", "v").coalesce(1))
+    }
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.dataRefs.size == 4)
+    assert(snap.dataRefs.forall(r =>
+      r.bounds.contains("id") && r.bounds.contains("tag") && r.bounds.contains("v")),
+      "every data file must carry bounds for every primitive column")
+    // PLAN-time pruning: [120, 130] hits exactly the second file
+    assert(IcebergTable.rangePruneFiles(snap, "id", 120L, 130L).size == 1)
+    assert(IcebergTable.readRange(spark, t, "id", 120L, 130L).count() == 11)
+    // double bounds prune the same way
+    assert(IcebergTable.rangePruneFiles(snap, "v", 60.0, 65.0).size == 1)
+    // string bounds are lexicographic — coarser, never wrong
+    val keptTag = IcebergTable.rangePruneFiles(snap, "tag", "t120", "t130")
+    assert(keptTag.size <= 2 && keptTag.exists(_.bounds("tag")._1 == "t100"))
+    // empty overlap: zero files read, typed empty frame
+    assert(IcebergTable.readRange(spark, t, "id", 5000L, 6000L).count() == 0)
+    // a position delete inside the surviving range applies through the
+    // pruned scan (deletes gate on the kept subset, not the full table)
+    IcebergTable.deleteRows(spark, t, col("id") === 125L)
+    assert(IcebergTable.readRange(spark, t, "id", 120L, 130L)
+      .select("id").as[Long].collect().toSeq.sorted ==
+      (120L to 130L).filterNot(_ == 125L))
+    // compaction re-collects bounds on the packed outputs
+    IcebergTable.rewriteDataFiles(spark, t, minFileSizeBytes = Long.MaxValue)
+    val after = IcebergTable.snapshot(spark, t)
+    assert(after.dataRefs.forall(_.bounds.contains("id")))
+    assert(IcebergTable.readRange(spark, t, "id", 120L, 130L)
+      .select("id").as[Long].collect().toSeq.sorted ==
+      (120L to 130L).filterNot(_ == 125L))
+  }
+
   test("metadata tables: snapshots/history/manifests/files over a table with both delete kinds") {
     import spark.implicits._
     val t = newTable()
