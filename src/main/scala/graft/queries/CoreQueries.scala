@@ -3314,6 +3314,98 @@ object CoreQueries {
       |  AND o_orderkey <= (SELECT max(o_orderkey) * 3 // 10 FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S55Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s55_iceberg_tag"
+  private val s55BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S55 — Iceberg SNAPSHOT REFS: a TAG pins the first append, the
+    * table then moves on (second append + equality delete) and
+    * `expire_snapshots` reclaims everything unreferenced with
+    * `retainLast = 1` — but the tagged snapshot and every file it
+    * reaches survive (a tag IS a retention promise; real audit /
+    * reproducibility workflows hang on exactly this). The query reads
+    * THROUGH the ref after the expiry, so an expiry that ignores refs
+    * (reclaiming the tag's files) throws, and a ref resolving to the
+    * wrong snapshot hash-fails against the oracle's recomputation of
+    * the FIRST append.
+    */
+  def s55IcebergTag(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s55BuiltFor.synchronized {
+      if (s55BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S55Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.IcebergTable.append(spark, S55Root,
+          base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.IcebergTable.createTag(spark, S55Root, "release-1")
+        graft.sources.IcebergTable.append(spark, S55Root,
+          base.filter(col("o_orderkey") % 2 =!= 0))
+        graft.sources.IcebergTable.deleteRowsEquality(spark, S55Root,
+          Seq("o_custkey"),
+          base.filter(col("o_custkey") % 10 === 4).select("o_custkey").distinct())
+        graft.sources.IcebergTable.expireSnapshots(spark, S55Root,
+          olderThanMillis = System.currentTimeMillis() + 60000, retainLast = 1)
+        s55BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.readRef(spark, S55Root, "release-1")
+      .orderBy("o_orderkey")
+  }
+
+  private val s55IcebergTagSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val S56Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s56_iceberg_incr"
+  private val s56BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S56 — Iceberg INCREMENTAL APPEND SCAN (the polling-consumer twin
+    * of `readChangesSince` on the Delta side): three appends land with
+    * a COMPACTION between the last two, and the consumer pulls
+    * `(first, last]` — exactly the second and third appends' rows,
+    * each resolved from its own snapshot's ADDED manifests. The
+    * compaction snapshot contributes NOTHING (`replace` carries new
+    * layout, not new rows — an incremental consumer double-reading
+    * after every maintenance pass would be the bug); over- or
+    * under-reading hash-fails against the oracle.
+    */
+  def s56IcebergIncremental(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s56BuiltFor.synchronized {
+      if (s56BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S56Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.IcebergTable.append(spark, S56Root,
+          base.filter(col("o_orderkey") % 3 === 0))
+        graft.sources.IcebergTable.append(spark, S56Root,
+          base.filter(col("o_orderkey") % 3 === 1).repartition(4))
+        graft.sources.IcebergTable.rewriteDataFiles(spark, S56Root,
+          minFileSizeBytes = Long.MaxValue) // full compaction: layout only
+        graft.sources.IcebergTable.append(spark, S56Root,
+          base.filter(col("o_orderkey") % 3 === 2))
+        s56BuiltFor.set(dir)
+      }
+    }
+    val snaps = graft.sources.IcebergTable.snapshotsTable(spark, S56Root)
+      .orderBy("committed_at", "snapshot_id")
+      .select("snapshot_id", "operation").collect()
+    val appendIds = snaps.filter(_.getString(1) == "append").map(_.getLong(0))
+    graft.sources.IcebergTable.readAppendsBetween(spark, S56Root,
+        appendIds.head, appendIds.last)
+      .orderBy("o_orderkey")
+  }
+
+  private val s56IcebergIncrementalSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S53Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s53_delta_rowtrack"
   private val s53BuiltFor =
@@ -3721,6 +3813,8 @@ object CoreQueries {
     "s52_iceberg_files_table" -> s52IcebergFilesTable _,
     "s53_delta_row_tracking" -> s53DeltaRowTracking _,
     "s54_iceberg_range" -> s54IcebergRange _,
+    "s55_iceberg_tag" -> s55IcebergTag _,
+    "s56_iceberg_incremental" -> s56IcebergIncremental _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -4064,6 +4158,8 @@ object CoreQueries {
     "s52_iceberg_files_table" -> s52IcebergFilesTableSql,
     "s53_delta_row_tracking" -> s53DeltaRowTrackingSql,
     "s54_iceberg_range" -> s54IcebergRangeSql,
+    "s55_iceberg_tag" -> s55IcebergTagSql,
+    "s56_iceberg_incremental" -> s56IcebergIncrementalSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -900,23 +900,24 @@ object IcebergTable {
     def opt(r: GenericRecord, n: String): Option[AnyRef] =
       if (r.getSchema.getField(n) == null) None else Option(r.get(n))
     var replaceIdx = 0
-    val carried: Seq[(String, Long, Int, Long, Long)] =
+    val carried: Seq[(String, Long, Int, Long, Long, Long)] =
       readAvro(fs, new Path(curSnap.get("manifest-list").asText()), conf).flatMap { r =>
         val mPath = r.get("manifest_path").toString
         val mLen = r.get("manifest_length").asInstanceOf[Long]
         val mContent = opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0)
         val mSeq = opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
         val mMin = opt(r, "min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
+        val mAdded = opt(r, "added_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(curId)
         if (mContent == 1) {
           // delete manifest: still gates the surviving pre-rewrite
           // files; inert (and dropped) once none remain
-          if (anySurvivor) Some((mPath, mLen, mContent, mSeq, mMin)) else None
+          if (anySurvivor) Some((mPath, mLen, mContent, mSeq, mMin, mAdded)) else None
         } else {
           val entries = readAvro(fs, new Path(mPath), conf)
           def pathOf(e: GenericRecord) =
             e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
           if (!entries.exists(e => selectedPaths(pathOf(e))))
-            Some((mPath, mLen, mContent, mSeq, mMin)) // untouched: verbatim
+            Some((mPath, mLen, mContent, mSeq, mMin, mAdded)) // untouched: verbatim
           else {
             val keep = entries.filter { e =>
               val p = pathOf(e)
@@ -977,13 +978,14 @@ object IcebergTable {
               val seqs = keep.map(e =>
                 opt(e, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(mSeq))
               Some((fs.makeQualified(repPath).toString, repLen, 0,
-                seqs.max, seqs.min))
+                seqs.max, seqs.min, snapshotId))
             }
           }
         }
       }
     val listPath = writeManifestList(fs, metaDir, fv, snapshotId, stamp,
-      carried :+ (fs.makeQualified(addedPath).toString, addedLen, 0, newSeq, newSeq))
+      carried :+ (fs.makeQualified(addedPath).toString, addedLen, 0, newSeq, newSeq,
+        snapshotId))
     publishMetadataJson(fs, tablePath, Some(meta), prevVersion, fv,
       parseFields(currentSchemaNode(meta)),
       if (meta.has("last-column-id")) meta.get("last-column-id").asInt()
@@ -1232,8 +1234,10 @@ object IcebergTable {
         .map(m => (if (m.has("last-sequence-number")) m.get("last-sequence-number").asLong() else 0L) + 1)
         .getOrElse(1L)
     // carry forward the prior snapshot's manifests WITH their v2
-    // content/sequence fields (default 0 for v1-era manifests)
-    val prevManifests: Seq[(String, Long, Int, Long, Long)] =
+    // content/sequence fields (default 0 for v1-era manifests) and
+    // the id of the snapshot that ORIGINALLY added each (the spec's
+    // added_snapshot_id meaning — the incremental scan keys on it)
+    val prevManifests: Seq[(String, Long, Int, Long, Long, Long)] =
       (if (carryForward) prevMeta.toSeq else Seq.empty).flatMap { m =>
       val curId = m.get("current-snapshot-id").asLong()
       val snaps = m.get("snapshots")
@@ -1247,13 +1251,15 @@ object IcebergTable {
               r.get("manifest_length").asInstanceOf[Long],
               opt("content").map(_.asInstanceOf[Int]).getOrElse(0),
               opt("sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
-              opt("min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
+              opt("min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+              opt("added_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(curId))
           }
         }
     }
     val listPath = writeManifestList(fs, metaDir, fv, snapshotId, stamp,
       prevManifests :+
-        (fs.makeQualified(manifestPath).toString, manifestLen, 0, newSeq, newSeq))
+        (fs.makeQualified(manifestPath).toString, manifestLen, 0, newSeq, newSeq,
+          snapshotId))
     publishMetadataJson(fs, tablePath, prevMeta, prevVersion, fv, fields, lastColumnId,
       partitionBy, schemaEvolved, newSeq, snapshotId, listPath, operation,
       newProperties =
@@ -1262,14 +1268,17 @@ object IcebergTable {
   }
 
   /** Write a snapshot's manifest LIST avro. `rows` are
-    * `(manifest_path, length, content, sequence, min_sequence)`; the
-    * v2 fields are dropped under v1.
+    * `(manifest_path, length, content, sequence, min_sequence,
+    * added_snapshot_id)` — carried manifests keep the id of the
+    * snapshot that ACTUALLY added them (the spec's meaning; the
+    * incremental append scan keys on it); the v2 fields are dropped
+    * under v1.
     */
   private def writeManifestList(
       fs: FileSystem, metaDir: Path, fv: Int, snapshotId: Long, stamp: String,
-      rows: Seq[(String, Long, Int, Long, Long)]): Path = {
+      rows: Seq[(String, Long, Int, Long, Long, Long)]): Path = {
     val listSchema = if (fv == 2) ManifestListSchemaV2 else ManifestListSchema
-    val listRecords = rows.map { case (p, len, content, seq, minSeq) =>
+    val listRecords = rows.map { case (p, len, content, seq, minSeq, addedBy) =>
       val r = new GenericData.Record(listSchema)
       r.put("manifest_path", p)
       r.put("manifest_length", len)
@@ -1279,7 +1288,7 @@ object IcebergTable {
         r.put("sequence_number", seq)
         r.put("min_sequence_number", minSeq)
       }
-      r.put("added_snapshot_id", snapshotId)
+      r.put("added_snapshot_id", addedBy)
       r
     }
     val listPath = new Path(metaDir, s"snap-$snapshotId-$stamp.avro")
@@ -1373,6 +1382,10 @@ object IcebergTable {
       while (it.hasNext) { val e = it.next(); props.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue) }
     }
     newProperties.foreach { case (k, v) => props.put(k, v) }
+    // named refs (tags/branches) carry forward verbatim
+    prevMeta.map(_.get("refs")).filter(r => r != null && r.isObject).foreach { r =>
+      meta.set[com.fasterxml.jackson.databind.JsonNode]("refs", r.deepCopy())
+    }
     meta.put("current-snapshot-id", snapshotId)
     val snaps = meta.putArray("snapshots")
     prevMeta.foreach { m =>
@@ -1702,11 +1715,13 @@ object IcebergTable {
         r.get("manifest_length").asInstanceOf[Long],
         opt("content").map(_.asInstanceOf[Int]).getOrElse(0),
         opt("sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
-        opt("min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
+        opt("min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+        opt("added_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(curId))
     }
     val listRecords = (carried :+
-      (fs.makeQualified(manifestPath).toString, manifestLen, 1, newSeq, newSeq))
-      .map { case (p, len, content, seq, minSeq) =>
+      (fs.makeQualified(manifestPath).toString, manifestLen, 1, newSeq, newSeq,
+        snapshotId))
+      .map { case (p, len, content, seq, minSeq, addedBy) =>
         val r = new GenericData.Record(ManifestListSchemaV2)
         r.put("manifest_path", p)
         r.put("manifest_length", len)
@@ -1714,7 +1729,7 @@ object IcebergTable {
         r.put("content", content)
         r.put("sequence_number", seq)
         r.put("min_sequence_number", minSeq)
-        r.put("added_snapshot_id", snapshotId)
+        r.put("added_snapshot_id", addedBy)
         r
       }
     val listPath = new Path(metaDir0, s"snap-$snapshotId-$stamp.avro")
@@ -1757,6 +1772,175 @@ object IcebergTable {
     val hint = fs.create(new Path(metaDir0, "version-hint.text"), true)
     try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
     snapshotId
+  }
+
+  // ----------------------------------------------- refs (tags/branches)
+
+  /** The metadata's `refs` map: name -> (snapshot-id, type). The
+    * implicit `main` branch (current-snapshot-id) is NOT listed here,
+    * matching the spec's default.
+    */
+  private def refsOf(
+      meta: com.fasterxml.jackson.databind.JsonNode): Map[String, (Long, String)] = {
+    val r = meta.get("refs")
+    if (r == null || !r.isObject) Map.empty
+    else {
+      val it = r.fields()
+      val b = Map.newBuilder[String, (Long, String)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> ((e.getValue.get("snapshot-id").asLong(),
+          e.getValue.get("type").asText()))
+      }
+      b.result()
+    }
+  }
+
+  /** Create (or move) a named REF — the spec's `refs` map. A TAG pins
+    * a snapshot forever ([[expireSnapshots]] never reclaims what a ref
+    * reaches); a BRANCH is a movable read head. Metadata-only publish.
+    * Writes THROUGH a branch are out of scope (branch-scoped lineage
+    * needs a catalog's commit arbitration) — branches here are what
+    * audit/reproducibility workflows need: stable named read points.
+    */
+  def createRef(
+      spark: SparkSession, tablePath: String, name: String,
+      refType: String, snapshotId: Option[Long] = None): Unit = {
+    require(refType == "tag" || refType == "branch",
+      s"IcebergTable: ref type must be 'tag' or 'branch', got '$refType'")
+    require(name.nonEmpty && name != "main",
+      "IcebergTable: 'main' is the implicit current-snapshot branch")
+    val fs = fsOf(spark, new Path(tablePath))
+    val metaPath = currentMetadataPath(fs, tablePath)
+    val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(fs, metaPath)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val target = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
+    val snaps = meta.get("snapshots")
+    require((0 until snaps.size()).map(snaps.get)
+        .exists(_.get("snapshot-id").asLong() == target),
+      s"IcebergTable: ref target snapshot $target not found (expired?)")
+    val refs =
+      if (meta.has("refs") && meta.get("refs").isObject)
+        meta.get("refs").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else meta.putObject("refs")
+    require(!refs.has(name) || refsOf(meta)(name)._2 == refType,
+      s"IcebergTable: ref '$name' already exists with a different type")
+    val node = refs.putObject(name)
+    node.put("snapshot-id", target)
+    node.put("type", refType)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    val newVersion = prevVersion + 1
+    val outPath = new Path(metadataDir(tablePath), s"v$newVersion.metadata.json")
+    val out = fs.create(outPath, false) // put-if-absent publish
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hint = fs.create(new Path(metadataDir(tablePath), "version-hint.text"), true)
+    try hint.write(newVersion.toString.getBytes("UTF-8")) finally hint.close()
+  }
+
+  def createTag(spark: SparkSession, tablePath: String, name: String,
+      snapshotId: Option[Long] = None): Unit =
+    createRef(spark, tablePath, name, "tag", snapshotId)
+
+  def createBranch(spark: SparkSession, tablePath: String, name: String,
+      snapshotId: Option[Long] = None): Unit =
+    createRef(spark, tablePath, name, "branch", snapshotId)
+
+  /** Read the table AS OF a named ref (`main` = current). */
+  def readRef(spark: SparkSession, tablePath: String, name: String): DataFrame = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = readJson(fs, currentMetadataPath(fs, tablePath))
+    if (name == "main") read(spark, tablePath)
+    else {
+      val (sid, _) = refsOf(meta).getOrElse(name, throw new IllegalArgumentException(
+        s"IcebergTable: no ref named '$name' " +
+          s"(have: ${(refsOf(meta).keys.toSeq :+ "main").sorted.mkString(", ")})"))
+      read(spark, tablePath, Some(sid))
+    }
+  }
+
+  /** The `refs` metadata table: name, type, snapshot-id (plus the
+    * implicit `main` head).
+    */
+  def refsTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = readJson(fs, currentMetadataPath(fs, tablePath))
+    val rows = (refsOf(meta).toSeq.map { case (n, (sid, tp)) =>
+      org.apache.spark.sql.Row(n, tp, sid)
+    } :+ org.apache.spark.sql.Row("main", "branch",
+      meta.get("current-snapshot-id").asLong())).sortBy(_.getString(0))
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("snapshot_id", LongType)))
+    spark.createDataFrame(new java.util.ArrayList(rows.asJavaList), schema)
+  }
+
+  // --------------------------------------------- incremental append scan
+
+  /** Rows ADDED by the snapshots in `(fromSnapshotId, toSnapshotId]` —
+    * Iceberg's incremental append scan, the polling-consumer shape
+    * ([[DeltaLog.readChangesSince]]'s table-format twin): each append
+    * snapshot contributes exactly the data files its own manifests
+    * ADDED. `replace` snapshots (compaction) are SKIPPED — they carry
+    * no new rows, only new layout; `delete` snapshots refuse loudly
+    * (an incremental APPEND scan cannot express row removal — that
+    * consumer needs the table-diff path).
+    *
+    * Scale shape: the walk touches only the asked snapshots' own
+    * manifests; the scan reads only their added files.
+    */
+  def readAppendsBetween(
+      spark: SparkSession, tablePath: String,
+      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = readJson(fs, currentMetadataPath(fs, tablePath))
+    val snapsArr = meta.get("snapshots")
+    val all = (0 until snapsArr.size()).map(snapsArr.get)
+    def idOf(s: com.fasterxml.jackson.databind.JsonNode) = s.get("snapshot-id").asLong()
+    val fromIdx = all.indexWhere(idOf(_) == fromSnapshotId)
+    val toIdx = all.indexWhere(idOf(_) == toSnapshotId)
+    require(fromIdx >= 0 && toIdx >= 0 && fromIdx <= toIdx,
+      s"IcebergTable: snapshot range ($fromSnapshotId, $toSnapshotId] not resolvable " +
+        "in the listed lineage (expired, or reversed order)")
+    val snap = snapshot(spark, tablePath, Some(toSnapshotId))
+    if (snap.fieldIdsWritten) DeltaLog.enableFieldIdRead(spark)
+    val range = all.slice(fromIdx + 1, toIdx + 1)
+    val added = range.flatMap { s =>
+      val op = Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+        .map(_.asText()).getOrElse("")
+      op match {
+        case "append" =>
+          val sid = idOf(s)
+          readAvro(fs, new Path(s.get("manifest-list").asText()), conf)
+            .filter { r =>
+              val a = if (r.getSchema.getField("added_snapshot_id") == null) None
+                else Option(r.get("added_snapshot_id"))
+              a.exists(_.asInstanceOf[Long] == sid)
+            }
+            .flatMap(r => readAvro(fs, new Path(r.get("manifest_path").toString), conf))
+            .filter(_.get("status").asInstanceOf[Int] == 1) // ADDED
+            // per-entry snapshot_id confirms the adder (defensive for
+            // lists older writers stamped with the wrong manifest-level id)
+            .filter { e =>
+              val es = if (e.getSchema.getField("snapshot_id") == null) None
+                else Option(e.get("snapshot_id"))
+              es.forall(_.asInstanceOf[Long] == sid)
+            }
+            .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+        case "replace" => Seq.empty // layout-only: no new rows
+        case other => throw new IllegalArgumentException(
+          s"IcebergTable: snapshot ${idOf(s)} in the asked range is a '$other' — " +
+            "an incremental APPEND scan cannot express row removal; " +
+            "use a full-table diff for that consumer")
+      }
+    }
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else spark.read.schema(snap.schema).parquet(added: _*)
   }
 
   // -------------------------------------------- stats-based skipping
@@ -2108,8 +2292,12 @@ object IcebergTable {
     def idOf(s: com.fasterxml.jackson.databind.JsonNode) = s.get("snapshot-id").asLong()
     def tsOf(s: com.fasterxml.jackson.databind.JsonNode) = s.get("timestamp-ms").asLong()
     val newestIds = all.sortBy(-tsOf(_)).take(retainLast).map(idOf).toSet
+    // snapshots pinned by REFS (tags/branches) never expire — a tag is
+    // exactly a retention promise
+    val refIds = refsOf(meta).values.map(_._1).toSet
     val keepIds = all.filter(s =>
-      idOf(s) == currentId || newestIds(idOf(s)) || tsOf(s) >= olderThanMillis)
+      idOf(s) == currentId || newestIds(idOf(s)) || refIds(idOf(s)) ||
+        tsOf(s) >= olderThanMillis)
       .map(idOf).toSet
     val (keep, expired) = all.partition(s => keepIds(idOf(s)))
     if (expired.isEmpty) return 0L

@@ -563,6 +563,71 @@ class IcebergTableSpec extends SparkSpec {
       (120L to 130L).filterNot(_ == 125L))
   }
 
+  test("refs: tags pin snapshots across expiry; branches move; refs survive appends") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    IcebergTable.createTag(spark, t, "v1")
+    IcebergTable.append(spark, t, Seq((3L, "c")).toDF("id", "tag"))
+    IcebergTable.createBranch(spark, t, "audit")
+    IcebergTable.append(spark, t, Seq((4L, "d")).toDF("id", "tag"))
+    // refs table lists both plus the implicit main head
+    val refs = IcebergTable.refsTable(spark, t).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs == Seq(("audit", "branch"), ("main", "branch"), ("v1", "tag")))
+    // named reads resolve their pinned snapshots; refs survived appends
+    assert(IcebergTable.readRef(spark, t, "v1").count() == 2)
+    assert(IcebergTable.readRef(spark, t, "audit").count() == 3)
+    assert(IcebergTable.readRef(spark, t, "main").count() == 4)
+    // a branch HEAD can move (re-point to current)
+    IcebergTable.createBranch(spark, t, "audit")
+    assert(IcebergTable.readRef(spark, t, "audit").count() == 4)
+    // expiry keeps everything a ref reaches
+    val reclaimed = IcebergTable.expireSnapshots(spark, t,
+      olderThanMillis = System.currentTimeMillis() + 60000, retainLast = 1)
+    assert(IcebergTable.readRef(spark, t, "v1")
+      .orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+    assert(IcebergTable.read(spark, t).count() == 4)
+    // guards: unknown ref, reserved 'main', bad type
+    assert(intercept[IllegalArgumentException](
+      IcebergTable.readRef(spark, t, "nope")).getMessage.contains("no ref"))
+    assert(intercept[IllegalArgumentException](
+      IcebergTable.createTag(spark, t, "main")).getMessage.contains("main"))
+    assert(intercept[IllegalArgumentException](
+      IcebergTable.createBranch(spark, t, "v1")).getMessage.contains("different type"))
+  }
+
+  test("incremental append scan: each snapshot's own added rows; replace skipped, delete refuses") {
+    import spark.implicits._
+    val t = newTable()
+    IcebergTable.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    IcebergTable.append(spark, t, Seq((3L, "c")).toDF("id", "tag").coalesce(1))
+    IcebergTable.append(spark, t, Seq((4L, "d")).toDF("id", "tag").coalesce(1))
+    val ids = IcebergTable.snapshotsTable(spark, t)
+      .orderBy("committed_at", "snapshot_id").select("snapshot_id")
+      .as[Long].collect().toSeq
+    // (s1, s3]: exactly the second and third appends
+    assert(IcebergTable.readAppendsBetween(spark, t, ids(0), ids(2))
+      .orderBy("id").select("id").as[Long].collect().toSeq == Seq(3L, 4L))
+    // (s2, s2]: empty range -> typed empty frame
+    assert(IcebergTable.readAppendsBetween(spark, t, ids(1), ids(1)).count() == 0)
+    // a compaction in the range contributes nothing (layout, not rows)
+    IcebergTable.rewriteDataFiles(spark, t, minFileSizeBytes = Long.MaxValue)
+    val ids2 = IcebergTable.snapshotsTable(spark, t)
+      .orderBy("committed_at", "snapshot_id").select("snapshot_id")
+      .as[Long].collect().toSeq
+    assert(IcebergTable.readAppendsBetween(spark, t, ids2(1), ids2.last)
+      .orderBy("id").select("id").as[Long].collect().toSeq == Seq(4L))
+    // a DELETE snapshot in the range refuses loudly
+    IcebergTable.deleteRows(spark, t, col("id") === 1L)
+    val ids3 = IcebergTable.snapshotsTable(spark, t)
+      .orderBy("committed_at", "snapshot_id").select("snapshot_id")
+      .as[Long].collect().toSeq
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.readAppendsBetween(spark, t, ids3.head, ids3.last).count())
+    assert(e.getMessage.contains("cannot express row removal"), e.getMessage)
+  }
+
   test("metadata tables: snapshots/history/manifests/files over a table with both delete kinds") {
     import spark.implicits._
     val t = newTable()
