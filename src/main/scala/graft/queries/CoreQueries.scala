@@ -2565,6 +2565,47 @@ object CoreQueries {
       |  FROM orders WHERE o_orderkey % 5 <> 4 AND o_orderkey % 10 < 2
       |) ORDER BY o_orderkey, _change_type, o_totalprice""".stripMargin
 
+  private val S57Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s57_iceberg_txn"
+  private val s57BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S57 — Iceberg EXACTLY-ONCE sink (the s38-family txn twin on the
+    * other table format — what Flink's Iceberg committer does with
+    * checkpoint ids in snapshot summaries): three epochs land through
+    * `appendOnce`, epoch 2 is REPLAYED (the crash-recovery shape) and
+    * must be absorbed by the summary stamp, not re-appended. The final
+    * read hash-fails on any duplicate batch; the fixture also asserts
+    * the replay returned -1 and committed no snapshot.
+    */
+  def s57IcebergTxnSink(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s57BuiltFor.synchronized {
+      if (s57BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S57Root))
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        def batch(m: Int) = base.filter(col("o_orderkey") % 3 === m)
+        graft.sources.IcebergTable.appendOnce(spark, S57Root, batch(0), "s57", 1L)
+        graft.sources.IcebergTable.appendOnce(spark, S57Root, batch(1), "s57", 2L)
+        // crash replay: same epoch again — absorbed, no snapshot
+        val replay = graft.sources.IcebergTable.appendOnce(
+          spark, S57Root, batch(1), "s57", 2L)
+        require(replay == -1L, "s57: a replayed epoch must be absorbed")
+        require(graft.sources.IcebergTable
+            .lastCommittedEpoch(spark, S57Root, "s57").contains(2L),
+          "s57: the cursor must survive the replay")
+        graft.sources.IcebergTable.appendOnce(spark, S57Root, batch(2), "s57", 3L)
+        s57BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.read(spark, S57Root).orderBy("o_orderkey")
+  }
+
+  private val s57IcebergTxnSinkSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   private val S39Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s39_delta_dv_merge"
   private val s39BuiltFor =
@@ -3815,6 +3856,7 @@ object CoreQueries {
     "s54_iceberg_range" -> s54IcebergRange _,
     "s55_iceberg_tag" -> s55IcebergTag _,
     "s56_iceberg_incremental" -> s56IcebergIncremental _,
+    "s57_iceberg_txn_sink" -> s57IcebergTxnSink _,
     "w7_interpolate"    -> w7Interpolate _,
     "s16_dyn_overwrite" -> s16DynamicOverwrite _,
     "w6_ntile"          -> w6Ntile _,
@@ -4160,6 +4202,7 @@ object CoreQueries {
     "s54_iceberg_range" -> s54IcebergRangeSql,
     "s55_iceberg_tag" -> s55IcebergTagSql,
     "s56_iceberg_incremental" -> s56IcebergIncrementalSql,
+    "s57_iceberg_txn_sink" -> s57IcebergTxnSinkSql,
     "w7_interpolate" -> w7InterpolateSql,
     "s16_dyn_overwrite" -> s16DynamicOverwriteSql,
     "w6_ntile" -> w6NtileSql,

@@ -771,10 +771,51 @@ object IcebergTable {
   def append(
       spark: SparkSession, tablePath: String, df: DataFrame,
       partitionBy: Seq[String] = Seq.empty,
-      allowSchemaEvolution: Boolean = false): Long =
+      allowSchemaEvolution: Boolean = false,
+      summary: Map[String, String] = Map.empty): Long =
     publishDataSnapshot(spark, tablePath, df, partitionBy,
       carryForward = true, operation = "append",
-      allowSchemaEvolution = allowSchemaEvolution)
+      allowSchemaEvolution = allowSchemaEvolution, summary = summary)
+
+  /** EXACTLY-ONCE APPEND — the Iceberg twin of the Delta `txn` sink
+    * (what Flink's Iceberg committer does with checkpoint ids): each
+    * commit stamps `(appId, epoch)` into its snapshot SUMMARY, and a
+    * replayed epoch is absorbed by comparing against the newest stamp
+    * for the appId. Returns the new snapshot id, or -1 when the epoch
+    * already landed. The stamp lives in snapshot history — size the
+    * [[expireSnapshots]] retention above the longest writer outage, as
+    * Iceberg's own streaming committers require.
+    */
+  def appendOnce(
+      spark: SparkSession, tablePath: String, df: DataFrame,
+      appId: String, epoch: Long,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    if (lastCommittedEpoch(spark, tablePath, appId).exists(_ >= epoch)) return -1L
+    append(spark, tablePath, df, partitionBy,
+      summary = Map("graft.app-id" -> appId, "graft.epoch" -> epoch.toString))
+  }
+
+  /** The newest epoch `appId` committed (from snapshot summaries,
+    * newest first), or None if never / all stamped snapshots expired.
+    */
+  def lastCommittedEpoch(
+      spark: SparkSession, tablePath: String, appId: String): Option[Long] = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val metaDir0 = metadataDir(tablePath)
+    if (!fs.exists(metaDir0) || fs.listStatus(metaDir0).isEmpty) return None
+    val meta = readJson(fs, currentMetadataPath(fs, tablePath))
+    val snaps = meta.get("snapshots")
+    if (snaps == null || !snaps.isArray) return None
+    (0 until snaps.size()).map(snaps.get).reverseIterator
+      .flatMap { sn =>
+        val sm = sn.get("summary")
+        if (sm != null && sm.has("graft.app-id") &&
+            sm.get("graft.app-id").asText() == appId && sm.has("graft.epoch"))
+          Some(sm.get("graft.epoch").asText().toLong)
+        else None
+      }
+      .toSeq.sorted.lastOption
+  }
 
   /** REWRITE DATA FILES — the `rewrite_data_files` maintenance twin
     * (Iceberg's bin-packing compaction), cost ∝ SMALL-FILE DEBT, never
@@ -1133,7 +1174,8 @@ object IcebergTable {
   private def publishDataSnapshot(
       spark: SparkSession, tablePath: String, df: DataFrame,
       partitionBy: Seq[String], carryForward: Boolean, operation: String,
-      allowSchemaEvolution: Boolean = false): Long = {
+      allowSchemaEvolution: Boolean = false,
+      summary: Map[String, String] = Map.empty): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
@@ -1263,7 +1305,8 @@ object IcebergTable {
     publishMetadataJson(fs, tablePath, prevMeta, prevVersion, fv, fields, lastColumnId,
       partitionBy, schemaEvolved, newSeq, snapshotId, listPath, operation,
       newProperties =
-        if (idCapable && prevMeta.isEmpty) Map(FieldIdsProperty -> "true") else Map.empty)
+        if (idCapable && prevMeta.isEmpty) Map(FieldIdsProperty -> "true") else Map.empty,
+      summary = summary)
     snapshotId
   }
 
@@ -1308,7 +1351,8 @@ object IcebergTable {
       fv: Int, fields: Seq[IceField], lastColumnId: Int,
       partitionBy: Seq[String], schemaEvolved: Boolean,
       newSeq: Long, snapshotId: Long, listPath: Path, operation: String,
-      newProperties: Map[String, String] = Map.empty): Unit = {
+      newProperties: Map[String, String] = Map.empty,
+      summary: Map[String, String] = Map.empty): Unit = {
     val metaDir = metadataDir(tablePath)
     val meta = mapper.createObjectNode()
     meta.put("format-version", fv)
@@ -1398,7 +1442,9 @@ object IcebergTable {
     sn.put("timestamp-ms", System.currentTimeMillis())
     sn.put("schema-id", schemaId) // time travel serves the snapshot's OWN shape
     sn.put("manifest-list", fs.makeQualified(listPath).toString)
-    sn.putObject("summary").put("operation", operation)
+    val sm = sn.putObject("summary")
+    sm.put("operation", operation)
+    summary.foreach { case (k, v) => sm.put(k, v) }
 
     val newVersion = prevVersion + 1
     val metaPath = new Path(metaDir, s"v$newVersion.metadata.json")
