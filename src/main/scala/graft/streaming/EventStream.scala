@@ -870,6 +870,31 @@ object EventStream {
       .start()
   }
 
+  /** Exactly-once ICEBERG streaming sink — the [[runDeltaAppendStream]]
+    * twin on the other table format: each micro-batch lands through
+    * `IcebergTable.appendOnce`, whose epoch stamp in the snapshot
+    * SUMMARY absorbs the batch replayed after a crash-restart (the
+    * same contract Flink's Iceberg committer keys on checkpoint ids).
+    */
+  def runIcebergAppendStream(
+      spark: SparkSession, inDir: String, tablePath: String, checkpointDir: String,
+      appId: String = "graft-stream",
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.IcebergTable.appendOnce(spark, tablePath, batch, appId, batchId)
+        ()
+      }
+      .start()
+  }
+
   def runCmsStream(
       spark: SparkSession, inDir: String, stateDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {

@@ -562,6 +562,28 @@ class EventStreamSpec extends SparkSpec {
       "whole-stream replay must not duplicate rows")
   }
 
+  test("iceberg append sink: exactly-once across batches AND a whole-stream replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ice-sink").toString
+    val in = s"$dir/in"; val tbl = s"$dir/table"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1).write.parquet(in)
+    Seq((3L, "c")).toDF("id", "tag").coalesce(1).write.mode("append").parquet(in)
+    val q = EventStream.runIcebergAppendStream(spark, in, tbl, s"$dir/ck1",
+      maxFilesPerTrigger = Some(1))
+    assert(q.awaitTermination(180000), "stream did not terminate")
+    val once = graft.sources.IcebergTable.read(spark, tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(once == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // fresh checkpoint dir -> batch ids restart at 0, but the snapshot
+    // SUMMARY remembers the epochs and absorbs every replayed batch
+    val q2 = EventStream.runIcebergAppendStream(spark, in, tbl, s"$dir/ck2",
+      maxFilesPerTrigger = Some(1))
+    assert(q2.awaitTermination(180000), "replayed stream did not terminate")
+    assert(graft.sources.IcebergTable.read(spark, tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == once,
+      "whole-stream replay must not duplicate rows")
+  }
+
   test("checkpoint restart: sink killed mid-run resumes and converges exactly once") {
     val dir = Files.createTempDirectory("graft-restart").toString
     val in = s"$dir/in"; val tgt = s"$dir/target"; val ck = s"$dir/ck"
