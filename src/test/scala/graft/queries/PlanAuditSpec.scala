@@ -66,6 +66,44 @@ class PlanAuditSpec extends SparkSpec {
       s"partition filter should prune files: read $filesRead of $totalLive")
   }
 
+  test("s54_iceberg_range: the scan's file list IS the bounds-pruned subset") {
+    val df = graft.SparkEntry.queries("s54_iceberg_range")(spark, dir)
+    df.collect()
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    // the relation Spark plans over contains ONLY the kept files: the
+    // skipped ones were dropped from the metadata walk, before Spark
+    // ever saw a path — a planner-level prune, not a row filter
+    val planned = scans.map(_.relation.location.inputFiles.length).sum
+    val root = s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s54_iceberg_range"
+    val total = graft.sources.IcebergTable
+      .snapshot(spark, root).dataRefs.size
+    assert(planned * 2 <= total && planned > 0,
+      s"bounds must halve the PLANNED file list: $planned of $total")
+    // and the residual range predicate is still pushed to the scan
+    val p = scans.map(_.toString).mkString("\n")
+    assert(p.contains("GreaterThanOrEqual") || p.contains("PushedFilters: [IsNotNull"),
+      s"range residual must reach the scan:\n$p")
+  }
+
+  test("s53_delta_row_tracking: id assignment is a broadcast join, never a table shuffle") {
+    val p = plan("s53_delta_row_tracking")
+    // the (file -> baseRowId) map is metadata-sized: it must broadcast
+    // into the provenance scan, not shuffle the table
+    assert(p.contains("BroadcastHashJoin"),
+      s"row-id map must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no table-wide shuffle to assign row ids:\n$p")
+  }
+
   test("s33_delta_dv: deleted positions arrive as a BROADCAST anti-join, no table shuffle") {
     val p = plan("s33_delta_dv")
     // the DV tombstones (cardinality declared by the descriptors) must
