@@ -169,9 +169,13 @@ object Mp3 {
     // the BIT RESERVOIR: every frame's post-side-info bytes concatenate
     // here; a granule's main data starts `main_data_begin` bytes BACK
     // from this frame's own contribution (ISO 2.4.3.1 — the mechanism
-    // that lets hard frames borrow bits from easy predecessors)
-    val reservoir = scala.collection.mutable.ArrayBuffer.empty[Byte]
-    val pcm = scala.collection.mutable.ArrayBuffer.empty[Short]
+    // that lets hard frames borrow bits from easy predecessors).
+    // main_data_begin is a 9-bit field, so at most 511 bytes of history
+    // are ever reachable — the buffer trims to that window per frame
+    // (an unbounded buffer re-copied per frame made decode O(n^2))
+    val ReservoirWindow = 511
+    var reservoir = Array.empty[Byte]
+    val pcm = new scala.collection.mutable.ArrayBuilder.ofShort
     while (pos < bytes.length) {
       if (bytes.length - pos == 128 && bytes(pos) == 'T' && bytes(pos + 1) == 'A' &&
           bytes(pos + 2) == 'G') {
@@ -223,16 +227,24 @@ object Mp3 {
           val ct1 = si.read(1)
           Granule(part23, bigValues, globalGain, sc, tables, ct1 == 1)
         }
-        // reservoir bookkeeping: this frame's main data joins the pool;
-        // its granules read from `mainDataBegin` bytes before it
+        // reservoir bookkeeping: trim history to the reachable window,
+        // then append this frame's main data; granules read from
+        // `mainDataBegin` bytes before the frame's own contribution
         val mainStart = sideStart + 17
         val contributed = pos + frameLen - mainStart
-        val frameOffsetInReservoir = reservoir.length
-        var i = mainStart
-        while (i < pos + frameLen) { reservoir += bytes(i); i += 1 }
+        val history =
+          if (reservoir.length > ReservoirWindow)
+            java.util.Arrays.copyOfRange(
+              reservoir, reservoir.length - ReservoirWindow, reservoir.length)
+          else reservoir
+        val frameOffsetInReservoir = history.length
         require(mainDataBegin <= frameOffsetInReservoir,
           s"MP3: main_data_begin $mainDataBegin reaches before the reservoir start")
-        val md = new BitReader(reservoir.toArray,
+        val merged = new Array[Byte](history.length + contributed)
+        System.arraycopy(history, 0, merged, 0, history.length)
+        System.arraycopy(bytes, mainStart, merged, history.length, contributed)
+        reservoir = merged
+        val md = new BitReader(merged,
           frameOffsetInReservoir - mainDataBegin)
         granules.foreach { g =>
           val before = md.bitsRead
@@ -272,14 +284,14 @@ object Mp3 {
             s"MP3: granule main data over-read (${md.bitsRead - before} of ${g.part23} bits)")
           // all-zero spectrum -> 576 exact-zero samples (any valid
           // window maps a zero spectrum to zero PCM)
-          (0 until 576).foreach(_ => pcm += 0.toShort)
+          (0 until 576).foreach(_ => pcm += 0.toShort) // unboxed builder
         }
         pos += frameLen
         frames += 1
       }
     }
     require(frames > 0, "MP3: no frames")
-    Mp3Pcm(frames, sampleRate, 1, pcm.toArray)
+    Mp3Pcm(frames, sampleRate, 1, pcm.result())
   }
 
   /** Writer twin for [[decodePcm]]: `n` MONO CBR frames of DIGITAL

@@ -3434,7 +3434,7 @@ object CoreQueries {
       }
     }
     val snaps = graft.sources.IcebergTable.snapshotsTable(spark, S56Root)
-      .orderBy("committed_at", "snapshot_id")
+      .orderBy("lineage")
       .select("snapshot_id", "operation").collect()
     val appendIds = snaps.filter(_.getString(1) == "append").map(_.getLong(0))
     graft.sources.IcebergTable.readAppendsBetween(spark, S56Root,

@@ -1128,6 +1128,10 @@ object DeltaLog {
         lit(0L).as("modificationTime"),
         lit(true).as("dataChange"),
         col("add_stats").as("stats"),
+        // rowTracking identities survive checkpointing — dropping them
+        // here would strand readWithRowIds after JSON-prefix cleanup
+        col("add_base_row_id").as("baseRowId"),
+        col("add_default_rcv").as("defaultRowCommitVersion"),
         when(col("dv_storage").isNotNull, struct(
           col("dv_storage").as("storageType"),
           col("dv_path").as("pathOrInlineDv"),
@@ -1642,22 +1646,29 @@ object DeltaLog {
     * enforcing CHECK constraints it can no longer see.
     */
   private[graft] def legacyImpliedWriterFeatures(minWriterVersion: Int): Set[String] = {
-    val byVersion = Seq(
-      2 -> Set("appendOnly", "invariants"),
-      3 -> Set("checkConstraints"),
-      4 -> Set("changeDataFeed", "generatedColumns"),
-      5 -> Set("columnMapping"),
-      6 -> Set("identityColumns"))
-    byVersion.collect { case (v, fs) if minWriterVersion >= v => fs }
-      .foldLeft(Set.empty[String])(_ ++ _)
+    // LEGACY versions only (2..6): a table already at writer v7 lists
+    // its features explicitly — "implying" the full set there would
+    // inflate the protocol with features the table never declared and
+    // lock out engines that don't implement them
+    if (minWriterVersion >= 7) Set.empty
+    else {
+      val byVersion = Seq(
+        2 -> Set("appendOnly", "invariants"),
+        3 -> Set("checkConstraints"),
+        4 -> Set("changeDataFeed", "generatedColumns"),
+        5 -> Set("columnMapping"),
+        6 -> Set("identityColumns"))
+      byVersion.collect { case (v, fs) if minWriterVersion >= v => fs }
+        .foldLeft(Set.empty[String])(_ ++ _)
+    }
   }
 
   /** Reader features implied by a legacy `minReaderVersion` (only
-    * columnMapping — everything else already requires explicit v3
-    * reader features).
+    * columnMapping, and only at the LEGACY version 2 — a v3 table
+    * lists its reader features explicitly).
     */
   private[graft] def legacyImpliedReaderFeatures(minReaderVersion: Int): Set[String] =
-    if (minReaderVersion >= 2) Set("columnMapping") else Set.empty
+    if (minReaderVersion == 2) Set("columnMapping") else Set.empty
 
   private def protocolWriteGuards(snap: Snapshot, op: String): Unit = {
     val unknown = snap.writerFeatures --
@@ -2380,12 +2391,28 @@ object DeltaLog {
                       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
                     .withColumn("_change_type", lit("")))
                 else {
+                  // an update_preimage is a DELETE of its own key tuple:
+                  // when an update CHANGES a key column, the preimage is
+                  // the ONLY trace of the old key — dropping preimages
+                  // outright left the stale row in the target forever.
+                  // Net per key: last commit wins; within it an upsert
+                  // row (insert/postimage) beats the delete marker (the
+                  // ordinary same-key update shape).
                   val w = org.apache.spark.sql.expressions.Window
                     .partitionBy(keys.map(col): _*)
                   Some(frames.reduce(_.unionByName(_))
+                    .withColumn("_change_type",
+                      when(col("_change_type") === "update_preimage", lit("delete"))
+                        .otherwise(col("_change_type")))
                     .withColumn("__maxv", max(col("_commit_version")).over(w))
                     .filter(col("_commit_version") === col("__maxv"))
-                    .filter(col("_change_type") =!= "update_preimage")
+                    .withColumn("__upsert",
+                      max(when(col("_change_type").isin("insert", "update_postimage"), 1)
+                        .otherwise(0)).over(w))
+                    .filter(
+                      (col("__upsert") === 1 &&
+                        col("_change_type").isin("insert", "update_postimage")) ||
+                      (col("__upsert") === 0 && col("_change_type") === "delete"))
                     .select((ordered :+ col("_change_type")): _*))
                 }
               case Left(_) => None

@@ -196,9 +196,28 @@ object IcebergTable {
     }
   }
 
+  /** Unsigned UTF-8 byte order — the order Parquet binary statistics
+    * and Iceberg string bounds are defined in. Java's String compare
+    * is UTF-16 code-unit order, which DISAGREES above U+FFFF
+    * (surrogate pairs sort below U+E000..U+FFFF there): merging or
+    * pruning in the wrong order can falsely skip a file.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Skipping-comparable form: numerics/temporals to Double, strings
-    * verbatim — the same lattice the Delta reader's stats skipping
-    * uses. `raw` values come from [[boundValue]] or a user argument.
+    * verbatim (compared in UNSIGNED UTF-8 order) — the same lattice
+    * the Delta reader's stats skipping uses. `raw` values come from
+    * [[boundValue]] or a user argument.
     */
   private def comparableBound(dt: DataType, raw: Any): Option[Either[Double, String]] =
     (dt, raw) match {
@@ -288,15 +307,24 @@ object IcebergTable {
     }
   }
 
-  /** The parsed StructType carries each field's id as
-    * `parquet.field.id` metadata: inert under by-name reads (the
-    * default), and exactly what Spark's field-id resolution needs when
-    * an id-capable table reads by id.
+  /** The parsed StructType. With `withIds` (ONLY for tables whose
+    * files carry footer field ids — [[Snapshot.fieldIdsWritten]]) each
+    * field carries `parquet.field.id` metadata for Spark's by-id
+    * resolution. Legacy tables must parse WITHOUT ids: once the
+    * session-wide field-id read flag is on (any id-mode read sets it,
+    * sticky by Spark's scan-build-time design), a requested schema
+    * with ids over footer-id-less files THROWS — attaching ids
+    * unconditionally made a legacy table unreadable after any id-mode
+    * read in the same session.
     */
-  private def parseSchema(node: com.fasterxml.jackson.databind.JsonNode): StructType =
+  private def parseSchema(
+      node: com.fasterxml.jackson.databind.JsonNode,
+      withIds: Boolean = false): StructType =
     StructType(parseFields(node).map { f =>
       StructField(f.name, f.dataType, nullable = true,
-        new MetadataBuilder().putLong("parquet.field.id", f.id.toLong).build())
+        if (withIds)
+          new MetadataBuilder().putLong("parquet.field.id", f.id.toLong).build()
+        else Metadata.empty)
     })
 
   // ---------- metadata location ----------
@@ -489,7 +517,8 @@ object IcebergTable {
           .getOrElse(fallback)
       }
     }
-    val schema = parseSchema(schemaNode)
+    val schema = parseSchema(schemaNode,
+      withIds = propertiesOf(meta).get(FieldIdsProperty).contains("true"))
     val listPath = new Path(snap.get("manifest-list").asText())
     def recOpt(r: GenericRecord, name: String): Option[AnyRef] =
       if (r.getSchema.getField(name) == null) None else Option(r.get(name))
@@ -502,9 +531,9 @@ object IcebergTable {
     }
     // equality-delete ids resolve against the SNAPSHOT's schema, the
     // same one the scan will read under — names line up by field id
-    val idToName = parseFields(schemaNode).map(f => f.id -> f.name).toMap
     val idToType: Map[Int, (String, DataType)] =
       parseFields(schemaNode).map(f => f.id -> (f.name, f.dataType)).toMap
+    val idToName: Map[Int, String] = idToType.map { case (k, (n, _)) => k -> n }
     // per-entry column bounds: k/v arrays of (field id, single-value
     // binary); ids outside the snapshot schema are ignored (a bound on
     // a since-dropped column prunes nothing)
@@ -806,15 +835,14 @@ object IcebergTable {
     val meta = readJson(fs, currentMetadataPath(fs, tablePath))
     val snaps = meta.get("snapshots")
     if (snaps == null || !snaps.isArray) return None
-    (0 until snaps.size()).map(snaps.get).reverseIterator
-      .flatMap { sn =>
-        val sm = sn.get("summary")
-        if (sm != null && sm.has("graft.app-id") &&
-            sm.get("graft.app-id").asText() == appId && sm.has("graft.epoch"))
-          Some(sm.get("graft.epoch").asText().toLong)
-        else None
-      }
-      .toSeq.sorted.lastOption
+    val epochs = (0 until snaps.size()).map(snaps.get).flatMap { sn =>
+      val sm = sn.get("summary")
+      if (sm != null && sm.has("graft.app-id") &&
+          sm.get("graft.app-id").asText() == appId && sm.has("graft.epoch"))
+        Some(sm.get("graft.epoch").asText().toLong)
+      else None
+    }
+    if (epochs.isEmpty) None else Some(epochs.max)
   }
 
   /** REWRITE DATA FILES — the `rewrite_data_files` maintenance twin
@@ -892,9 +920,9 @@ object IcebergTable {
     val pfields: Seq[(String, DataType)] = pby.map(c => c -> schema(c).dataType)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val metaDir = metadataDir(tablePath)
+    val fieldsCur = parseFields(currentSchemaNode(meta))
     val toStage =
-      if (snap.fieldIdsWritten)
-        withFieldIds(spark, packed, parseFields(currentSchemaNode(meta)))
+      if (snap.fieldIdsWritten) withFieldIds(spark, packed, fieldsCur)
       else packed
     val staged = stageDataFiles(spark, fs, table, toStage, pby, pfields, stamp)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
@@ -917,7 +945,7 @@ object IcebergTable {
       d.put("file_format", "PARQUET")
       d.put("record_count", sf.records)
       d.put("file_size_in_bytes", sf.len)
-      putBounds(d, parseFields(currentSchemaNode(meta)), sf.bounds)
+      putBounds(d, fieldsCur, sf.bounds)
       if (pby.nonEmpty) {
         val pr = new GenericData.Record(
           entrySchema.getField("data_file").schema().getField("partition").schema())
@@ -1027,10 +1055,9 @@ object IcebergTable {
     val listPath = writeManifestList(fs, metaDir, fv, snapshotId, stamp,
       carried :+ (fs.makeQualified(addedPath).toString, addedLen, 0, newSeq, newSeq,
         snapshotId))
-    publishMetadataJson(fs, tablePath, Some(meta), prevVersion, fv,
-      parseFields(currentSchemaNode(meta)),
+    publishMetadataJson(fs, tablePath, Some(meta), prevVersion, fv, fieldsCur,
       if (meta.has("last-column-id")) meta.get("last-column-id").asInt()
-      else parseFields(currentSchemaNode(meta)).map(_.id).max,
+      else fieldsCur.map(_.id).max,
       pby, schemaEvolved = false, newSeq, snapshotId, listPath, "replace")
     snapshotId
   }
@@ -1492,7 +1519,8 @@ object IcebergTable {
                 case None => perColumn(name) = (mn, mx)
                 case Some((pmn, pmx)) =>
                   def lt(a: Any, b2: Any): Boolean = (a, b2) match {
-                    case (x: String, y: String) => x < y
+                    // parquet binary stats order: unsigned UTF-8 bytes
+                    case (x: String, y: String) => utf8Compare(x, y) < 0
                     case (x: Number, y: Number) => x.doubleValue < y.doubleValue
                     case (x: Boolean, y: Boolean) => !x && y
                     case _ => false
@@ -2015,7 +2043,7 @@ object IcebergTable {
               def le(a: Either[Double, String], b: Either[Double, String]): Boolean =
                 (a, b) match {
                   case (Left(x), Left(y)) => x <= y
-                  case (Right(x), Right(y)) => x <= y
+                  case (Right(x), Right(y)) => utf8Compare(x, y) <= 0
                   case _ => true // incomparable: keep
                 }
               le(fmn, hi) && le(lo, fmx)
@@ -2190,8 +2218,14 @@ object IcebergTable {
     val meta = readJson(fs, currentMetadataPath(fs, tablePath))
     val snaps = meta.get("snapshots")
     require(snaps != null && snaps.isArray, "IcebergTable: no snapshots array")
-    val rows = (0 until snaps.size()).map(snaps.get).map { s =>
+    // `lineage` is the snapshot's position in the metadata array — the
+    // COMMIT order. Timestamps have millisecond granularity, so two
+    // commits in the same tick would sort nondeterministically by
+    // (committed_at, random id); order by lineage instead.
+    val rows = (0 until snaps.size()).map { i =>
+      val s = snaps.get(i)
       org.apache.spark.sql.Row(
+        i.toLong,
         new java.sql.Timestamp(s.get("timestamp-ms").asLong()),
         s.get("snapshot-id").asLong(),
         if (s.has("sequence-number")) s.get("sequence-number").asLong() else 0L,
@@ -2200,6 +2234,7 @@ object IcebergTable {
         s.get("manifest-list").asText())
     }
     val schema = StructType(Seq(
+      StructField("lineage", LongType),
       StructField("committed_at", TimestampType),
       StructField("snapshot_id", LongType),
       StructField("sequence_number", LongType),

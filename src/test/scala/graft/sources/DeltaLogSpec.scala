@@ -1806,6 +1806,76 @@ class DeltaLogSpec extends SparkSpec {
     assert(eF.getMessage.contains("rowTracking"), eF.getMessage)
   }
 
+  test("row tracking identities survive a classic checkpoint") {
+    val t = newTable()
+    dataFile(t, "a.parquet", "a", 2)
+    val meta = """{"metaData":{"id":"t","format":{"provider":"parquet"},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"tag\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},{\"name\":\"i\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[]}}"""
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","appendOnly","invariants"]}}""",
+      meta,
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"baseRowId":10,"defaultRowCommitVersion":0}}"""))
+    def rows = DeltaLog.readWithRowIds(spark, t).orderBy("row_id").collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Long]("row_commit_version"))).toSeq
+    assert(rows == Seq((10L, 0L), (11L, 0L)))
+    // checkpoint, then delete the JSON prefix: the replay is now
+    // checkpoint-sourced and the identities must still be there
+    DeltaLog.writeCheckpoint(spark, t)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(f"$t/_delta_log/${0L}%020d.json"), false)
+    assert(rows == Seq((10L, 0L), (11L, 0L)),
+      "baseRowId/defaultRowCommitVersion must survive checkpointing")
+  }
+
+  test("replicateOnce CDF netting: a key-CHANGING update deletes the stale old key") {
+    import spark.implicits._
+    val src = newTable()
+    val dst = newTable()
+    DeltaLog.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.replicateOnce(spark, src, dst, Seq("id"), "r-kc")
+    // hand-craft the commit an EXTERNAL engine's key-modifying UPDATE
+    // produces: _change_data with preimage id=1 / postimage id=9, the
+    // data file swapped to the post-state
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dataFileTyped(src, "post.parquet", Seq((2L, "b"), (9L, "a2")))
+    dataFileTyped(src, s"_change_data/cdc-1.parquet",
+      Seq.empty, cdc = Seq((1L, "a", "update_preimage"), (9L, "a2", "update_postimage")))
+    val oldFile = DeltaLog.snapshot(spark, src).files.head.path
+    commit(src, 1, Seq(
+      s"""{"remove":{"path":"$oldFile","deletionTimestamp":1,"dataChange":true}}""",
+      """{"add":{"path":"post.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":1,"dataChange":false}}"""))
+    DeltaLog.replicateOnce(spark, src, dst, Seq("id"), "r-kc")
+    val got = DeltaLog.read(spark, dst).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "b"), (9L, "a2")),
+      s"the stale old key 1 must be deleted by the orphaned preimage: $got")
+  }
+
+  /** Write exact typed rows as one named data file; with `cdc` set,
+    * writes (id, tag, _change_type) rows instead.
+    */
+  private def dataFileTyped(
+      table: String, name: String, rows: Seq[(Long, String)],
+      cdc: Seq[(Long, String, String)] = Seq.empty): Unit = {
+    import spark.implicits._
+    val stage = s"$table/_stage_t"
+    val df =
+      if (cdc.nonEmpty) cdc.toDF("id", "tag", "_change_type")
+      else rows.toDF("id", "tag")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$stage/part-*.parquet"))(0).getPath
+    val dest = new org.apache.hadoop.fs.Path(s"$table/$name")
+    fs.mkdirs(dest.getParent)
+    fs.rename(part, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
   test("protocol upgrade from legacy versions re-declares every implied feature") {
     import spark.implicits._
     // a legacy (1,4) table: changeDataFeed + generatedColumns +

@@ -432,7 +432,7 @@ class IcebergTableSpec extends SparkSpec {
     // TIME TRAVEL serves each snapshot under its OWN schema-id: the
     // pre-rename snapshot still answers to the OLD names
     val preRenameId = IcebergTable.snapshotsTable(spark, t)
-      .orderBy("committed_at", "snapshot_id").collect().head.getAs[Long]("snapshot_id")
+      .orderBy("lineage").collect().head.getAs[Long]("snapshot_id")
     val old = IcebergTable.read(spark, t, Some(preRenameId))
     assert(old.schema.fieldNames.toSeq == Seq("id", "tag", "v"),
       old.schema.fieldNames.mkString(","))
@@ -523,6 +523,18 @@ class IcebergTableSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       IcebergTable.renameColumn(spark, t, "ck", "c2"))
     assert(e.getMessage.contains("field-id-capable"), e.getMessage)
+    // LEGACY-table safety: without the capability property the parsed
+    // schema must carry NO parquet.field.id metadata — otherwise, once
+    // any id-mode read turns the sticky session flag on, a legacy
+    // table whose files lack footer ids becomes unreadable
+    val snapLegacy = IcebergTable.snapshot(spark, t)
+    assert(snapLegacy.schema.fields.forall(f => !f.metadata.contains("parquet.field.id")),
+      "property-less tables must parse an id-free schema")
+    val key = "spark.sql.parquet.fieldId.read.enabled"
+    val saved = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try assert(IcebergTable.read(spark, t).count() == 2) // ids 1 and 3 live
+    finally spark.conf.set(key, saved)
   }
 
   test("manifest column bounds: range reads prune files at plan time; deletes still apply") {
@@ -604,7 +616,7 @@ class IcebergTableSpec extends SparkSpec {
     IcebergTable.append(spark, t, Seq((3L, "c")).toDF("id", "tag").coalesce(1))
     IcebergTable.append(spark, t, Seq((4L, "d")).toDF("id", "tag").coalesce(1))
     val ids = IcebergTable.snapshotsTable(spark, t)
-      .orderBy("committed_at", "snapshot_id").select("snapshot_id")
+      .orderBy("lineage").select("snapshot_id")
       .as[Long].collect().toSeq
     // (s1, s3]: exactly the second and third appends
     assert(IcebergTable.readAppendsBetween(spark, t, ids(0), ids(2))
@@ -614,14 +626,14 @@ class IcebergTableSpec extends SparkSpec {
     // a compaction in the range contributes nothing (layout, not rows)
     IcebergTable.rewriteDataFiles(spark, t, minFileSizeBytes = Long.MaxValue)
     val ids2 = IcebergTable.snapshotsTable(spark, t)
-      .orderBy("committed_at", "snapshot_id").select("snapshot_id")
+      .orderBy("lineage").select("snapshot_id")
       .as[Long].collect().toSeq
     assert(IcebergTable.readAppendsBetween(spark, t, ids2(1), ids2.last)
       .orderBy("id").select("id").as[Long].collect().toSeq == Seq(4L))
     // a DELETE snapshot in the range refuses loudly
     IcebergTable.deleteRows(spark, t, col("id") === 1L)
     val ids3 = IcebergTable.snapshotsTable(spark, t)
-      .orderBy("committed_at", "snapshot_id").select("snapshot_id")
+      .orderBy("lineage").select("snapshot_id")
       .as[Long].collect().toSeq
     val e = intercept[IllegalArgumentException](
       IcebergTable.readAppendsBetween(spark, t, ids3.head, ids3.last).count())
@@ -638,7 +650,7 @@ class IcebergTableSpec extends SparkSpec {
     IcebergTable.deleteRowsEquality(spark, t, Seq("id"), Seq(4L).toDF("id")) // global eq
     // snapshots: three linear commits with honest operations
     val snaps = IcebergTable.snapshotsTable(spark, t)
-      .orderBy("committed_at", "snapshot_id").collect()
+      .orderBy("lineage").collect()
     assert(snaps.length == 3)
     assert(snaps.map(_.getAs[String]("operation")).toSeq == Seq("append", "delete", "delete"))
     assert(snaps.map(_.getAs[Long]("sequence_number")).toSeq == Seq(0L, 1L, 2L))
