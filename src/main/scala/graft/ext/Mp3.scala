@@ -113,6 +113,11 @@ object Mp3 {
     private var pos = startByte * 8L
     def bitsRead: Long = pos - startByte * 8L
     def read(n: Int): Int = {
+      // loud like every other malformed-input path in decodePcm: a
+      // corrupt part2_3_length that overruns the reservoir must not
+      // surface as a raw ArrayIndexOutOfBoundsException
+      require((pos + n + 7) / 8 <= bytes.length,
+        "MP3: main data truncated — side info asks for bits past the reservoir")
       var v = 0
       var i = 0
       while (i < n) {

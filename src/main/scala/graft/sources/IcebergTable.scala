@@ -895,7 +895,13 @@ object IcebergTable {
     }
     val selected: Seq[DataFileRef] = snap.dataRefs.groupBy(_.partition).toSeq
       .flatMap { case (_, refs) =>
-        val small = refs.filter(r => r.sizeBytes > 0 && r.sizeBytes < minSize)
+        // a manifest that omits file_size_in_bytes (0/absent) is
+        // UNKNOWN, not "large": treat it as small so a delete-purging
+        // rewrite can still select it — otherwise a tombstoned file
+        // written by a size-less engine could never compact, and
+        // dropColumn's prescribed remedy ("rewriteDataFiles first")
+        // would be permanently unsatisfiable
+        val small = refs.filter(r => r.sizeBytes <= 0 || r.sizeBytes < minSize)
         if (small.size >= 2) small else small.filter(deleteApplies)
       }
     if (selected.isEmpty) return -1L
@@ -1879,7 +1885,23 @@ object IcebergTable {
     */
   def createRef(
       spark: SparkSession, tablePath: String, name: String,
-      refType: String, snapshotId: Option[Long] = None): Unit = {
+      refType: String, snapshotId: Option[Long] = None): Unit =
+    writeRef(spark, tablePath, name, refType, snapshotId, replace = false)
+
+  /** Re-point an EXISTING ref of the same type to a new snapshot (the
+    * current one by default) — the explicit move [[createRef]] refuses:
+    * silently re-pointing on create would let a typo'd re-create move a
+    * tag's retention promise off the snapshot it was protecting from
+    * [[expireSnapshots]].
+    */
+  def replaceRef(
+      spark: SparkSession, tablePath: String, name: String,
+      refType: String, snapshotId: Option[Long] = None): Unit =
+    writeRef(spark, tablePath, name, refType, snapshotId, replace = true)
+
+  private def writeRef(
+      spark: SparkSession, tablePath: String, name: String,
+      refType: String, snapshotId: Option[Long], replace: Boolean): Unit = {
     require(refType == "tag" || refType == "branch",
       s"IcebergTable: ref type must be 'tag' or 'branch', got '$refType'")
     require(name.nonEmpty && name != "main",
@@ -1898,8 +1920,16 @@ object IcebergTable {
       if (meta.has("refs") && meta.get("refs").isObject)
         meta.get("refs").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       else meta.putObject("refs")
-    require(!refs.has(name) || refsOf(meta)(name)._2 == refType,
-      s"IcebergTable: ref '$name' already exists with a different type")
+    if (replace) {
+      require(refs.has(name),
+        s"IcebergTable: replaceRef on '$name' which does not exist — use createRef")
+      require(refsOf(meta)(name)._2 == refType,
+        s"IcebergTable: ref '$name' already exists with a different type")
+    } else
+      require(!refs.has(name),
+        s"IcebergTable: ref '$name' already exists" +
+          (if (refsOf(meta)(name)._2 == refType) " — use replaceRef to re-point it"
+           else " with a different type"))
     val node = refs.putObject(name)
     node.put("snapshot-id", target)
     node.put("type", refType)

@@ -591,8 +591,12 @@ class IcebergTableSpec extends SparkSpec {
     assert(IcebergTable.readRef(spark, t, "v1").count() == 2)
     assert(IcebergTable.readRef(spark, t, "audit").count() == 3)
     assert(IcebergTable.readRef(spark, t, "main").count() == 4)
-    // a branch HEAD can move (re-point to current)
-    IcebergTable.createBranch(spark, t, "audit")
+    // a branch HEAD can move — but only via the EXPLICIT replaceRef;
+    // a bare re-create refuses (it would silently unpin the promise)
+    assert(intercept[IllegalArgumentException](
+      IcebergTable.createBranch(spark, t, "audit"))
+      .getMessage.contains("use replaceRef"))
+    IcebergTable.replaceRef(spark, t, "audit", "branch")
     assert(IcebergTable.readRef(spark, t, "audit").count() == 4)
     // expiry keeps everything a ref reaches
     val reclaimed = IcebergTable.expireSnapshots(spark, t,
