@@ -3537,6 +3537,65 @@ object CoreQueries {
       |  SELECT o_orderkey, o_custkey, pos + ne, CAST(1 AS BIGINT) FROM o, n
       |) ORDER BY row_id""".stripMargin
 
+  private val S58Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s58_delta_rowtrack_write"
+  private val s58BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S58 — Delta ROW TRACKING WRITE path (r15 verdict item 1): the
+    * table is built entirely by THIS writer — two single-file sorted
+    * appends into a `rowTracking` table (fresh base-id allocation
+    * against the `delta.rowTracking` domain-metadata high-water mark),
+    * an OPTIMIZE-style [[graft.sources.DeltaLog.compact]] that packs
+    * both files while carrying every survivor's identity through the
+    * MATERIALIZED row-id columns, then a third append that must
+    * continue ABOVE the compacted file's burned block. The oracle
+    * recomputes all three id ranges and the commit versions from raw
+    * `orders`, so an allocator that renumbers survivors, reuses burned
+    * ids, mis-orders files, or stamps the wrong commit version
+    * hash-fails.
+    */
+  def s58DeltaRowTrackingWrite(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s58BuiltFor.synchronized {
+      if (s58BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S58Root))
+        val base = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        def slice(m: Int) = base.filter(col("o_orderkey") % 3 === m)
+          .repartition(1).sortWithinPartitions("o_orderkey")
+        graft.sources.DeltaLog.append(spark, S58Root, slice(0), rowTracking = true)
+        graft.sources.DeltaLog.append(spark, S58Root, slice(1))
+        require(graft.sources.DeltaLog.compact(spark, S58Root) >= 0,
+          "s58: compaction must pack the two small files")
+        graft.sources.DeltaLog.append(spark, S58Root, slice(2))
+        s58BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.readWithRowIds(spark, S58Root)
+      .select("o_orderkey", "o_custkey", "row_id", "row_commit_version")
+      .orderBy("row_id")
+  }
+
+  private val s58DeltaRowTrackingWriteSql =
+    """WITH a AS (SELECT o_orderkey, o_custkey,
+      |    row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |b AS (SELECT o_orderkey, o_custkey,
+      |    row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+      |  FROM orders WHERE o_orderkey % 3 = 1),
+      |c AS (SELECT o_orderkey, o_custkey,
+      |    row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+      |  FROM orders WHERE o_orderkey % 3 = 2),
+      |n AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb)
+      |SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, r AS row_id,
+      |    CAST(0 AS BIGINT) AS row_commit_version FROM a
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, r + na, CAST(1 AS BIGINT) FROM b, n
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, r + 2 * (na + nb), CAST(3 AS BIGINT) FROM c, n
+      |) ORDER BY row_id""".stripMargin
+
   private val S52Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s52_iceberg_files"
   private val s52BuiltFor =
@@ -3853,6 +3912,7 @@ object CoreQueries {
     "s51_iceberg_widening" -> s51IcebergWidening _,
     "s52_iceberg_files_table" -> s52IcebergFilesTable _,
     "s53_delta_row_tracking" -> s53DeltaRowTracking _,
+    "s58_delta_row_tracking_write" -> s58DeltaRowTrackingWrite _,
     "s54_iceberg_range" -> s54IcebergRange _,
     "s55_iceberg_tag" -> s55IcebergTag _,
     "s56_iceberg_incremental" -> s56IcebergIncremental _,
@@ -4199,6 +4259,7 @@ object CoreQueries {
     "s51_iceberg_widening" -> s51IcebergWideningSql,
     "s52_iceberg_files_table" -> s52IcebergFilesTableSql,
     "s53_delta_row_tracking" -> s53DeltaRowTrackingSql,
+    "s58_delta_row_tracking_write" -> s58DeltaRowTrackingWriteSql,
     "s54_iceberg_range" -> s54IcebergRangeSql,
     "s55_iceberg_tag" -> s55IcebergTagSql,
     "s56_iceberg_incremental" -> s56IcebergIncrementalSql,

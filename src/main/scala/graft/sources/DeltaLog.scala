@@ -87,7 +87,11 @@ object DeltaLog {
       StructField("configuration", MapType(StringType, StringType))))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
-      StructField("version", LongType))))))
+      StructField("version", LongType)))),
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 
   private val JsonCommit = """^(\d{20})\.json$""".r
   private val Checkpoint = """^(\d{20})\.checkpoint\.parquet$""".r
@@ -271,6 +275,9 @@ object DeltaLog {
       sub("metaData", "configuration", MapType(StringType, StringType)).as("meta_conf"),
       sub("txn", "appId", StringType).as("txn_app"),
       sub("txn", "version", LongType).as("txn_version"),
+      sub("domainMetadata", "domain", StringType).as("dm_domain"),
+      sub("domainMetadata", "configuration", StringType).as("dm_conf"),
+      sub("domainMetadata", "removed", BooleanType).as("dm_removed"),
       col("version"))
   }
 
@@ -466,10 +473,33 @@ object DeltaLog {
       readerVersion: Option[Int] = None,
       readerFeatures: Set[String] = Set.empty,
       writerVersion: Option[Int] = None,
-      writerFeatures: Set[String] = Set.empty) {
+      writerFeatures: Set[String] = Set.empty,
+      domainMetadata: Map[String, String] = Map.empty) {
 
     /** Live deleted-row count across all files' deletion vectors. */
     def dvCardinality: Long = files.flatMap(_.dv).map(_.cardinality).sum
+
+    /** The row-tracking high-water mark from the `delta.rowTracking`
+      * domain-metadata action — the largest row id ever ALLOCATED
+      * (not necessarily live: vacuumed appends keep their ids burned,
+      * per the protocol, so ids are never reused).
+      */
+    def rowIdHighWaterMark: Option[Long] =
+      domainMetadata.get("delta.rowTracking").flatMap { conf =>
+        val node = new ObjectMapper().readTree(conf)
+        Option(node.get("rowIdHighWaterMark")).map(_.asLong())
+      }
+
+    /** Physical names of the MATERIALIZED row-id / row-commit-version
+      * columns (the protocol's identity carry across rewrites) — set
+      * in the table configuration when row tracking is enabled by this
+      * writer; data files only contain them when a dataChange=false
+      * rewrite had survivor identities to preserve.
+      */
+    def materializedRowIdCol: Option[String] =
+      configuration.get("delta.rowTracking.materializedRowIdColumnName")
+    def materializedRowVersionCol: Option[String] =
+      configuration.get("delta.rowTracking.materializedRowCommitVersionColumnName")
     def schema: Option[StructType] =
       schemaString.filter(_.trim.nonEmpty).flatMap(s =>
         scala.util.Try(DataType.fromJson(s)).toOption.collect { case st: StructType => st })
@@ -525,7 +555,14 @@ object DeltaLog {
       max(col("reader_version")).as("reader"),
       array_distinct(flatten(collect_list(col("reader_features")))).as("features"),
       max(col("writer_version")).as("writer"),
-      array_distinct(flatten(collect_list(col("writer_features")))).as("wfeatures")).head()
+      array_distinct(flatten(collect_list(col("writer_features")))).as("wfeatures"),
+      // domain-metadata actions ride the SAME aggregate (collect_list
+      // skips nulls; domains are few by construction) — reconciled
+      // below in driver code rather than spending a second Spark job
+      // per snapshot on a metadata-sized window
+      collect_list(when(col("dm_domain").isNotNull,
+        struct(col("dm_domain"), col("dm_conf"), col("dm_removed"),
+          col("version")))).as("dms")).head()
     val readerVersion = if (guard.isNullAt(0)) None else Some(guard.getInt(0))
     val readerFeats: Set[String] =
       if (guard.isNullAt(1)) Set.empty else guard.getSeq[String](1).toSet
@@ -583,8 +620,20 @@ object DeltaLog {
           if (r.isNullAt(9)) None else Some(r.getLong(9)),
           if (r.isNullAt(10)) None else Some(r.getLong(10)))
       }.toSeq.sortBy(_.path)
+    // domain metadata: latest action per domain wins (the protocol's
+    // reconciliation rule), a removed=true winner drops the domain
+    val domains: Map[String, String] =
+      (if (guard.isNullAt(4)) Seq.empty[org.apache.spark.sql.Row]
+       else guard.getSeq[org.apache.spark.sql.Row](4))
+        .groupBy(_.getString(0))
+        .flatMap { case (domain, rows) =>
+          val latest = rows.maxBy(r => if (r.isNullAt(3)) Long.MinValue else r.getLong(3))
+          val removed = !latest.isNullAt(2) && latest.getBoolean(2)
+          if (removed) None
+          else Some(domain -> Option(latest.getString(1)).getOrElse(""))
+        }
     Snapshot(live, metaId, schemaStr, pcols, conf, readerVersion, readerFeats,
-      writerVersion, writerFeats)
+      writerVersion, writerFeats, domains)
   }
 
   /** Protocol paths are percent-encoded relative URIs (or absolute
@@ -923,14 +972,26 @@ object DeltaLog {
     val snap = snapshot(spark, tablePath, versionAsOf)
     require(snap.writerFeatures.contains("rowTracking"),
       s"DeltaLog: readWithRowIds needs the rowTracking table feature at $tablePath")
-    Seq("delta.rowTracking.materializedRowIdColumnName",
-        "delta.rowTracking.materializedRowCommitVersionColumnName").foreach { k =>
-      require(!snap.configuration.contains(k),
-        s"DeltaLog: $tablePath declares $k — materialized row-id columns " +
-          "(physical columns outside the declared schema) are not supported; " +
-          "fresh base-derived ids are the implemented subset")
-    }
-    val missing = snap.files.filterNot(f =>
+    readFilesWithRowIds(spark, tablePath, snap, snap.files)
+  }
+
+  /** The row-id-surfacing scan of a file SUBSET — shared by
+    * [[readWithRowIds]] (all live files) and [[compact]]'s
+    * identity-preserving rewrite (the files being packed). A row's
+    * identity is its MATERIALIZED column value when the file carries
+    * one (the protocol's carry across dataChange=false rewrites,
+    * null-filled for files written without it), else
+    * `baseRowId + position`.
+    */
+  private def readFilesWithRowIds(
+      spark: SparkSession, tablePath: String, snap: Snapshot,
+      files: Seq[DeltaFile]): DataFrame = {
+    val matId = snap.materializedRowIdCol
+    val matVer = snap.materializedRowVersionCol
+    require(matId.isDefined == matVer.isDefined,
+      s"DeltaLog: $tablePath declares only one of the two materialized " +
+        "row-tracking column names — refusing a half-configured table")
+    val missing = files.filterNot(f =>
       f.baseRowId.isDefined && f.defaultRowCommitVersion.isDefined)
     require(missing.isEmpty,
       s"DeltaLog: rowTracking declared but ${missing.size} live add action(s) lack " +
@@ -941,21 +1002,34 @@ object DeltaLog {
     val declared = snap.schema.get
     require(!declared.fieldNames.exists(n => n == "row_id" || n == "row_commit_version"),
       "DeltaLog: a physical row_id/row_commit_version column shadows the metadata columns")
+    // materialized columns are physical-only (outside the declared
+    // schema): extend the READ schema so the scan surfaces them;
+    // appended files simply null-fill
+    val extSnap = matId match {
+      case Some(mi) => snap.copy(schemaString = Some(StructType(
+        declared.fields ++ Seq(
+          StructField(mi, LongType), StructField(matVer.get, LongType))).json))
+      case None => snap
+    }
     val fs = fsOf(spark, new Path(tablePath))
     val scanned =
-      if (snap.files.exists(_.dv.isDefined))
-        readWithDv(spark, tablePath, snap, keepFile = true, keepPos = true)
-      else readSnapshotFiles(spark, tablePath, snap, snap.files,
+      if (files.exists(_.dv.isDefined))
+        readWithDv(spark, tablePath, extSnap.copy(files = files),
+          keepFile = true, keepPos = true)
+      else readSnapshotFiles(spark, tablePath, extSnap, files,
         addFileColumn = true, addRowIndex = true)
     import spark.implicits._
-    val fileMap = snap.files
+    val fileMap = files
       .map(f => (fileIdentity(fs, tablePath, f), f.baseRowId.get, f.defaultRowCommitVersion.get))
       .toDF("__rt_fid", "__rt_base", "__rt_ver")
     scanned
       .withColumn("__fid", normalizedFileId(col("__file")))
       .join(broadcast(fileMap), col("__fid") === col("__rt_fid"))
-      .withColumn("row_id", col("__rt_base") + col("__pos"))
-      .withColumn("row_commit_version", col("__rt_ver"))
+      .withColumn("row_id",
+        matId.fold(col("__rt_base") + col("__pos"))(mi =>
+          coalesce(col(mi), col("__rt_base") + col("__pos"))))
+      .withColumn("row_commit_version",
+        matVer.fold(col("__rt_ver"))(mv => coalesce(col(mv), col("__rt_ver"))))
       .select((declared.fieldNames.toSeq ++ Seq("row_id", "row_commit_version")).map(col): _*)
   }
 
@@ -1143,6 +1217,31 @@ object DeltaLog {
         coalesce(col("remove_ts"), lit(0L)).as("deletionTimestamp"),
         lit(true).as("dataChange"))).as("remove"))
 
+  /** Checkpoint shape of a `domainMetadata` action. */
+  private val dmType: StructType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)))
+
+  /** The live domain-metadata rows a checkpoint must retain (spec:
+    * dropping them would e.g. lose the row-tracking high-water mark
+    * after JSON-prefix cleanup and make the next append re-allocate
+    * already-burned row ids). Null action columns mirror `shape`.
+    */
+  private def domainMetadataRows(
+      spark: SparkSession, snap: Snapshot, shape: StructType): Option[DataFrame] =
+    if (snap.domainMetadata.isEmpty) None
+    else Some {
+      val rows = snap.domainMetadata.toSeq.sorted.map { case (d, c) =>
+        org.apache.spark.sql.Row.fromSeq(shape.fields.toSeq.map { f =>
+          if (f.name == "domainMetadata") org.apache.spark.sql.Row(d, c, false)
+          else null
+        })
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), shape)
+    }
+
   def writeCheckpoint(spark: SparkSession, tablePath: String): Long = {
     val logDir = logDirOf(tablePath)
     val fs = fsOf(spark, logDir)
@@ -1172,6 +1271,7 @@ object DeltaLog {
       .withColumn("txn", lit(null).cast(StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType)))))
+      .withColumn("domainMetadata", lit(null).cast(dmType))
     // the checkpoint's protocol row mirrors the TABLE's protocol — a
     // DV'd table checkpoints as (3, 7) with its feature sets, not the
     // writer's own floor
@@ -1201,7 +1301,8 @@ object DeltaLog {
           case ps => array(ps.map(lit): _*).as("partitionColumns")
         },
         typedLit(snap.configuration).as("configuration")).as("metaData"),
-      lit(null).cast(actionRows.schema("txn").dataType).as("txn"))
+      lit(null).cast(actionRows.schema("txn").dataType).as("txn"),
+      lit(null).cast(dmType).as("domainMetadata"))
     // the spec requires checkpoints to retain the NEWEST txn per appId
     // — dropping them here would silently break the exactly-once
     // contract of [[lastTxnVersion]] after log cleanup
@@ -1212,8 +1313,11 @@ object DeltaLog {
         lit(null).cast(actionRows.schema("remove").dataType).as("remove"),
         lit(null).cast(actionRows.schema("protocol").dataType).as("protocol"),
         lit(null).cast(actionRows.schema("metaData").dataType).as("metaData"),
-        struct(col("txn_app").as("appId"), col("v").as("version")).as("txn"))
-    val cpDf = headRow.unionByName(actionRows).unionByName(txnRows)
+        struct(col("txn_app").as("appId"), col("v").as("version")).as("txn"),
+        lit(null).cast(dmType).as("domainMetadata"))
+    val cpBase = headRow.unionByName(actionRows).unionByName(txnRows)
+    val cpDf = domainMetadataRows(spark, snap, cpBase.schema)
+      .fold(cpBase)(cpBase.unionByName(_))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(tablePath, s"_cp_stage_$stamp")
     cpDf.coalesce(1).write.parquet(stage.toString)
@@ -1313,7 +1417,7 @@ object DeltaLog {
     def nulls(except: String*): Seq[Column] = {
       val all = Seq(
         "add" -> addT, "remove" -> removeT, "protocol" -> protocolT,
-        "metaData" -> metaT, "txn" -> txnT,
+        "metaData" -> metaT, "txn" -> txnT, "domainMetadata" -> dmType,
         "checkpointMetadata" -> cpMetaT, "sidecar" -> sidecarT)
       all.filterNot(kv => except.contains(kv._1))
         .map { case (nm, t) => lit(null).cast(t).as(nm) }
@@ -1353,10 +1457,12 @@ object DeltaLog {
       .select((nulls("txn") :+
         struct(col("txn_app").as("appId"), col("v").as("version")).as("txn")): _*)
     val order = Seq("add", "remove", "protocol", "metaData", "txn",
-      "checkpointMetadata", "sidecar").map(col)
-    val cpDf = headRow.select(order: _*)
+      "domainMetadata", "checkpointMetadata", "sidecar").map(col)
+    val cpBase = headRow.select(order: _*)
       .unionByName(sidecarRow.select(order: _*))
       .unionByName(txnRows.select(order: _*))
+    val cpDf = domainMetadataRows(spark, snap, cpBase.schema)
+      .fold(cpBase)(cpBase.unionByName(_))
     val stage2 = new Path(tablePath, s"_cp_stage_${uuid.take(8)}b")
     cpDf.coalesce(1).write.parquet(stage2.toString)
     val part2 = fs.globStatus(new Path(stage2, "part-*.parquet"))(0).getPath
@@ -1406,9 +1512,12 @@ object DeltaLog {
       allowSchemaEvolution: Boolean = false,
       txn: Option[(String, Long)] = None,
       columnMapping: String = "none",
-      configuration: Map[String, String] = Map.empty): Long = {
+      configuration: Map[String, String] = Map.empty,
+      rowTracking: Boolean = false): Long = {
     require(Set("none", "name", "id")(columnMapping),
       s"DeltaLog: columnMapping must be none|name|id, got '$columnMapping'")
+    require(!rowTracking || columnMapping == "none",
+      "DeltaLog: rowTracking + columnMapping is not supported by this writer")
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, "_delta_log")
@@ -1435,6 +1544,9 @@ object DeltaLog {
       require(columnMapping == "none" || columnMapping == snap.columnMappingMode,
         s"DeltaLog: columnMapping='$columnMapping' is a CREATION option — the existing " +
           s"table declares mode '${snap.columnMappingMode}'")
+      require(!rowTracking || snap.writerFeatures.contains("rowTracking"),
+        "DeltaLog: rowTracking is a CREATION option — the existing table does not " +
+          "declare the feature (enabling it on existing files would need a backfill)")
       require(configuration.isEmpty || configuration.forall {
           case (k, v) => snap.configuration.get(k).contains(v) },
         "DeltaLog: configuration is a CREATION option — the existing table already " +
@@ -1510,10 +1622,12 @@ object DeltaLog {
     val ictAtCreation = !tableExists && ictEnabled(configuration)
     val protocolLine = actionLine { root =>
       val p = root.putObject("protocol")
-      if (!tableExists && (columnMapping != "none" || cdfAtCreation || ictAtCreation)) {
-        // column mapping / change data feed / in-commit timestamps are
-        // TABLE FEATURES — declared explicitly at writer 7 rather than
-        // via legacy versions; columnMapping alone needs reader 3
+      if (!tableExists &&
+          (columnMapping != "none" || cdfAtCreation || ictAtCreation || rowTracking)) {
+        // column mapping / change data feed / in-commit timestamps /
+        // row tracking are TABLE FEATURES — declared explicitly at
+        // writer 7 rather than via legacy versions; columnMapping alone
+        // needs reader 3
         p.put("minReaderVersion", if (columnMapping != "none") 3 else 1)
         p.put("minWriterVersion", 7)
         if (columnMapping != "none")
@@ -1522,10 +1636,23 @@ object DeltaLog {
         if (columnMapping != "none") wf.add("columnMapping")
         if (cdfAtCreation) wf.add("changeDataFeed")
         if (ictAtCreation) wf.add("inCommitTimestamp")
+        if (rowTracking) { wf.add("rowTracking"); wf.add("domainMetadata") }
       } else {
         p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
       }
     }
+    // row-tracking creation declares the feature's table properties:
+    // the enablement flag plus the MATERIALIZED identity column names
+    // (physical-only columns a dataChange=false rewrite uses to carry
+    // survivor ids — minted here so [[compact]] has them later)
+    val creationConfig: Map[String, String] =
+      if (!rowTracking) configuration
+      else configuration ++ Map(
+        "delta.enableRowTracking" -> "true",
+        "delta.rowTracking.materializedRowIdColumnName" ->
+          s"_row-id-col-${java.util.UUID.randomUUID()}",
+        "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+          s"_row-commit-version-col-${java.util.UUID.randomUUID()}")
     val metaLine = actionLine { root =>
       val m = root.putObject("metaData")
       // evolution REPLACES the metaData action but keeps the table id
@@ -1538,31 +1665,65 @@ object DeltaLog {
       // creation declares the requested config; an EVOLUTION metaData
       // re-emits the existing one (dropping it would silently turn off
       // change-data-feed / mapping for every later reader)
-      (if (tableExists) carryConfig else configuration)
+      (if (tableExists) carryConfig else creationConfig)
         .foreach { case (k, v) => cfg.put(k, v) }
       if (!tableExists && columnMapping != "none") {
         cfg.put("delta.columnMapping.mode", columnMapping)
         cfg.put("delta.columnMapping.maxColumnId", declaredSchema.size.toString)
       }
     }
-    val addLines = moved.map { case (name, pvals, len, mtime) =>
-      actionLine { root =>
-        val a = root.putObject("add")
-        a.put("path", encodePath(name))
-        val pv = a.putObject("partitionValues")
-        physBy.foreach { c =>
-          pvals.get(c) match {
-            case Some(null) | None => pv.putNull(c)
-            case Some(v) => pv.put(c, v)
-          }
-        }
-        a.put("size", len)
-        a.put("modificationTime", mtime)
-        a.put("dataChange", true)
-        // real footer-derived column stats — the skipping index
-        statsJson(fs, table, name).foreach(s => a.put("stats", s))
+    // ROW-TRACKING allocation: each new file takes a contiguous block
+    // of fresh row ids above the table's high-water mark (base =
+    // hwm+1+prefix of earlier files' counts; a row's id is base + its
+    // position), and the SAME commit advances the mark via the
+    // `delta.rowTracking` domain-metadata action — so ids are burned
+    // exactly once. Single-writer contract, like every transaction
+    // writer here: commitActions retries a lost version race without
+    // re-reading the mark.
+    val rtEnabled =
+      if (tableExists) existingSnap.exists(_.writerFeatures.contains("rowTracking"))
+      else rowTracking
+    val rtBases: Seq[(Long, Long)] = // (baseRowId, rows) per moved file
+      if (!rtEnabled) Seq.empty
+      else {
+        val hwm = existingSnap.flatMap(_.rowIdHighWaterMark).getOrElse(-1L)
+        val counts = moved.map { case (name, _, _, _) => footerRowCount(fs, table, name) }
+        counts.scanLeft(hwm + 1L)(_ + _).zip(counts)
       }
+    def addLines(version: Long): Seq[String] = moved.zipWithIndex.map {
+      case ((name, pvals, len, mtime), i) =>
+        actionLine { root =>
+          val a = root.putObject("add")
+          a.put("path", encodePath(name))
+          val pv = a.putObject("partitionValues")
+          physBy.foreach { c =>
+            pvals.get(c) match {
+              case Some(null) | None => pv.putNull(c)
+              case Some(v) => pv.put(c, v)
+            }
+          }
+          a.put("size", len)
+          a.put("modificationTime", mtime)
+          a.put("dataChange", true)
+          if (rtEnabled) {
+            a.put("baseRowId", rtBases(i)._1)
+            a.put("defaultRowCommitVersion", version)
+          }
+          // real footer-derived column stats — the skipping index
+          statsJson(fs, table, name).foreach(s => a.put("stats", s))
+        }
     }
+    val dmLines: Seq[String] =
+      if (!rtEnabled || rtBases.isEmpty) Seq.empty
+      else {
+        val newHwm = rtBases.last._1 + rtBases.last._2 - 1
+        Seq(actionLine { root =>
+          val d = root.putObject("domainMetadata")
+          d.put("domain", "delta.rowTracking")
+          d.put("configuration", s"""{"rowIdHighWaterMark":$newHwm}""")
+          d.put("removed", false)
+        })
+      }
 
     val txnLines = txn.toSeq.map { case (appId, epoch) =>
       actionLine { root =>
@@ -1574,7 +1735,7 @@ object DeltaLog {
     val version = commitActions(fs, logDir, tablePath,
       v => (if (v == 0L) Seq(protocolLine, metaLine)
             else if (evolvedId.isDefined) Seq(metaLine)
-            else Seq.empty) ++ txnLines ++ addLines,
+            else Seq.empty) ++ txnLines ++ addLines(v) ++ dmLines,
       withIct = ictEnabled(if (tableExists) carryConfig else configuration))
     if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
       writeCheckpoint(spark, tablePath)
@@ -1674,10 +1835,19 @@ object DeltaLog {
     val unknown = snap.writerFeatures --
       Set("appendOnly", "invariants", "deletionVectors", "columnMapping", "v2Checkpoint",
         "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp",
-        "typeWidening", "typeWidening-preview", "timestampNtz", "identityColumns")
+        "typeWidening", "typeWidening-preview", "timestampNtz", "identityColumns",
+        "rowTracking", "domainMetadata")
     require(unknown.isEmpty,
       s"DeltaLog: $op into a table declaring writer features " +
         s"[${unknown.mkString(",")}] this writer does not implement")
+    // rowTracking writes are implemented for APPEND (fresh base-id
+    // allocation against the high-water mark) and COMPACT (survivor
+    // ids carried via the materialized columns); every other
+    // transaction here would drop or renumber row identities — refuse
+    require(!snap.writerFeatures.contains("rowTracking") ||
+        op == "append" || op == "compact",
+      s"DeltaLog: $op into a rowTracking table is not supported — only append " +
+        "and compact preserve row identities in this writer")
     // identityColumns — DECLARED (explicitly at v7 or implied by legacy
     // v6) is tolerated; an ACTIVE identity column needs monotonic
     // high-water-mark allocation this writer does not implement, so
@@ -3097,6 +3267,21 @@ object DeltaLog {
     * stats carry. A footer that can't be read yields no stats rather
     * than a failed commit.
     */
+  /** Exact row count from the parquet footer — the row-tracking
+    * allocator's input. LOUD on an unreadable footer (unlike
+    * [[statsJson]]'s best-effort): committing a rowTracking add with a
+    * guessed count would burn or double-allocate row ids.
+    */
+  private def footerRowCount(fs: FileSystem, table: Path, rel: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = new Path(table, rel)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+      fs.getFileStatus(p), fs.getConf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
   private def statsJson(fs: FileSystem, table: Path, rel: String): Option[String] =
     try {
       val p = new Path(table, rel)
@@ -3373,6 +3558,24 @@ object DeltaLog {
     }
     val dataSchema = snap.schema.map(s =>
       StructType(s.filterNot(f => snap.partitionColumns.contains(f.name))))
+    // ROW-TRACKING compaction: survivors must keep their identities
+    // through the dataChange=false rewrite — read each packing group
+    // WITH its row ids and write them into the MATERIALIZED physical
+    // columns (the protocol's carry; readers coalesce them over
+    // base+position). The new files still take fresh baseRowIds, so
+    // every add carries the required fields.
+    val rt = snap.writerFeatures.contains("rowTracking")
+    val rtCols: Option[(String, String)] =
+      if (!rt) None
+      else {
+        val mi = snap.materializedRowIdCol
+        val mv = snap.materializedRowVersionCol
+        require(mi.isDefined && mv.isDefined,
+          s"DeltaLog: compact on rowTracking table $tablePath needs the " +
+            "materialized row-id column names in the table configuration — " +
+            "without them survivor identities cannot be carried")
+        Some((mi.get, mv.get))
+      }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     var removes = Seq.empty[DeltaFile]
     var adds = Seq.empty[(String, Map[String, String], Long, Long)]
@@ -3398,11 +3601,22 @@ object DeltaLog {
           val nOut = math.max(1, ((total + targetFileBytes - 1) / targetFileBytes).toInt)
           val stage = new Path(table, s"_compact_stage_${stamp}_$group")
           // DV-aware live-row scan, then back to the DATA columns only
-          // (partition values re-attach via add.partitionValues)
-          val base0 = readLiveRows(spark, tablePath, snap, small, addFileColumn = false)
-          val base = dataSchema match {
-            case Some(s) => base0.select(s.fieldNames.map(col).toSeq: _*)
-            case None => snap.partitionColumns.foldLeft(base0)(_.drop(_))
+          // (partition values re-attach via add.partitionValues); a
+          // rowTracking rewrite scans WITH ids and lands them in the
+          // materialized columns
+          val base = rtCols match {
+            case Some((mi, mv)) =>
+              readFilesWithRowIds(spark, tablePath, snap, small)
+                .withColumnRenamed("row_id", mi)
+                .withColumnRenamed("row_commit_version", mv)
+                .select((dataSchema.map(_.fieldNames.toSeq)
+                  .getOrElse(Seq.empty) ++ Seq(mi, mv)).map(col): _*)
+            case None =>
+              val base0 = readLiveRows(spark, tablePath, snap, small, addFileColumn = false)
+              dataSchema match {
+                case Some(s) => base0.select(s.fieldNames.map(col).toSeq: _*)
+                case None => snap.partitionColumns.foldLeft(base0)(_.drop(_))
+              }
           }
           val rewritten = zorderBy match {
             case Seq() => base.coalesce(nOut)
@@ -3454,24 +3668,48 @@ object DeltaLog {
         r.put("dataChange", false)
       }
     }
-    val addLines = adds.map { case (rel, pvals, len, mtime) =>
-      actionLineStatic { root =>
-        val a = root.putObject("add")
-        a.put("path", encodePath(rel))
-        val pv = a.putObject("partitionValues")
-        snap.partitionColumns.map(snap.pvKey).foreach { c =>
-          pvals.get(c).flatMap(Option(_)) match {
-            case Some(v) => pv.put(c, v)
-            case None => pv.putNull(c)
-          }
-        }
-        a.put("size", len)
-        a.put("modificationTime", mtime)
-        a.put("dataChange", false)
-        statsJson(fs, table, rel).foreach(s => a.put("stats", s))
+    // fresh base ids for the compacted outputs (every rowTracking add
+    // must carry them; the materialized columns override for carried
+    // rows) + the high-water-mark bump in the SAME commit
+    val rtBases: Seq[(Long, Long)] =
+      if (!rt) Seq.empty
+      else {
+        val hwm = snap.rowIdHighWaterMark.getOrElse(-1L)
+        val counts = adds.map { case (rel, _, _, _) => footerRowCount(fs, table, rel) }
+        counts.scanLeft(hwm + 1L)(_ + _).zip(counts)
       }
+    def addLines(version: Long): Seq[String] = adds.zipWithIndex.map {
+      case ((rel, pvals, len, mtime), i) =>
+        actionLineStatic { root =>
+          val a = root.putObject("add")
+          a.put("path", encodePath(rel))
+          val pv = a.putObject("partitionValues")
+          snap.partitionColumns.map(snap.pvKey).foreach { c =>
+            pvals.get(c).flatMap(Option(_)) match {
+              case Some(v) => pv.put(c, v)
+              case None => pv.putNull(c)
+            }
+          }
+          a.put("size", len)
+          a.put("modificationTime", mtime)
+          a.put("dataChange", false)
+          if (rt) {
+            a.put("baseRowId", rtBases(i)._1)
+            a.put("defaultRowCommitVersion", version)
+          }
+          statsJson(fs, table, rel).foreach(s => a.put("stats", s))
+        }
     }
-    commitActions(fs, logDir, tablePath, _ => removeLines ++ addLines,
+    val dmLines: Seq[String] =
+      if (!rt || rtBases.isEmpty) Seq.empty
+      else Seq(actionLineStatic { root =>
+        val d = root.putObject("domainMetadata")
+        d.put("domain", "delta.rowTracking")
+        d.put("configuration",
+          s"""{"rowIdHighWaterMark":${rtBases.last._1 + rtBases.last._2 - 1}}""")
+        d.put("removed", false)
+      })
+    commitActions(fs, logDir, tablePath, v => removeLines ++ addLines(v) ++ dmLines,
       withIct = ictEnabled(snap.configuration))
   }
 
