@@ -3596,6 +3596,56 @@ object CoreQueries {
       |  SELECT o_orderkey, o_custkey, r + 2 * (na + nb), CAST(3 AS BIGINT) FROM c, n
       |) ORDER BY row_id""".stripMargin
 
+  private val S59Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s59_delta_identity"
+  private val s59BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S59 — Delta IDENTITY COLUMNS (r15 verdict item 2, the named
+    * not-implemented): a table created with `sk GENERATED ALWAYS AS
+    * IDENTITY (START WITH 1000 INCREMENT BY 7)` semantics takes two
+    * sorted single-file appends; the writer allocates each value
+    * against the field-metadata high-water mark
+    * (`delta.identity.highWaterMark`), advancing it in the same
+    * commit's metaData. The oracle recomputes both allocation runs
+    * with row_number over the watermark, so a writer that restarts
+    * from `start`, drops the step, or interleaves the runs hash-fails.
+    * This is the reference's surrogate-key semantics (W1,
+    * `main.py:283-286`) done protocol-natively.
+    */
+  def s59DeltaIdentity(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s59BuiltFor.synchronized {
+      if (s59BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S59Root))
+        val base = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+        def slice(m: Int) = base.filter(col("c_custkey") % 2 === m)
+          .repartition(1).sortWithinPartitions("c_custkey")
+        graft.sources.DeltaLog.append(spark, S59Root, slice(0),
+          identity = Some(("sk", 1000L, 7L)))
+        graft.sources.DeltaLog.append(spark, S59Root, slice(1))
+        s59BuiltFor.set(dir)
+      }
+    }
+    graft.sources.DeltaLog.read(spark, S59Root)
+      .select("c_custkey", "c_nationkey", "sk")
+      .orderBy("sk")
+  }
+
+  private val s59DeltaIdentitySql =
+    """WITH a AS (SELECT c_custkey, c_nationkey,
+      |    row_number() OVER (ORDER BY c_custkey) - 1 AS r
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |b AS (SELECT c_custkey, c_nationkey,
+      |    row_number() OVER (ORDER BY c_custkey) - 1 AS r
+      |  FROM customer WHERE c_custkey % 2 = 1),
+      |n AS (SELECT count(*) AS na FROM a)
+      |SELECT * FROM (
+      |  SELECT c_custkey, c_nationkey, 1000 + 7 * r AS sk FROM a
+      |  UNION ALL
+      |  SELECT c_custkey, c_nationkey, 1000 + 7 * (na + r) FROM b, n
+      |) ORDER BY sk""".stripMargin
+
   private val S52Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s52_iceberg_files"
   private val s52BuiltFor =
@@ -3913,6 +3963,7 @@ object CoreQueries {
     "s52_iceberg_files_table" -> s52IcebergFilesTable _,
     "s53_delta_row_tracking" -> s53DeltaRowTracking _,
     "s58_delta_row_tracking_write" -> s58DeltaRowTrackingWrite _,
+    "s59_delta_identity" -> s59DeltaIdentity _,
     "s54_iceberg_range" -> s54IcebergRange _,
     "s55_iceberg_tag" -> s55IcebergTag _,
     "s56_iceberg_incremental" -> s56IcebergIncremental _,
@@ -4260,6 +4311,7 @@ object CoreQueries {
     "s52_iceberg_files_table" -> s52IcebergFilesTableSql,
     "s53_delta_row_tracking" -> s53DeltaRowTrackingSql,
     "s58_delta_row_tracking_write" -> s58DeltaRowTrackingWriteSql,
+    "s59_delta_identity" -> s59DeltaIdentitySql,
     "s54_iceberg_range" -> s54IcebergRangeSql,
     "s55_iceberg_tag" -> s55IcebergTagSql,
     "s56_iceberg_incremental" -> s56IcebergIncrementalSql,

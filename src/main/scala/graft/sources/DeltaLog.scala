@@ -1513,11 +1513,16 @@ object DeltaLog {
       txn: Option[(String, Long)] = None,
       columnMapping: String = "none",
       configuration: Map[String, String] = Map.empty,
-      rowTracking: Boolean = false): Long = {
+      rowTracking: Boolean = false,
+      identity: Option[(String, Long, Long)] = None): Long = {
     require(Set("none", "name", "id")(columnMapping),
       s"DeltaLog: columnMapping must be none|name|id, got '$columnMapping'")
     require(!rowTracking || columnMapping == "none",
       "DeltaLog: rowTracking + columnMapping is not supported by this writer")
+    require(identity.isEmpty || columnMapping == "none",
+      "DeltaLog: identity + columnMapping is not supported by this writer")
+    identity.foreach { case (_, _, step) =>
+      require(step != 0L, "DeltaLog: identity step must be non-zero") }
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, "_delta_log")
@@ -1536,6 +1541,23 @@ object DeltaLog {
     var mapSnap: Option[Snapshot] = None // carries mode/physicalNames/fieldIds
     var carryConfig: Map[String, String] = Map.empty // existing config, re-emitted on evolution
     var existingSnap: Option[Snapshot] = None
+    // IDENTITY COLUMNS (the `identityColumns` table feature): the
+    // single identity column is GENERATED here — value = highWaterMark
+    // + step·(i+1) in partition order (zipWithIndex: one count job, no
+    // global sort, no single-partition bottleneck) — and the mark
+    // advances in the SAME commit's metaData field metadata, per the
+    // protocol. Generated-only subset: explicit values refuse.
+    var dfIn: DataFrame = df
+    var identityState: Option[(StructField, Long, Long)] = None // (field, step, hwmBefore)
+    def generateIdentity(name: String, step: Long, hwm: Long): Unit = {
+      require(!df.schema.fieldNames.contains(name),
+        s"DeltaLog: explicit values for identity column '$name' are not supported — " +
+          "this writer generates them (generated-only subset)")
+      val rows = df.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq((hwm + step * (i + 1L)) +: r.toSeq) }
+      dfIn = spark.createDataFrame(rows,
+        StructType(StructField(name, LongType, nullable = false) +: df.schema.fields))
+    }
     if (tableExists) {
       // schema + partitioning gates: a silent append of a different
       // shape corrupts the table for every reader that trusts
@@ -1557,14 +1579,37 @@ object DeltaLog {
         writeGuards(snap, tablePath, "append")
         mapSnap = Some(snap)
       } else protocolWriteGuards(snap, "append")
+      require(identity.isEmpty,
+        "DeltaLog: identity is a CREATION option — an existing table cannot adopt one " +
+          "(backfilling values for already-written files is undefined)")
+      val idFields = snap.schema.toSeq.flatMap(_.fields)
+        .filter(_.metadata.contains("delta.identity.start"))
+      idFields.headOption.foreach { f =>
+        require(idFields.size == 1,
+          s"DeltaLog: ${idFields.size} identity columns declared — one is the " +
+            "implemented subset")
+        val start = f.metadata.getLong("delta.identity.start")
+        val step = if (f.metadata.contains("delta.identity.step"))
+          f.metadata.getLong("delta.identity.step") else 1L
+        val hwm = if (f.metadata.contains("delta.identity.highWaterMark"))
+          f.metadata.getLong("delta.identity.highWaterMark") else start - step
+        generateIdentity(f.name, step, hwm)
+        // reorder to the DECLARED layout (a foreign table may not put
+        // the identity column first)
+        snap.schema.foreach { s =>
+          if (s.fieldNames.toSet == dfIn.schema.fieldNames.toSet)
+            dfIn = dfIn.select(s.fieldNames.map(col).toIndexedSeq: _*)
+        }
+        identityState = Some((f, step, hwm))
+      }
       snap.schema.foreach { s =>
         val have = s.fields.map(f => (f.name, f.dataType)).toSeq
-        val incoming = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        val incoming = dfIn.schema.fields.map(f => (f.name, f.dataType)).toSeq
         if (have != incoming) {
           if (!allowSchemaEvolution)
             throw new IllegalArgumentException(
               s"DeltaLog: append schema mismatch — table declares ${s.simpleString}, " +
-                s"append brings ${df.schema.simpleString} " +
+                s"append brings ${dfIn.schema.simpleString} " +
                 "(pass allowSchemaEvolution = true for add-column evolution)")
           require(snap.columnMappingMode == "none",
             "DeltaLog: schema evolution into a column-mapped table is not supported — " +
@@ -1599,18 +1644,56 @@ object DeltaLog {
       })
       mapSnap = Some(Snapshot(Seq.empty, None, Some(declaredSchema.json),
         partitionBy, Map("delta.columnMapping.mode" -> columnMapping)))
+    } else identity.foreach { case (name, start, step) =>
+      // CREATE a table with an identity column: the column leads the
+      // declared schema carrying the protocol's field metadata; the
+      // first commit's metaData then records the post-append mark
+      generateIdentity(name, step, start - step)
+      declaredSchema = StructType(
+        StructField(name, LongType, nullable = false,
+          metadata = new MetadataBuilder()
+            .putLong("delta.identity.start", start)
+            .putLong("delta.identity.step", step)
+            .putBoolean("delta.identity.allowExplicitInsert", false).build())
+          +: df.schema.fields)
+      identityState = Some((declaredSchema.head, step, start - step))
     }
-    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
+    partitionBy.foreach(c => require(dfIn.schema.fieldNames.contains(c),
       s"DeltaLog: partition column $c missing from the append schema"))
+    require(identity.isEmpty || !partitionBy.contains(identity.get._1),
+      "DeltaLog: the identity column cannot be a partition column")
     fs.mkdirs(logDir)
     // writer-enforced rules (CHECK constraints, invariants, generated
     // columns) verify over the incoming rows before anything stages
-    existingSnap.foreach(s => enforceWriteRules(s, df, "append"))
-    val physDf = mapSnap.fold(df)(s => toPhysical(spark, s, df))
+    existingSnap.foreach(s => enforceWriteRules(s, dfIn, "append"))
+    val physDf = mapSnap.fold(dfIn)(s => toPhysical(spark, s, dfIn))
     val physBy = mapSnap.fold(partitionBy)(s => partitionBy.map(s.pvKey))
     // moved: (relative path, partitionValues, size, mtime) per file —
     // partitionValues keyed physical for mapped tables (spec)
     val moved = stageAndMove(fs, table, physDf, physBy, "part")
+    // row counts from the just-moved parquet footers — the allocation
+    // input for both high-water marks (row tracking + identity)
+    val rtEnabled =
+      if (tableExists) existingSnap.exists(_.writerFeatures.contains("rowTracking"))
+      else rowTracking
+    val movedCounts: Seq[Long] =
+      if (rtEnabled || identityState.isDefined)
+        moved.map { case (name, _, _, _) => footerRowCount(fs, table, name) }
+      else Seq.empty
+    // the identity mark advances in THIS commit's metaData (field
+    // metadata, per the protocol) — emitted via the evolution path
+    identityState.foreach { case (f, step, hwmBefore) =>
+      val n = movedCounts.sum
+      if (n > 0) {
+        val updated = f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.identity.highWaterMark", hwmBefore + step * n).build())
+        val baseSchema = existingSnap.flatMap(_.schema).getOrElse(declaredSchema)
+        declaredSchema = StructType(
+          baseSchema.fields.map(x => if (x.name == f.name) updated else x))
+        if (tableExists)
+          evolvedId = Some(existingSnap.flatMap(_.metaId).getOrElse("graft"))
+      }
+    }
 
     def actionLine(build: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
       val root = mapper.createObjectNode()
@@ -1623,11 +1706,12 @@ object DeltaLog {
     val protocolLine = actionLine { root =>
       val p = root.putObject("protocol")
       if (!tableExists &&
-          (columnMapping != "none" || cdfAtCreation || ictAtCreation || rowTracking)) {
+          (columnMapping != "none" || cdfAtCreation || ictAtCreation ||
+            rowTracking || identity.isDefined)) {
         // column mapping / change data feed / in-commit timestamps /
-        // row tracking are TABLE FEATURES — declared explicitly at
-        // writer 7 rather than via legacy versions; columnMapping alone
-        // needs reader 3
+        // row tracking / identity columns are TABLE FEATURES — declared
+        // explicitly at writer 7 rather than via legacy versions;
+        // columnMapping alone needs reader 3
         p.put("minReaderVersion", if (columnMapping != "none") 3 else 1)
         p.put("minWriterVersion", 7)
         if (columnMapping != "none")
@@ -1637,6 +1721,7 @@ object DeltaLog {
         if (cdfAtCreation) wf.add("changeDataFeed")
         if (ictAtCreation) wf.add("inCommitTimestamp")
         if (rowTracking) { wf.add("rowTracking"); wf.add("domainMetadata") }
+        if (identity.isDefined) wf.add("identityColumns")
       } else {
         p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
       }
@@ -1680,15 +1765,11 @@ object DeltaLog {
     // exactly once. Single-writer contract, like every transaction
     // writer here: commitActions retries a lost version race without
     // re-reading the mark.
-    val rtEnabled =
-      if (tableExists) existingSnap.exists(_.writerFeatures.contains("rowTracking"))
-      else rowTracking
     val rtBases: Seq[(Long, Long)] = // (baseRowId, rows) per moved file
       if (!rtEnabled) Seq.empty
       else {
         val hwm = existingSnap.flatMap(_.rowIdHighWaterMark).getOrElse(-1L)
-        val counts = moved.map { case (name, _, _, _) => footerRowCount(fs, table, name) }
-        counts.scanLeft(hwm + 1L)(_ + _).zip(counts)
+        movedCounts.scanLeft(hwm + 1L)(_ + _).zip(movedCounts)
       }
     def addLines(version: Long): Seq[String] = moved.zipWithIndex.map {
       case ((name, pvals, len, mtime), i) =>
@@ -1849,14 +1930,16 @@ object DeltaLog {
       s"DeltaLog: $op into a rowTracking table is not supported — only append " +
         "and compact preserve row identities in this writer")
     // identityColumns — DECLARED (explicitly at v7 or implied by legacy
-    // v6) is tolerated; an ACTIVE identity column needs monotonic
-    // high-water-mark allocation this writer does not implement, so
+    // v6) is tolerated; an ACTIVE identity column is IMPLEMENTED for
+    // append (generated values against the field-metadata high-water
+    // mark) and compact (a pure rewrite — values are ordinary data);
+    // any other transaction would have to allocate or renumber, so
     // refuse exactly then. CHECK constraints, invariants, generated
     // columns (v3/v4) and column mapping (v5) are all ENFORCED here
     // ([[enforceWriteRules]], [[toPhysical]]).
     val identityPossible = snap.writerFeatures.contains("identityColumns") ||
       snap.writerVersion.exists(v => v >= 3 && v <= 6)
-    if (identityPossible) {
+    if (identityPossible && op != "append" && op != "compact") {
       require(snap.schemaString.isEmpty || snap.schema.isDefined,
         s"DeltaLog: $op into a table that may declare identity columns but whose " +
           "schemaString does not parse — the writer obligation cannot be checked")
@@ -1866,8 +1949,8 @@ object DeltaLog {
         flagged("delta.identity.start") ++ flagged("delta.identity.allowExplicitInsert")
       require(identity.isEmpty,
         s"DeltaLog: $op into a table with ACTIVE identity columns " +
-          s"[${identity.mkString(", ")}] — monotonic key allocation against the " +
-          "high-water mark is not implemented")
+          s"[${identity.mkString(", ")}] — only append (high-water-mark allocation) " +
+          "and compact preserve identity semantics in this writer")
     }
   }
 

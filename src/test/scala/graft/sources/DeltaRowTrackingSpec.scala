@@ -140,6 +140,57 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert((10 until 15).map(i => ids(i.toLong)._1) == (5L until 10L))
   }
 
+  test("identity columns: generated values respect start/step and advance the field-metadata mark") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, df("a", 0, 5), identity = Some(("sk", 100L, 3L)))
+    DeltaLog.append(spark, t, df("b", 10, 4))
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.writerFeatures.contains("identityColumns"))
+    val f = snap.schema.get("sk")
+    assert(f.metadata.getLong("delta.identity.start") == 100L)
+    assert(f.metadata.getLong("delta.identity.step") == 3L)
+    assert(f.metadata.getLong("delta.identity.highWaterMark") == 100L + 3L * 8)
+    val got = DeltaLog.read(spark, t).select("id", "sk")
+      .as[(Long, Long)].collect().toMap
+    // single sorted file per append: sk follows key rank within each
+    assert((0 until 5).map(i => got(i.toLong)) == (0 until 5).map(i => 100L + 3L * i))
+    assert((10 until 14).map(i => got(i.toLong)) == (0 until 4).map(i => 115L + 3L * i))
+    // compaction is a pure rewrite: identity values are data and survive
+    assert(DeltaLog.compact(spark, t) >= 0)
+    assert(DeltaLog.read(spark, t).select("id", "sk")
+      .as[(Long, Long)].collect().toMap == got)
+    // the mark did NOT move on compact
+    assert(DeltaLog.snapshot(spark, t).schema.get("sk")
+      .metadata.getLong("delta.identity.highWaterMark") == 124L)
+  }
+
+  test("identity columns: negative step descends; guards refuse the unsupported shapes") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLog.append(spark, t, df("a", 0, 3), identity = Some(("sk", -10L, -5L)))
+    val got = DeltaLog.read(spark, t).select("id", "sk").as[(Long, Long)].collect().toMap
+    assert((0 until 3).map(i => got(i.toLong)) == Seq(-10L, -15L, -20L))
+    // explicit values refuse (generated-only subset)
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.append(spark, t,
+        Seq((99L, "x", 1L)).toDF("id", "tag", "sk")))
+      .getMessage.contains("generated-only"))
+    // row-removing writes refuse while an identity column is active
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.delete(spark, t, col("id") === 0L))
+      .getMessage.contains("identity"))
+    // identity is a creation option; step 0 refuses
+    val t2 = newTable()
+    DeltaLog.append(spark, t2, df("a", 0, 3))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.append(spark, t2, df("b", 3, 3), identity = Some(("sk", 1L, 1L))))
+      .getMessage.contains("CREATION option"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.append(spark, newTable(), df("a", 0, 3), identity = Some(("sk", 1L, 0L))))
+      .getMessage.contains("non-zero"))
+  }
+
   test("guards: row-removing writes refuse; creation combos refuse; foreign half-config refuses") {
     import spark.implicits._
     val t = newTable()
