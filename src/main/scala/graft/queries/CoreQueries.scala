@@ -3646,6 +3646,48 @@ object CoreQueries {
       |  SELECT c_custkey, c_nationkey, 1000 + 7 * (na + r) FROM b, n
       |) ORDER BY sk""".stripMargin
 
+  private val S60Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s60_iceberg_v3_dv"
+  private val s60BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S60 — Iceberg FORMAT-VERSION 3 deletion vectors (r15 verdict
+    * item 3): two appends, then two [[graft.sources.IcebergTable
+    * .deleteRowsDv]] passes — the first upgrades the table to v3 and
+    * writes one puffin `deletion-vector-v1` roaring blob per affected
+    * file; the second must REPLACE each file's vector with the union
+    * (the spec's at-most-one-DV-per-file invariant), tombstoning the
+    * old blob entries. The read decodes the blobs in executor tasks
+    * and anti-joins on `_metadata.row_index`, exactly like the Delta
+    * DV path. The oracle recomputes the surviving rows from raw
+    * `orders`, so a reader that drops a vector, applies a replaced
+    * one, or mis-decodes the keyed roaring64 form hash-fails.
+    */
+  def s60IcebergV3Dv(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s60BuiltFor.synchronized {
+      if (s60BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S60Root))
+        val base = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        graft.sources.IcebergTable.append(spark, S60Root,
+          base.filter(col("o_orderkey") % 2 === 0))
+        graft.sources.IcebergTable.append(spark, S60Root,
+          base.filter(col("o_orderkey") % 2 === 1).repartition(2))
+        graft.sources.IcebergTable.deleteRowsDv(spark, S60Root,
+          col("o_orderkey") % 7 === 3)
+        graft.sources.IcebergTable.deleteRowsDv(spark, S60Root,
+          col("o_orderkey") % 11 === 5)
+        s60BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.read(spark, S60Root).orderBy("o_orderkey")
+  }
+
+  private val s60IcebergV3DvSql =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 <> 5
+      |ORDER BY o_orderkey""".stripMargin
+
   private val S52Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s52_iceberg_files"
   private val s52BuiltFor =
@@ -3964,6 +4006,7 @@ object CoreQueries {
     "s53_delta_row_tracking" -> s53DeltaRowTracking _,
     "s58_delta_row_tracking_write" -> s58DeltaRowTrackingWrite _,
     "s59_delta_identity" -> s59DeltaIdentity _,
+    "s60_iceberg_v3_dv" -> s60IcebergV3Dv _,
     "s54_iceberg_range" -> s54IcebergRange _,
     "s55_iceberg_tag" -> s55IcebergTag _,
     "s56_iceberg_incremental" -> s56IcebergIncremental _,
@@ -4312,6 +4355,7 @@ object CoreQueries {
     "s53_delta_row_tracking" -> s53DeltaRowTrackingSql,
     "s58_delta_row_tracking_write" -> s58DeltaRowTrackingWriteSql,
     "s59_delta_identity" -> s59DeltaIdentitySql,
+    "s60_iceberg_v3_dv" -> s60IcebergV3DvSql,
     "s54_iceberg_range" -> s54IcebergRangeSql,
     "s55_iceberg_tag" -> s55IcebergTagSql,
     "s56_iceberg_incremental" -> s56IcebergIncrementalSql,

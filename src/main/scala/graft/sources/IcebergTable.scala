@@ -98,6 +98,9 @@ object IcebergTable {
          |    {"name":"record_count","type":"long"},
          |    {"name":"file_size_in_bytes","type":"long"},
          |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+         |    {"name":"referenced_data_file","type":["null","string"],"default":null},
+         |    {"name":"content_offset","type":["null","long"],"default":null},
+         |    {"name":"content_size_in_bytes","type":["null","long"],"default":null},
          |    {"name":"lower_bounds","type":["null",{"type":"array","items":
          |      {"type":"record","name":"k126_v127","fields":[
          |        {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
@@ -396,7 +399,15 @@ object IcebergTable {
       path: String, sequence: Long, records: Long = 0L,
       equalityColumns: Seq[String] = Seq.empty,
       partition: Map[String, String] = Map.empty,
-      sizeBytes: Long = 0L)
+      sizeBytes: Long = 0L,
+      // v3 DELETION VECTORS: a puffin blob scoped to exactly ONE data
+      // file (`referenced_data_file`), located by `content_offset` /
+      // `content_size_in_bytes` — set together or not at all
+      referencedDataFile: Option[String] = None,
+      contentOffset: Long = 0L,
+      contentSize: Long = 0L) {
+    def isDv: Boolean = referencedDataFile.isDefined
+  }
 
   final case class Snapshot(
       snapshotId: Long, files: Seq[String], schema: StructType,
@@ -484,8 +495,26 @@ object IcebergTable {
     val fs = fsOf(spark, new Path(tablePath))
     val meta = readJson(fs, currentMetadataPath(fs, tablePath))
     val fv = meta.get("format-version").asInt()
-    require(fv == 1 || fv == 2,
-      s"IcebergTable: format-version $fv not supported (v1 and v2 only)")
+    require(fv >= 1 && fv <= 3,
+      s"IcebergTable: format-version $fv not supported (v1-v3 only)")
+    if (fv == 3) {
+      // v3 support is DELETION VECTORS (puffin blobs) + the v2 read
+      // surface; the other v3 additions refuse LOUDLY rather than
+      // silently mis-reading: column DEFAULT VALUES change what a scan
+      // must return for files written before the column existed, so a
+      // reader that ignores them returns nulls where the table
+      // declares a default. (Row lineage fields — next-row-id,
+      // first_row_id — are writer bookkeeping and do not change row
+      // content; they are intentionally ignored on read.)
+      val fields = currentSchemaNode(meta).get("fields")
+      if (fields != null && fields.isArray)
+        (0 until fields.size()).map(fields.get).foreach { f =>
+          require(!f.has("initial-default") && !f.has("write-default"),
+            s"IcebergTable: v3 column '${f.get("name").asText()}' declares a " +
+              "default value — defaults are not implemented; reading would " +
+              "silently null-fill where the table declares a default")
+        }
+    }
     // partitioned tables ARE readable correctly: unlike Delta (where
     // partition values live only in the log), Iceberg data files carry
     // COMPLETE rows — the partition spec affects file placement and
@@ -558,20 +587,29 @@ object IcebergTable {
       (String, Int, Map[String, String], Long, Long, Long, Map[String, (Any, Any)])]
     val deleteEntries =
       Seq.newBuilder[(String, Int, Long, Long, Seq[String], Map[String, String], Long)]
+    // v3 deletion vectors: (puffin path, status, seq, recs, tuple,
+    // size, referenced file, offset, length) — identity is the BLOB
+    // (path, offset), not the puffin file (one file packs many blobs)
+    val dvEntries = Seq.newBuilder[
+      (String, Int, Long, Long, Map[String, String], Long, String, Long, Long)]
     manifests.foreach { case (mp, mContent, mSeq) =>
       readAvro(fs, new Path(mp), conf).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
         val df = e.get("data_file").asInstanceOf[GenericRecord]
-        if (status != 2) {
-          val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("parquet"),
-            s"IcebergTable: data file format $fmt not supported")
-        }
         val entrySeq: Long =
           recOpt(e, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(mSeq)
         // v2 file content: 0 data, 1 position deletes, 2 EQUALITY deletes
         val fContent: Int = recOpt(df, "content").map(_.asInstanceOf[Int])
           .getOrElse(if (mContent == 1) 1 else 0)
+        // v3 deletion vectors live in PUFFIN files; everything else is
+        // parquet (the only data format this reader implements)
+        val isPuffin = fContent == 1 &&
+          recOpt(df, "file_format").exists(_.toString.equalsIgnoreCase("puffin"))
+        if (status != 2 && !isPuffin) {
+          val fmt = df.get("file_format").toString
+          require(fmt.equalsIgnoreCase("parquet"),
+            s"IcebergTable: data file format $fmt not supported")
+        }
         val path = df.get("file_path").toString
         // identity partition tuple — read for DATA and DELETE entries
         // alike: a delete file written under a partitioned spec is
@@ -607,7 +645,20 @@ object IcebergTable {
         } else if (fContent == 1) {
           val recs = recOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L)
           val dsz = recOpt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L)
-          deleteEntries += ((path, status, entrySeq, recs, Seq.empty, tuple, dsz))
+          // a v3 DELETION VECTOR declares its single referenced data
+          // file and its blob location — all three fields or none
+          val refFile = recOpt(df, "referenced_data_file").map(_.toString)
+          val (cOff, cSize) = (
+            recOpt(df, "content_offset").map(_.asInstanceOf[Long]),
+            recOpt(df, "content_size_in_bytes").map(_.asInstanceOf[Long]))
+          if (isPuffin) {
+            require(refFile.isDefined && cOff.isDefined && cSize.isDefined,
+              s"IcebergTable: puffin deletion vector $path lacks " +
+                "referenced_data_file/content_offset/content_size_in_bytes")
+            dvEntries += ((path, status, entrySeq, recs, tuple, dsz,
+              refFile.get, cOff.get, cSize.get))
+          } else
+            deleteEntries += ((path, status, entrySeq, recs, Seq.empty, tuple, dsz))
         } else {
           val size =
             recOpt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -634,10 +685,25 @@ object IcebergTable {
       case (p, s, q, recs, eqCols, t, dsz) if s != 2 && !deadDel(p) =>
         DeleteFileRef(p, q, recs, eqCols, t, dsz)
     }.distinctBy(_.path)
+    // deletion vectors reconcile by BLOB identity (path, offset)
+    val dvSeqd = dvEntries.result()
+    val deadDv = dvSeqd.collect { case (p, 2, _, _, _, _, _, off, _) => (p, off) }.toSet
+    val liveDv = dvSeqd.collect {
+      case (p, s, q, recs, t, dsz, ref, off, len) if s != 2 && !deadDv((p, off)) =>
+        DeleteFileRef(p, q, recs, Seq.empty, t, dsz, Some(ref), off, len)
+    }.distinctBy(d => (d.path, d.contentOffset))
+    // v3 bans parquet position-delete files (DVs replace them); a
+    // reader that silently applied both would mask an invalid table
+    require(fv != 3 || !liveDel.exists(_.equalityColumns.isEmpty),
+      "IcebergTable: format-version 3 with live parquet position-delete files — " +
+        "v3 requires deletion vectors; rewrite the deletes before upgrading")
+    require(liveDv.groupBy(_.referencedDataFile.get).forall(_._2.size == 1),
+      "IcebergTable: multiple live deletion vectors reference one data file — " +
+        "v3 requires at most one DV per file")
     Snapshot(wantId, live.map(_._1), schema, pcols, live.map(_._2),
       live.map { case (p, t, q, size, recs, bnds) =>
         DataFileRef(p, q, t, size, recs, bnds) },
-      liveDel, fv, propertiesOf(meta))
+      liveDel ++ liveDv, fv, propertiesOf(meta))
   }
 
   /** Read a snapshot as a DataFrame: metadata walk → declared-schema
@@ -724,30 +790,62 @@ object IcebergTable {
     // partition-blind reader would delete matching rows everywhere
     // (r13 advice; over-applied POSITION deletes are inert because
     // they match exact file paths, so they stay partition-blind).
+    // a v3 deletion vector is scoped to exactly ONE data file — it
+    // applies by reference, not by sequence; identity is the
+    // scheme-less path on both sides
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val dvByFile: Map[String, DeleteFileRef] =
+      snap.deleteFiles.filter(_.isDv)
+        .map(d => norm(d.referencedDataFile.get) -> d).toMap
     val groups = refs
       .groupBy { r =>
-        (snap.deleteFiles.filter(d => d.equalityColumns.isEmpty && d.sequence >= r.sequence)
+        (snap.deleteFiles.filter(d =>
+            d.equalityColumns.isEmpty && !d.isDv && d.sequence >= r.sequence)
           .map(_.path).sorted,
           snap.deleteFiles.filter(d => d.equalityColumns.nonEmpty && d.sequence > r.sequence &&
               (d.partition.isEmpty || d.partition == r.partition))
-            .map(_.path).sorted)
+            .map(_.path).sorted,
+          dvByFile.contains(norm(r.path)))
       }
       .toSeq.sortBy(_._2.head.path)
-    val branches = groups.map { case ((posPaths, eqPaths), files) =>
+    val branches = groups.map { case ((posPaths, eqPaths, hasDv), files) =>
       val scan = spark.read.schema(snap.schema).parquet(files.map(_.path): _*)
       val afterPos =
-        if (posPaths.isEmpty) scan
+        if (posPaths.isEmpty && !hasDv) scan
         else {
           val withMeta = scan.select(col("*"),
             DeltaLog.normalizedFileId(col("_metadata.file_path")).as("__fid"),
             col("_metadata.row_index").as("__pos"))
-          val dels0 = spark.read.parquet(posPaths: _*)
-            .select(DeltaLog.normalizedFileId(col("file_path")).as("__dfid"),
-              col("pos").cast(LongType).as("__dpos"))
-          // manifests declare record_count per delete file (required
-          // in v2) — broadcast when the tombstone set provably fits
-          val posRefs = snap.deleteFiles.filter(d => posPaths.contains(d.path))
-          val dels = if (fits(posRefs)) broadcast(dels0) else dels0
+          // tombstone (file, pos) pairs: parquet position-delete files
+          // plus puffin deletion-vector blobs DECODED IN EXECUTOR
+          // TASKS (one task per blob — positions never funnel through
+          // the driver, the Delta readWithDv contract)
+          val posPairs =
+            if (posPaths.isEmpty) None
+            else Some(spark.read.parquet(posPaths: _*)
+              .select(DeltaLog.normalizedFileId(col("file_path")).as("__dfid"),
+                col("pos").cast(LongType).as("__dpos")))
+          val dvRefs = files.flatMap(f => dvByFile.get(norm(f.path)))
+          val dvPairs =
+            if (dvRefs.isEmpty) None
+            else {
+              import spark.implicits._
+              val hadoopConfB = spark.sparkContext.broadcast(
+                new org.apache.spark.util.SerializableConfiguration(
+                  spark.sessionState.newHadoopConf()))
+              val descs = dvRefs.map(d =>
+                (norm(d.referencedDataFile.get), d.path, d.contentOffset, d.contentSize))
+              Some(spark.createDataset(descs).flatMap { case (fid, pp, off, len) =>
+                val p = new Path(pp)
+                Puffin.readDv(p.getFileSystem(hadoopConfB.value.value), p, off, len)
+                  .toSeq.map(pos => (fid, pos))
+              }.toDF("__dfid", "__dpos"))
+            }
+          val dels0 = (posPairs.toSeq ++ dvPairs.toSeq).reduce(_.unionByName(_))
+          // manifests declare record_count per delete file/blob
+          // (required) — broadcast when the tombstone set provably fits
+          val gateRefs = snap.deleteFiles.filter(d => posPaths.contains(d.path)) ++ dvRefs
+          val dels = if (fits(gateRefs)) broadcast(dels0) else dels0
           withMeta.join(dels,
             withMeta("__fid") === dels("__dfid") && withMeta("__pos") === dels("__dpos"),
             "left_anti").drop("__fid", "__pos")
@@ -890,7 +988,9 @@ object IcebergTable {
     val snap = snapshot(spark, tablePath, None)
     val minSize = if (minFileSizeBytes >= 0) minFileSizeBytes else (targetFileBytes * 3) / 4
     def deleteApplies(r: DataFileRef): Boolean = snap.deleteFiles.exists { d =>
-      if (d.equalityColumns.isEmpty) d.sequence >= r.sequence
+      if (d.isDv)
+        new Path(d.referencedDataFile.get).toUri.getPath == new Path(r.path).toUri.getPath
+      else if (d.equalityColumns.isEmpty) d.sequence >= r.sequence
       else d.sequence > r.sequence && (d.partition.isEmpty || d.partition == r.partition)
     }
     val selected: Seq[DataFileRef] = snap.dataRefs.groupBy(_.partition).toSeq
@@ -933,20 +1033,20 @@ object IcebergTable {
     val staged = stageDataFiles(spark, fs, table, toStage, pby, pfields, stamp)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val newSeq: Long =
-      if (fv == 2)
+      if (fv >= 2)
         (if (meta.has("last-sequence-number")) meta.get("last-sequence-number").asLong() else 0L) + 1
       else 1L
     // ADDED manifest for the compacted outputs (v2 entry shape: the
     // explicit content/sequence fields gate carried deletes OFF them)
     val entrySchema =
-      if (fv == 2) deleteManifestEntrySchema(pfields) else manifestEntrySchema(pfields)
+      if (fv >= 2) deleteManifestEntrySchema(pfields) else manifestEntrySchema(pfields)
     val added = staged.map { sf =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
-      if (fv == 2) e.put("sequence_number", newSeq)
+      if (fv >= 2) e.put("sequence_number", newSeq)
       val d = new GenericData.Record(entrySchema.getField("data_file").schema())
-      if (fv == 2) d.put("content", 0)
+      if (fv >= 2) d.put("content", 0)
       d.put("file_path", sf.path)
       d.put("file_format", "PARQUET")
       d.put("record_count", sf.records)
@@ -1008,9 +1108,9 @@ object IcebergTable {
                 val o = new GenericData.Record(entrySchema)
                 o.put("status", 0) // EXISTING
                 opt(e, "snapshot_id").foreach(o.put("snapshot_id", _))
-                if (fv == 2) o.put("sequence_number", seq)
+                if (fv >= 2) o.put("sequence_number", seq)
                 val d = new GenericData.Record(entrySchema.getField("data_file").schema())
-                if (fv == 2) d.put("content", 0)
+                if (fv >= 2) d.put("content", 0)
                 d.put("file_path", src.get("file_path").toString)
                 d.put("file_format", src.get("file_format").toString)
                 d.put("record_count",
@@ -1221,7 +1321,7 @@ object IcebergTable {
           p.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
       } else (None, 0L)
     val fv = prevMeta.map(_.get("format-version").asInt()).getOrElse(1)
-    require(fv == 1 || fv == 2,
+    require(fv >= 1 && fv <= 3,
       s"IcebergTable: append into format-version $fv is not supported")
     var schemaEvolved = false
     prevMeta.foreach { m =>
@@ -1305,7 +1405,7 @@ object IcebergTable {
 
     // the new data manifest's sequence number (v2 only; v1 has none)
     val newSeq: Long =
-      prevMeta.filter(_ => fv == 2)
+      prevMeta.filter(_ => fv >= 2)
         .map(m => (if (m.has("last-sequence-number")) m.get("last-sequence-number").asLong() else 0L) + 1)
         .getOrElse(1L)
     // carry forward the prior snapshot's manifests WITH their v2
@@ -1353,13 +1453,13 @@ object IcebergTable {
   private def writeManifestList(
       fs: FileSystem, metaDir: Path, fv: Int, snapshotId: Long, stamp: String,
       rows: Seq[(String, Long, Int, Long, Long, Long)]): Path = {
-    val listSchema = if (fv == 2) ManifestListSchemaV2 else ManifestListSchema
+    val listSchema = if (fv >= 2) ManifestListSchemaV2 else ManifestListSchema
     val listRecords = rows.map { case (p, len, content, seq, minSeq, addedBy) =>
       val r = new GenericData.Record(listSchema)
       r.put("manifest_path", p)
       r.put("manifest_length", len)
       r.put("partition_spec_id", 0)
-      if (fv == 2) {
+      if (fv >= 2) {
         r.put("content", content)
         r.put("sequence_number", seq)
         r.put("min_sequence_number", minSeq)
@@ -1389,7 +1489,7 @@ object IcebergTable {
     val metaDir = metadataDir(tablePath)
     val meta = mapper.createObjectNode()
     meta.put("format-version", fv)
-    if (fv == 2) meta.put("last-sequence-number", newSeq)
+    if (fv >= 2) meta.put("last-sequence-number", newSeq)
     meta.put("table-uuid",
       prevMeta.map(_.get("table-uuid").asText()).getOrElse(java.util.UUID.randomUUID().toString))
     meta.put("location", tablePath)
@@ -1445,7 +1545,7 @@ object IcebergTable {
       f.put("field-id", 1000 + i)
     }
     meta.put("default-spec-id", 0)
-    if (fv == 2) {
+    if (fv >= 2) {
       val orders = meta.putArray("sort-orders")
       val o0 = orders.addObject()
       o0.put("order-id", 0)
@@ -1471,7 +1571,7 @@ object IcebergTable {
     }
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
-    if (fv == 2) sn.put("sequence-number", newSeq)
+    if (fv >= 2) sn.put("sequence-number", newSeq)
     sn.put("timestamp-ms", System.currentTimeMillis())
     sn.put("schema-id", schemaId) // time travel serves the snapshot's OWN shape
     sn.put("manifest-list", fs.makeQualified(listPath).toString)
@@ -1574,6 +1674,9 @@ object IcebergTable {
     val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
     val meta = readJson(fs, metaPath)
     val snap = snapshot(spark, tablePath, None)
+    require(snap.formatVersion < 3,
+      "IcebergTable: deleteRows writes parquet position-delete files, which " +
+        "format-version 3 bans — use deleteRowsDv (deletion vectors) instead")
     if (snap.fieldIdsWritten) DeltaLog.enableFieldIdRead(spark)
     // live-row scan WITH existing POSITION deletes applied, so a
     // predicate matching only position-dead rows is a no-op, plus the
@@ -1730,6 +1833,150 @@ object IcebergTable {
       content = 2, equalityIds = ids, partitionFields = ptypes)
   }
 
+  /** DELETE rows via format-version 3 DELETION VECTORS: one puffin
+    * `deletion-vector-v1` blob per affected data file (decoded
+    * roaring bitmaps of dead `_metadata.row_index` positions),
+    * referenced from a delete manifest by `referenced_data_file` +
+    * `content_offset`/`content_size_in_bytes`. Commits upgrade the
+    * table to format-version 3 (v1/v2 reads are otherwise unchanged —
+    * the v2 manifest shapes carry over, per the spec's upgrade rule).
+    *
+    * Re-deleting a file that already carries a DV writes a NEW vector
+    * holding the UNION of old and new positions and tombstones the
+    * old blob's entry (status DELETED) in the same manifest — the
+    * spec's at-most-one-DV-per-file invariant. Parquet position
+    * deletes may not coexist (v3 bans them): rewrite first. Equality
+    * deletes are untouched and keep applying. Returns the new
+    * snapshot id, or -1 when no LIVE row matches.
+    *
+    * Scale shape: one predicate-pushed scan; per-file bitmaps
+    * serialize in EXECUTOR tasks (groupByKey on the file identity) and
+    * only compressed bytes reach the driver — the same contract as
+    * [[DeltaLog.deleteWithDv]].
+    */
+  def deleteRowsDv(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val metaPath = currentMetadataPath(fs, tablePath)
+    val prevVersion = metaPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(fs, metaPath)
+    val snap = snapshot(spark, tablePath, None)
+    require(snap.deleteFiles.forall(d => d.isDv || d.equalityColumns.nonEmpty),
+      "IcebergTable: live parquet position-delete files — format-version 3 bans " +
+        "them; rewriteDataFiles to purge the tombstones before DV deletes")
+    if (snap.fieldIdsWritten) DeltaLog.enableFieldIdRead(spark)
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val existingDvs: Map[String, (String, Long, Long, Long)] =
+      snap.deleteFiles.filter(_.isDv).map(d =>
+        norm(d.referencedDataFile.get) ->
+          ((d.path, d.contentOffset, d.contentSize, d.sequence))).toMap
+    import spark.implicits._
+    val hadoopConfB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    // LIVE rows (existing DVs applied) with row provenance
+    val base = spark.read.schema(snap.schema).parquet(snap.files: _*)
+      .select(col("*"),
+        DeltaLog.normalizedFileId(col("_metadata.file_path")).as("__fid"),
+        col("_metadata.row_index").as("__pos"))
+    val live =
+      if (existingDvs.isEmpty) base
+      else {
+        val descs = existingDvs.toSeq.map { case (fid, (p, off, len, _)) => (fid, p, off, len) }
+        val dels = spark.createDataset(descs).flatMap { case (fid, pp, off, len) =>
+          val p = new Path(pp)
+          Puffin.readDv(p.getFileSystem(hadoopConfB.value.value), p, off, len)
+            .toSeq.map(pos => (fid, pos))
+        }.toDF("__dfid", "__dpos")
+        base.join(dels,
+          base("__fid") === dels("__dfid") && base("__pos") === dels("__dpos"), "left_anti")
+      }
+    // per-file union of old + fresh positions, serialized in executors
+    val exB = spark.sparkContext.broadcast(existingDvs)
+    val frames: Seq[(String, Array[Byte], Long)] =
+      live.filter(predicate).select(col("__fid"), col("__pos"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (fid, it) =>
+          val fresh = it.map(_._2).toArray
+          val old = exB.value.get(fid).map { case (p, off, len, _) =>
+            val pp = new Path(p)
+            Puffin.readDv(pp.getFileSystem(hadoopConfB.value.value), pp, off, len)
+          }.getOrElse(Array.empty[Long])
+          val all = (old ++ fresh).distinct.sorted
+          (fid, Puffin.serialize64(all), all.length.toLong)
+        }
+        .collect().toSeq.sortBy(_._1)
+    if (frames.isEmpty) return -1L
+    // publish: the puffin file, then ADDED entries for the new blobs
+    // and DELETED entries tombstoning any replaced blob
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val newSeq =
+      (if (meta.has("last-sequence-number")) meta.get("last-sequence-number").asLong() else 0L) + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val refByFid: Map[String, DataFileRef] =
+      snap.dataRefs.map(r => norm(r.path) -> r).toMap
+    val puffinPath = new Path(table, s"data/dv-$stamp.puffin")
+    fs.mkdirs(puffinPath.getParent)
+    val blobs = Puffin.writeDvFilePacked(fs, puffinPath,
+      frames.map { case (fid, bytes, card) => (refByFid(fid).path, bytes, card) },
+      snapshotId, newSeq)
+    val puffinLen = fs.getFileStatus(puffinPath).getLen
+    val qPuffin = fs.makeQualified(puffinPath).toString
+    val ptypes: Seq[(String, DataType)] =
+      snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
+    val ptypeMap = ptypes.toMap
+    def typedTuple(t: Map[String, String]): Map[String, Any] =
+      t.map { case (k, v) =>
+        k -> (ptypeMap.get(k) match {
+          case Some(IntegerType) => Integer.valueOf(v.toInt)
+          case Some(LongType) => java.lang.Long.valueOf(v.toLong)
+          case _ => v
+        })
+      }
+    val entrySchema = deleteManifestEntrySchema(ptypes)
+    def dvEntry(status: Int, seq: Long, path: String, fileLen: Long,
+        refFile: String, off: Long, size: Long, card: Long,
+        tuple: Map[String, Any]): GenericRecord = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seq)
+      val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+      d.put("content", 1)
+      d.put("file_path", path)
+      d.put("file_format", "PUFFIN")
+      d.put("record_count", card)
+      d.put("file_size_in_bytes", fileLen)
+      d.put("referenced_data_file", refFile)
+      d.put("content_offset", off)
+      d.put("content_size_in_bytes", size)
+      if (ptypes.nonEmpty) {
+        val pr = new GenericData.Record(
+          entrySchema.getField("data_file").schema().getField("partition").schema())
+        tuple.foreach { case (k, v) => pr.put(k, v) }
+        d.put("partition", pr)
+      }
+      e.put("data_file", d)
+      e
+    }
+    val added = frames.zip(blobs).map { case ((fid, _, card), b) =>
+      dvEntry(1, newSeq, qPuffin, puffinLen, refByFid(fid).path,
+        b.offset, b.length, card, typedTuple(refByFid(fid).partition))
+    }
+    val replaced = frames.flatMap { case (fid, _, _) =>
+      existingDvs.get(fid).map { case (p, off, size, oldSeq) =>
+        dvEntry(2, oldSeq, p, 0L, refByFid(fid).path, off, size, 0L,
+          typedTuple(refByFid(fid).partition))
+      }
+    }
+    publishDeleteManifestSnapshot(fs, conf, tablePath, meta, prevVersion,
+      entrySchema, added ++ replaced, newSeq, snapshotId, formatVersion = 3)
+  }
+
   /** Shared publish tail of [[deleteRows]] and [[deleteRowsEquality]]:
     * the delete manifest, the v2 manifest list carrying the current
     * snapshot's manifests forward, and the upgraded metadata JSON.
@@ -1743,7 +1990,6 @@ object IcebergTable {
       prevVersion: Long, moved: Seq[(String, Long, Long, Map[String, Any])],
       content: Int, equalityIds: Seq[Int],
       partitionFields: Seq[(String, DataType)] = Seq.empty): Long = {
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
     val newSeq =
       (if (meta.has("last-sequence-number")) meta.get("last-sequence-number").asLong() else 0L) + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
@@ -1776,6 +2022,21 @@ object IcebergTable {
       e.put("data_file", d)
       e
     }
+    publishDeleteManifestSnapshot(fs, conf, tablePath, meta, prevVersion,
+      entrySchema, entries, newSeq, snapshotId,
+      math.max(2, meta.get("format-version").asInt()))
+  }
+
+  /** Shared publish tail: land a DELETE manifest's entries, carry the
+    * current snapshot's manifests forward, and publish the upgraded
+    * metadata JSON at `formatVersion`.
+    */
+  private def publishDeleteManifestSnapshot(
+      fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+      tablePath: String, meta: com.fasterxml.jackson.databind.JsonNode,
+      prevVersion: Long, entrySchema: Schema, entries: Seq[GenericRecord],
+      newSeq: Long, snapshotId: Long, formatVersion: Int): Long = {
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
     val metaDir0 = metadataDir(tablePath)
     val manifestPath = new Path(metaDir0, s"manifest-del-$stamp.avro")
     val manifestLen = writeAvro(fs, manifestPath, entrySchema, entries)
@@ -1815,9 +2076,11 @@ object IcebergTable {
     val listPath = new Path(metaDir0, s"snap-$snapshotId-$stamp.avro")
     writeAvro(fs, listPath, ManifestListSchemaV2, listRecords)
 
-    // publish: deep-copy the prior metadata, upgrade to v2 in place
+    // publish: deep-copy the prior metadata, upgrade in place (v2 for
+    // parquet deletes; v3 when the snapshot carries deletion vectors —
+    // never a downgrade)
     val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
-    newMeta.put("format-version", 2)
+    newMeta.put("format-version", formatVersion)
     newMeta.put("last-sequence-number", newSeq)
     newMeta.put("last-updated-ms", System.currentTimeMillis())
     if (!newMeta.has("schemas")) {
