@@ -3688,6 +3688,54 @@ object CoreQueries {
       |WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 <> 5
       |ORDER BY o_orderkey""".stripMargin
 
+  private val S61Root =
+    s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s61_iceberg_repl"
+  private val s61BuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** S61 — ICEBERG STREAMING SOURCE (r15 verdict item 4): an
+    * append-only replica driven by [[graft.sources.IcebergTable
+    * .replicate]] — each source APPEND snapshot lands as one
+    * exactly-once micro-batch (rows via `readAppendsBetween`; the
+    * compaction between the last two appends contributes nothing),
+    * with the cursor recovered from the SINK's snapshot-summary stamp.
+    * The poll is killed after two batches and restarted, so the
+    * replica's final relation proves the crash-resume path: a consumer
+    * that re-reads a batch, skips one, or double-reads after the
+    * maintenance pass hash-fails against the oracle.
+    */
+  def s61IcebergReplication(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleFixtureDirs()
+    s61BuiltFor.synchronized {
+      if (s61BuiltFor.get() != dir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(S61Root))
+        val src = s"$S61Root/src"
+        val dst = s"$S61Root/dst"
+        val base = Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.IcebergTable.append(spark, src,
+          base.filter(col("o_orderkey") % 3 === 0))
+        graft.sources.IcebergTable.append(spark, src,
+          base.filter(col("o_orderkey") % 3 === 1).repartition(4))
+        graft.sources.IcebergTable.rewriteDataFiles(spark, src,
+          minFileSizeBytes = Long.MaxValue) // layout only: no new rows
+        graft.sources.IcebergTable.append(spark, src,
+          base.filter(col("o_orderkey") % 3 === 2))
+        // mid-stream kill after two batches, then the restarted poll
+        require(graft.sources.IcebergTable.replicate(spark, src, dst,
+          maxBatches = 2) == 2, "s61: first poll must apply two batches")
+        require(graft.sources.IcebergTable.replicate(spark, src, dst) == 1,
+          "s61: the restarted poll must apply exactly the remaining batch")
+        s61BuiltFor.set(dir)
+      }
+    }
+    graft.sources.IcebergTable.read(spark, s"$S61Root/dst").orderBy("o_orderkey")
+  }
+
+  private val s61IcebergReplicationSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   private val S52Root =
     s"/tmp/graft-fixtures-p${ProcessHandle.current().pid()}/s52_iceberg_files"
   private val s52BuiltFor =
@@ -4007,6 +4055,7 @@ object CoreQueries {
     "s58_delta_row_tracking_write" -> s58DeltaRowTrackingWrite _,
     "s59_delta_identity" -> s59DeltaIdentity _,
     "s60_iceberg_v3_dv" -> s60IcebergV3Dv _,
+    "s61_iceberg_replication" -> s61IcebergReplication _,
     "s54_iceberg_range" -> s54IcebergRange _,
     "s55_iceberg_tag" -> s55IcebergTag _,
     "s56_iceberg_incremental" -> s56IcebergIncremental _,
@@ -4356,6 +4405,7 @@ object CoreQueries {
     "s58_delta_row_tracking_write" -> s58DeltaRowTrackingWriteSql,
     "s59_delta_identity" -> s59DeltaIdentitySql,
     "s60_iceberg_v3_dv" -> s60IcebergV3DvSql,
+    "s61_iceberg_replication" -> s61IcebergReplicationSql,
     "s54_iceberg_range" -> s54IcebergRangeSql,
     "s55_iceberg_tag" -> s55IcebergTagSql,
     "s56_iceberg_incremental" -> s56IcebergIncrementalSql,

@@ -916,31 +916,112 @@ object IcebergTable {
   def appendOnce(
       spark: SparkSession, tablePath: String, df: DataFrame,
       appId: String, epoch: Long,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      extraSummary: Map[String, String] = Map.empty): Long = {
     if (lastCommittedEpoch(spark, tablePath, appId).exists(_ >= epoch)) return -1L
     append(spark, tablePath, df, partitionBy,
-      summary = Map("graft.app-id" -> appId, "graft.epoch" -> epoch.toString))
+      summary = extraSummary ++
+        Map("graft.app-id" -> appId, "graft.epoch" -> epoch.toString))
   }
 
   /** The newest epoch `appId` committed (from snapshot summaries,
     * newest first), or None if never / all stamped snapshots expired.
     */
   def lastCommittedEpoch(
-      spark: SparkSession, tablePath: String, appId: String): Option[Long] = {
+      spark: SparkSession, tablePath: String, appId: String): Option[Long] =
+    lastCommittedStamp(spark, tablePath, appId).map(_._1)
+
+  /** The newest `(epoch, full summary)` stamp `appId` committed — the
+    * read side of the exactly-once sink, which a CONSUMER also uses to
+    * recover its source cursor after a restart ([[replicate]]).
+    */
+  def lastCommittedStamp(
+      spark: SparkSession, tablePath: String,
+      appId: String): Option[(Long, Map[String, String])] = {
     val fs = fsOf(spark, new Path(tablePath))
     val metaDir0 = metadataDir(tablePath)
     if (!fs.exists(metaDir0) || fs.listStatus(metaDir0).isEmpty) return None
     val meta = readJson(fs, currentMetadataPath(fs, tablePath))
     val snaps = meta.get("snapshots")
     if (snaps == null || !snaps.isArray) return None
-    val epochs = (0 until snaps.size()).map(snaps.get).flatMap { sn =>
+    val stamps = (0 until snaps.size()).map(snaps.get).flatMap { sn =>
       val sm = sn.get("summary")
       if (sm != null && sm.has("graft.app-id") &&
-          sm.get("graft.app-id").asText() == appId && sm.has("graft.epoch"))
-        Some(sm.get("graft.epoch").asText().toLong)
-      else None
+          sm.get("graft.app-id").asText() == appId && sm.has("graft.epoch")) {
+        val b = Map.newBuilder[String, String]
+        val it = sm.fields()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        Some(sm.get("graft.epoch").asText().toLong -> b.result())
+      } else None
     }
-    if (epochs.isEmpty) None else Some(epochs.max)
+    if (stamps.isEmpty) None else Some(stamps.maxBy(_._1))
+  }
+
+  /** ICEBERG STREAMING SOURCE — the per-micro-batch consumer twin of
+    * the [[appendOnce]] sink (r15 verdict item 4, closing format
+    * parity with the Delta side's `readChangesSince` replication):
+    * each APPEND snapshot of `srcTable` lands in `dstTable` as one
+    * exactly-once micro-batch, rows pulled through
+    * [[readAppendsBetween]] (so a maintenance `replace` in the range
+    * contributes nothing, and a row-removing snapshot refuses loudly —
+    * an append-only replica cannot express it).
+    *
+    * The cursor is the s57 mechanism READ-side: every batch commit
+    * stamps `(appId, epoch, graft.src-snapshot)` into the SINK's
+    * snapshot summary, and a restart recovers `graft.src-snapshot`
+    * from the newest stamp via [[lastCommittedStamp]] — so a kill
+    * between any two batches resumes exactly after the last consumed
+    * source snapshot, and a replayed batch is absorbed by the epoch
+    * guard. Storing the source SNAPSHOT ID (not a lineage ordinal)
+    * keeps the cursor valid across source [[expireSnapshots]] runs —
+    * as long as retention outlasts consumer lag; a cursor pointing at
+    * an expired snapshot refuses loudly rather than re-reading or
+    * skipping. `maxBatches` bounds one poll (and simulates a
+    * mid-stream crash in tests). Returns the number of batches
+    * applied.
+    */
+  def replicate(
+      spark: SparkSession, srcTable: String, dstTable: String,
+      appId: String = "graft-iceberg-repl", maxBatches: Int = Int.MaxValue): Int = {
+    val lineage: Seq[(Long, String)] = snapshotsTable(spark, srcTable)
+      .orderBy("lineage").select("snapshot_id", "operation")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stamp = lastCommittedStamp(spark, dstTable, appId)
+    var lastEpoch = stamp.map(_._1).getOrElse(-1L)
+    var prevSid: Option[Long] = stamp.map { case (e, sm) =>
+      sm.getOrElse("graft.src-snapshot", throw new IllegalArgumentException(
+        s"IcebergTable: replication stamp epoch $e in $dstTable carries no " +
+          "graft.src-snapshot — not a replicate() sink")).toLong
+    }
+    val startIdx = prevSid match {
+      case None => 0
+      case Some(sid) =>
+        val i = lineage.indexWhere(_._1 == sid)
+        require(i >= 0,
+          s"IcebergTable: replication cursor snapshot $sid expired from $srcTable — " +
+            "source retention must outlast consumer lag")
+        i + 1
+    }
+    var applied = 0
+    lineage.drop(startIdx).foreach { case (sid, op) =>
+      if (applied < maxBatches) op match {
+        case "replace" => () // layout-only: the next append's range covers it
+        case "append" =>
+          val rows = prevSid match {
+            case None => read(spark, srcTable, Some(sid))
+            case Some(p) => readAppendsBetween(spark, srcTable, p, sid)
+          }
+          lastEpoch += 1
+          appendOnce(spark, dstTable, rows, appId, lastEpoch,
+            extraSummary = Map("graft.src-snapshot" -> sid.toString))
+          prevSid = Some(sid)
+          applied += 1
+        case other => throw new IllegalArgumentException(
+          s"IcebergTable: source snapshot $sid is a '$other' — an append-only " +
+            "replica cannot express row removal; rebuild the replica instead")
+      }
+    }
+    applied
   }
 
   /** REWRITE DATA FILES — the `rewrite_data_files` maintenance twin

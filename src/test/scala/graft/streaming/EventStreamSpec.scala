@@ -584,6 +584,45 @@ class EventStreamSpec extends SparkSpec {
       "whole-stream replay must not duplicate rows")
   }
 
+  test("iceberg streaming SOURCE: replicate resumes after a mid-stream kill, row-equal to the batch poll") {
+    import spark.implicits._
+    import graft.sources.IcebergTable
+    val dir = Files.createTempDirectory("graft-ice-repl").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"
+    IcebergTable.append(spark, src,
+      (0 until 20).map(i => (i.toLong, "a")).toDF("id", "tag"))
+    IcebergTable.append(spark, src,
+      (20 until 40).map(i => (i.toLong, "b")).toDF("id", "tag").repartition(3))
+    // a maintenance pass between appends: contributes NO rows — a
+    // replica double-reading after compaction would be the bug
+    IcebergTable.rewriteDataFiles(spark, src, minFileSizeBytes = Long.MaxValue)
+    IcebergTable.append(spark, src,
+      (40 until 60).map(i => (i.toLong, "c")).toDF("id", "tag"))
+    // KILL after two batches — the restart must resume from the
+    // summary-stamped cursor, not re-read or skip
+    assert(IcebergTable.replicate(spark, src, dst, maxBatches = 2) == 2)
+    assert(IcebergTable.read(spark, dst).count() == 40)
+    assert(IcebergTable.replicate(spark, src, dst) == 1)
+    val got = IcebergTable.read(spark, dst).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 60L))
+    // idle poll: nothing new -> zero batches, zero commits
+    assert(IcebergTable.replicate(spark, src, dst) == 0)
+    // row-equal to the one-shot batch poll over the full range
+    val ids = IcebergTable.snapshotsTable(spark, src)
+      .filter(col("operation") === "append")
+      .orderBy("lineage").select("snapshot_id").as[Long].collect()
+    val batchPoll = IcebergTable.read(spark, src, Some(ids.head))
+      .unionByName(IcebergTable.readAppendsBetween(spark, src, ids.head, ids.last))
+      .select("id").as[Long].collect().sorted
+    assert(batchPoll.toSeq == got.toSeq)
+    // a row-removing source snapshot refuses loudly
+    IcebergTable.deleteRowsDv(spark, src, col("id") === 0L)
+    IcebergTable.append(spark, src, Seq((100L, "d")).toDF("id", "tag"))
+    assert(intercept[IllegalArgumentException](
+      IcebergTable.replicate(spark, src, dst))
+      .getMessage.contains("append-only"))
+  }
+
   test("checkpoint restart: sink killed mid-run resumes and converges exactly once") {
     val dir = Files.createTempDirectory("graft-restart").toString
     val in = s"$dir/in"; val tgt = s"$dir/target"; val ck = s"$dir/ck"
