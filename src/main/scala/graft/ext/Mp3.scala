@@ -299,6 +299,369 @@ object Mp3 {
     Mp3Pcm(frames, sampleRate, 1, pcm.result())
   }
 
+  // ------------------------------------------- spectrum decode (r16)
+
+  /** Long-block SCALEFACTOR-BAND widths (ISO 11172-3 Table B.8,
+    * MPEG-1): 21 bands summing to 576 lines. Transcribed for 44.1 and
+    * 48 kHz and SUM-CHECKED at load; 32 kHz is not transcribed in
+    * this zero-egress build and refuses.
+    */
+  private val SfbWidthsLong: Map[Int, Array[Int]] = Map(
+    44100 -> Array(4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10,
+      12, 16, 20, 24, 28, 34, 42, 50, 54, 76),
+    48000 -> Array(4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10,
+      12, 16, 18, 22, 28, 34, 40, 46, 54, 54))
+  SfbWidthsLong.foreach { case (sr, w) =>
+    require(w.length == 21 && w.sum == 576 - (if (sr == 48000) 192 else 158),
+      s"MP3: sfb table for $sr does not cover the spectrum") }
+  // the 22nd "band" is the tail past the last scalefactor band
+  private def sfbBounds(sr: Int): Array[Int] = {
+    val w = SfbWidthsLong.getOrElse(sr, throw new IllegalArgumentException(
+      s"MP3: scalefactor-band table for $sr Hz not transcribed in this build"))
+    w.scanLeft(0)(_ + _) :+ 576
+  }
+
+  /** preflag's per-band scalefactor addend (ISO 2.4.3.4.7.1 pretab). */
+  private val Pretab = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2)
+
+  /** One transcribed big-values Huffman table: (x, y) -> (code, bits).
+    * `linbits` escape extensions are machinery-supported but no
+    * linbits table is transcribed yet.
+    */
+  private final case class BigValueTable(
+      linbits: Int, codes: Map[(Int, Int), (Int, Int)]) {
+    val maxLen: Int = if (codes.isEmpty) 0 else codes.values.map(_._2).max
+    val decode: Map[(Int, Int), (Int, Int)] =
+      codes.map { case (xy, cl) => cl -> xy }
+    require(decode.size == codes.size, "MP3: Huffman table is not prefix-unique")
+  }
+
+  /** The transcribed big-values tables, keyed by `table_select`
+    * (ISO 11172-3 Table B.7). Table 0 is the spec's all-zero table
+    * (zero bits); table 1 is the 2x2 tree transcribed here and
+    * ROUND-TRIP VERIFIED against [[mp3SpectrumPayload]] (the repo's
+    * encoder-twin contract — the same verification the JPEG/PNG
+    * codecs use in this zero-egress build). Absent indices refuse
+    * loudly rather than guessing a tree.
+    */
+  private val BigValueTables: Map[Int, BigValueTable] = Map(
+    0 -> BigValueTable(0, Map.empty),
+    1 -> BigValueTable(0, Map(
+      (0, 0) -> (1, 1), // 1
+      (1, 0) -> (1, 2), // 01
+      (0, 1) -> (1, 3), // 001
+      (1, 1) -> (0, 3)))) // 000
+
+  final case class Mp3Granule(lines: Array[Int], xr: Array[Double])
+  final case class Mp3Spectrum(
+      frames: Int, sampleRate: Int, granules: Seq[Mp3Granule])
+
+  /** Decode MONO Layer III frames to REQUANTIZED SPECTRA — the stage
+    * past [[decodePcm]]'s silence scope (r15 verdict item 6): real
+    * big-values Huffman decode through the transcribed-table registry
+    * (sign bits, escape/linbits machinery), count1 table-B quadruples,
+    * and the spec's formula-defined requantization
+    * `xr = sign·|is|^(4/3) · 2^((gain-210)/4) ·
+    * 2^(-(scalefac_scale+1)/2 · (sfl(sfb) + preflag·pretab(sfb)))` —
+    * per-band scalefactors applied through the sum-checked B.8 band
+    * table. What stays out, loudly: the polyphase SYNTHESIS filterbank
+    * (the tabulated D[512] window this zero-egress build will not
+    * transcribe unverified — so spectra never silently become wrong
+    * PCM), untranscribed Huffman tables, count1 table A, short
+    * blocks, stereo, and 32 kHz band layout.
+    */
+  def decodeSpectrum(bytes: Array[Byte]): Mp3Spectrum = {
+    require(bytes.length >= 4, "MP3: too short")
+    var pos = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+      pos = 10 + size + footer
+    }
+    var frames = 0
+    var sampleRate = 0
+    val ReservoirWindow = 511
+    var reservoir = Array.empty[Byte]
+    val grans = Seq.newBuilder[Mp3Granule]
+    while (pos < bytes.length) {
+      if (bytes.length - pos == 128 && bytes(pos) == 'T' && bytes(pos + 1) == 'A' &&
+          bytes(pos + 2) == 'G') {
+        pos = bytes.length
+      } else {
+        require(pos + 4 <= bytes.length, s"MP3: truncated header at byte $pos")
+        val b2 = bytes(pos + 1) & 0xff
+        val b3 = bytes(pos + 2) & 0xff
+        val b4 = bytes(pos + 3) & 0xff
+        require((bytes(pos) & 0xff) == 0xff && (b2 & 0xe0) == 0xe0,
+          f"MP3: lost sync at byte $pos")
+        require(((b2 >> 3) & 0x03) == 3 && ((b2 >> 1) & 0x03) == 1,
+          "MP3: only MPEG-1 Layer III supported")
+        val crc = (b2 & 0x01) == 0
+        val bIdx = (b3 >> 4) & 0x0f
+        val srIdx = (b3 >> 2) & 0x03
+        val padding = (b3 >> 1) & 0x01
+        require(bIdx >= 1 && bIdx <= 14 && srIdx <= 2, "MP3: bad header indices")
+        require(((b4 >> 6) & 0x03) == 3, "MP3: decodeSpectrum is scoped to MONO")
+        val sr = SampleRate(srIdx)
+        if (frames == 0) sampleRate = sr
+        else require(sr == sampleRate, "MP3: sample rate changed mid-stream")
+        val bounds = sfbBounds(sr)
+        val frameLen = 144 * BitrateKbps(bIdx) * 1000 / sr + padding
+        require(frameLen > 4 && pos + frameLen <= bytes.length,
+          s"MP3: frame at byte $pos overruns the payload")
+        val sideStart = pos + 4 + (if (crc) 2 else 0)
+        require(sideStart + 17 <= pos + frameLen, "MP3: frame too short for side info")
+        val si = new BitReader(bytes, sideStart)
+        val mainDataBegin = si.read(9)
+        si.read(5); si.read(4) // private_bits, scfsi (no sharing: one frame's granules)
+        final case class G(
+            part23: Int, bigValues: Int, globalGain: Int, scalefacCompress: Int,
+            tableSelect: Seq[Int], region0: Int, region1: Int,
+            preflag: Boolean, scalefacScale: Int, count1TableB: Boolean)
+        val side = (0 until 2).map { _ =>
+          val part23 = si.read(12)
+          val bigValues = si.read(9)
+          val globalGain = si.read(8)
+          val sc = si.read(4)
+          require(si.read(1) == 0,
+            "MP3: window-switching (short-block) granules are outside the decode scope")
+          val tables = Seq(si.read(5), si.read(5), si.read(5))
+          val r0 = si.read(4); val r1 = si.read(3)
+          val pre = si.read(1)
+          val ss = si.read(1)
+          val ct1 = si.read(1)
+          G(part23, bigValues, globalGain, sc, tables, r0, r1, pre == 1, ss, ct1 == 1)
+        }
+        val mainStart = sideStart + 17
+        val contributed = pos + frameLen - mainStart
+        val history =
+          if (reservoir.length > ReservoirWindow)
+            java.util.Arrays.copyOfRange(
+              reservoir, reservoir.length - ReservoirWindow, reservoir.length)
+          else reservoir
+        val frameOffsetInReservoir = history.length
+        require(mainDataBegin <= frameOffsetInReservoir,
+          s"MP3: main_data_begin $mainDataBegin reaches before the reservoir start")
+        val merged = new Array[Byte](history.length + contributed)
+        System.arraycopy(history, 0, merged, 0, history.length)
+        System.arraycopy(bytes, mainStart, merged, history.length, contributed)
+        reservoir = merged
+        val md = new BitReader(merged, frameOffsetInReservoir - mainDataBegin)
+        side.foreach { g =>
+          val before = md.bitsRead
+          val slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)(g.scalefacCompress)
+          val slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)(g.scalefacCompress)
+          val sfl = new Array[Int](21)
+          (0 until 11).foreach(i => sfl(i) = md.read(slen1))
+          (11 until 21).foreach(i => sfl(i) = md.read(slen2))
+          val lines = new Array[Int](576)
+          // big_values pairs through the three regions' tables; region
+          // boundaries are SFB indices resolved via the band table
+          require(2 * g.bigValues <= 576, s"MP3: big_values ${g.bigValues} overruns")
+          val r0End = bounds(math.min(g.region0 + 1, 21))
+          val r1End = bounds(math.min(g.region0 + 1 + g.region1 + 1, 21))
+          def tableFor(line: Int): BigValueTable = {
+            val t = if (line < r0End) g.tableSelect(0)
+              else if (line < r1End) g.tableSelect(1)
+              else g.tableSelect(2)
+            BigValueTables.getOrElse(t, throw new IllegalArgumentException(
+              s"MP3: Huffman table $t not transcribed in this build " +
+                s"(transcribed: ${BigValueTables.keys.toSeq.sorted.mkString(",")}); " +
+                "refusing rather than guessing a code tree"))
+          }
+          def readBigValue(tab: BigValueTable): (Int, Int) = {
+            if (tab.codes.isEmpty) return (0, 0) // table 0: zero bits, zero output
+            var code = 0
+            var len = 0
+            while (!tab.decode.contains((code, len))) {
+              require(len < tab.maxLen,
+                "MP3: bit pattern matches no code in the transcribed table")
+              code = (code << 1) | md.read(1)
+              len += 1
+            }
+            val (x0, y0) = tab.decode((code, len))
+            // ESCAPE (linbits) machinery: a 15 reads linbits more, then
+            // a sign bit; the transcribed tables carry linbits = 0
+            def full(v: Int): Int = {
+              val esc = if (v == 15 && tab.linbits > 0) v + md.read(tab.linbits) else v
+              if (esc != 0 && md.read(1) == 1) -esc else esc
+            }
+            (full(x0), full(y0))
+          }
+          var i = 0
+          while (i < 2 * g.bigValues) {
+            val (x, y) = readBigValue(tableFor(i))
+            lines(i) = x
+            lines(i + 1) = y
+            i += 2
+          }
+          // count1 quadruples until part2_3_length exhausts
+          while (md.bitsRead - before < g.part23) {
+            require(g.count1TableB,
+              "MP3: count1 table A not transcribed in this build; " +
+                "count1table_select=1 (table B) is the decodable subset")
+            require(i + 4 <= 576, "MP3: count1 region overruns the spectrum")
+            val quad = ~md.read(4) & 0x0f
+            var q = 3
+            while (q >= 0) {
+              if (((quad >> q) & 1) == 1) {
+                val neg = md.read(1) == 1
+                lines(i + (3 - q)) = if (neg) -1 else 1
+              }
+              q -= 1
+            }
+            i += 4
+          }
+          require(md.bitsRead - before == g.part23,
+            s"MP3: granule main data over-read (${md.bitsRead - before} of ${g.part23} bits)")
+          // requantization (formula-defined, ISO 2.4.3.4.7.1)
+          val xr = new Array[Double](576)
+          val mult = (g.scalefacScale + 1) * 0.5
+          var sfb = 0
+          var j = 0
+          while (j < 576) {
+            while (sfb < 21 && j >= bounds(sfb + 1)) sfb += 1
+            // lines past the last defined band (the B.8 tail) carry no
+            // scalefactor — gain-only requantization
+            val bandScale =
+              if (j < bounds(21))
+                mult * (sfl(sfb) + (if (g.preflag) Pretab(sfb) else 0))
+              else 0.0
+            val scale = 0.25 * (g.globalGain - 210) - bandScale
+            val v = lines(j)
+            if (v != 0)
+              xr(j) = math.signum(v.toDouble) *
+                math.pow(math.abs(v.toDouble), 4.0 / 3.0) * math.pow(2.0, scale)
+            j += 1
+          }
+          grans += Mp3Granule(lines, xr)
+        }
+        pos += frameLen
+        frames += 1
+      }
+    }
+    require(frames > 0, "MP3: no frames")
+    Mp3Spectrum(frames, sampleRate, grans.result())
+  }
+
+  /** ENCODER TWIN for [[decodeSpectrum]]: one MONO frame per input
+    * granule pair, each granule's 576 integer lines (|v| <= 1 — the
+    * transcribed table-1 / count1-B domain) Huffman-packed exactly as
+    * the decoder walks them: `bigValuePairs` pairs through table 1
+    * (table 0 when all zero), the rest through count1 table-B
+    * quadruples up to the last nonzero line, `part2_3_length`
+    * counted bit-exactly, per-band scalefactors at
+    * `scalefac_compress=15` (4+3 bits), global gain / preflag /
+    * scalefac_scale as asked. The round-trip property tests pin the
+    * transcription: any disagreement between this packer and the
+    * decoder's tree surfaces as a loud over/under-read.
+    */
+  def mp3SpectrumPayload(
+      granules: Seq[(Array[Int], Array[Int], Int)], // (lines, sfl(21), globalGain)
+      bigValuePairs: Int, bitrateIdx: Int = 14, srIdx: Int = 0,
+      preflag: Boolean = false, scalefacScale: Int = 0): Array[Byte] = {
+    require(granules.nonEmpty && granules.size % 2 == 0,
+      "MP3: granules come in frame pairs")
+    require(bigValuePairs >= 0 && 2 * bigValuePairs <= 576 && bigValuePairs % 2 == 0,
+      "MP3: bigValuePairs must be even so count1 quadruples stay aligned")
+    granules.foreach { case (lines, sfl, _) =>
+      require(lines.length == 576 && lines.forall(v => math.abs(v) <= 1),
+        "MP3: twin domain is |line| <= 1 (table 1 / count1-B)")
+      require(sfl.length == 21 && sfl.forall(v => v >= 0 && v <= 7),
+        "MP3: scalefactors are 4/3-bit fields at scalefac_compress=15 — " +
+          "cap at 7 so both slen widths hold any band's value")
+    }
+    val frameLen = 144 * BitrateKbps(bitrateIdx) * 1000 / SampleRate(srIdx)
+    val nFrames = granules.size / 2
+    val out = new Array[Byte](nFrames * frameLen)
+    (0 until nFrames).foreach { f =>
+      val base = f * frameLen
+      out(base) = 0xff.toByte
+      out(base + 1) = 0xfb.toByte
+      out(base + 2) = ((bitrateIdx << 4) | (srIdx << 2)).toByte
+      out(base + 3) = 0xc4.toByte // MONO
+      // bit packer over the whole frame tail (side info + main data)
+      var bitPos = (base + 4) * 8
+      def put(v: Int, bits: Int): Unit = {
+        var b = bits - 1
+        while (b >= 0) {
+          if (((v >> b) & 1) == 1)
+            out(bitPos / 8) = (out(bitPos / 8) | (1 << (7 - bitPos % 8))).toByte
+          bitPos += 1
+          b -= 1
+        }
+      }
+      val pair = Seq(granules(2 * f), granules(2 * f + 1))
+      // main-data bits per granule, counted the way the decoder reads
+      def mainBits(lines: Array[Int]): Int = {
+        var bits = 11 * 4 + 10 * 3 // scalefactors at compress=15
+        // table 0 (an all-zero big-value region) writes ZERO bits —
+        // counting table-1 codes for it would declare a part2_3_length
+        // the packer never fills and send the decoder past the region
+        val tab = if (lines.take(2 * bigValuePairs).forall(_ == 0)) 0 else 1
+        var i = 0
+        while (tab == 1 && i < 2 * bigValuePairs) {
+          val (x, y) = (math.abs(lines(i)), math.abs(lines(i + 1)))
+          bits += BigValueTables(1).codes((x, y))._2 + x + y // sign bit per nonzero
+          i += 2
+        }
+        i = 2 * bigValuePairs
+        val lastNz = lines.lastIndexWhere(_ != 0)
+        while (i <= lastNz) {
+          bits += 4 + (0 until 4).count(q => lines(i + q) != 0)
+          i += 4
+        }
+        bits
+      }
+      // side info: 136 bits
+      put(0, 9); put(0, 5); put(0, 4)
+      pair.foreach { case (lines, _, gain) =>
+        put(mainBits(lines), 12)
+        put(bigValuePairs, 9)
+        put(gain, 8)
+        put(15, 4) // scalefac_compress = 15 -> slen 4 / 3
+        put(0, 1)  // long blocks
+        val tab = if (lines.take(2 * bigValuePairs).forall(_ == 0)) 0 else 1
+        put(tab, 5); put(tab, 5); put(tab, 5)
+        put(7, 4); put(7, 3) // region counts (all regions same table)
+        put(if (preflag) 1 else 0, 1)
+        put(scalefacScale, 1)
+        put(1, 1) // count1 table B
+      }
+      require(bitPos == (base + 21) * 8, "MP3: twin side info mispacked")
+      // main data
+      pair.foreach { case (lines, sfl, _) =>
+        (0 until 11).foreach(i => put(sfl(i), 4))
+        (11 until 21).foreach(i => put(sfl(i), 3))
+        val tab = if (lines.take(2 * bigValuePairs).forall(_ == 0)) 0 else 1
+        var i = 0
+        while (i < 2 * bigValuePairs) {
+          if (tab == 1) {
+            val (x, y) = (math.abs(lines(i)), math.abs(lines(i + 1)))
+            val (code, len) = BigValueTables(1).codes((x, y))
+            put(code, len)
+            if (x != 0) put(if (lines(i) < 0) 1 else 0, 1)
+            if (y != 0) put(if (lines(i + 1) < 0) 1 else 0, 1)
+          }
+          i += 2
+        }
+        val lastNz = lines.lastIndexWhere(_ != 0)
+        while (i <= lastNz) {
+          // count1 table B: 4-bit complement of the nonzero mask
+          var mask = 0
+          (0 until 4).foreach { q => if (lines(i + q) != 0) mask |= (1 << (3 - q)) }
+          put(~mask & 0x0f, 4)
+          (0 until 4).foreach { q =>
+            if (lines(i + q) != 0) put(if (lines(i + q) < 0) 1 else 0, 1) }
+          i += 4
+        }
+        require(bitPos <= (base + frameLen) * 8, "MP3: twin main data overruns the frame")
+      }
+    }
+    out
+  }
+
   /** Writer twin for [[decodePcm]]: `n` MONO CBR frames of DIGITAL
     * SILENCE whose side info exercises the real control paths —
     * `part2_3_length = 16` bits per granule spent on four count1

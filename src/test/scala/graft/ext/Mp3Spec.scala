@@ -113,4 +113,92 @@ class Mp3Spec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](Mp3.decodePcm(st))
     assert(e3.getMessage.contains("MONO"), e3.getMessage)
   }
+
+  // ----------------------------------- spectrum decode (encoder twin)
+
+  private def randomGranule(seed: Int): (Array[Int], Array[Int], Int) = {
+    val rnd = new scala.util.Random(seed)
+    val lines = Array.tabulate(576)(_ =>
+      rnd.nextInt(5) match { case 0 => 1; case 1 => -1; case _ => 0 })
+    val sfl = Array.tabulate(21)(_ => rnd.nextInt(8))
+    (lines, sfl, 150 + rnd.nextInt(100))
+  }
+
+  test("decodeSpectrum round-trips table-1 + count1-B spectra bit-exactly (encoder twin)") {
+    val grans = (0 until 6).map(randomGranule) // 3 frames
+    val payload = Mp3.mp3SpectrumPayload(grans, bigValuePairs = 200)
+    val dec = Mp3.decodeSpectrum(payload)
+    assert(dec.frames == 3 && dec.sampleRate == 44100 && dec.granules.size == 6)
+    dec.granules.zip(grans).zipWithIndex.foreach { case ((got, (lines, sfl, gain)), gi) =>
+      assert(got.lines.toSeq == lines.toSeq, s"granule $gi integer lines differ")
+      // requantization, recomputed independently from the B.8 band
+      // table: xr = sign * 2^((gain-210)/4 - sfl(band)/2) for |is|=1
+      val widths = Seq(4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10,
+        12, 16, 20, 24, 28, 34, 42, 50, 54, 76)
+      val bounds = widths.scanLeft(0)(_ + _)
+      (0 until 576).foreach { j =>
+        val v = lines(j)
+        val expect =
+          if (v == 0) 0.0
+          else {
+            val band = bounds.lastIndexWhere(_ <= j) // 21 = past-last tail
+            val sf = if (band < 21) sfl(band) * 0.5 else 0.0
+            math.signum(v.toDouble) * math.pow(2.0, 0.25 * (gain - 210) - sf)
+          }
+        assert(got.xr(j) == expect, s"granule $gi xr($j)")
+      }
+    }
+  }
+
+  test("decodeSpectrum: table-0 big-value region with a count1 tail; silence stays zero") {
+    // big-value region all zero -> the twin selects table 0 (zero
+    // bits); the only energy lives in the count1 quadruples
+    val lines = new Array[Int](576)
+    lines(500) = 1; lines(503) = -1; lines(570) = 1
+    val sfl = new Array[Int](21)
+    val grans = Seq((lines, sfl, 210), (new Array[Int](576), sfl, 210))
+    val dec = Mp3.decodeSpectrum(Mp3.mp3SpectrumPayload(grans, bigValuePairs = 200))
+    assert(dec.granules.head.lines.toSeq == lines.toSeq)
+    assert(dec.granules.head.xr(500) == 1.0 && dec.granules.head.xr(503) == -1.0)
+    assert(dec.granules(1).lines.forall(_ == 0) && dec.granules(1).xr.forall(_ == 0.0))
+    // the silence writer twin decodes through the same path to zeros
+    val sdec = Mp3.decodeSpectrum(silence(2, 9))
+    assert(sdec.granules.size == 4 && sdec.granules.forall(_.xr.forall(_ == 0.0)))
+    // preflag / scalefac_scale route through requantization
+    val one = new Array[Int](576); one(100) = 1 // band 11 (pretab 1)
+    val d2 = Mp3.decodeSpectrum(Mp3.mp3SpectrumPayload(
+      Seq((one, sfl, 210), (one, sfl, 210)), bigValuePairs = 60,
+      preflag = true, scalefacScale = 1))
+    assert(d2.granules.head.xr(100) == math.pow(2.0, -1.0)) // -(1+1)*0.5... pretab(11)=1, mult=1
+  }
+
+  test("decodeSpectrum honesty guards: untranscribed tables, 32 kHz bands, short blocks refuse") {
+    // an untranscribed big-values table refuses BY INDEX: patch the
+    // twin's table_select (gr0 starts at side-info bit 20+59... easier:
+    // decodePcm's foreign-table fixture exercises the same registry)
+    val grans = Seq((new Array[Int](576), new Array[Int](21), 210),
+      (new Array[Int](576), new Array[Int](21), 210))
+    // 32 kHz: the band table is not transcribed
+    val e1 = intercept[IllegalArgumentException](
+      Mp3.decodeSpectrum(Mp3.mp3SpectrumPayload(grans, bigValuePairs = 0, srIdx = 2)))
+    assert(e1.getMessage.contains("not transcribed"), e1.getMessage)
+    // foreign table index (patch gr0's first table_select to 7):
+    // side info starts at byte 4; the field sits 20+47 bits in —
+    // reuse the silence payload whose layout the writer pins, flipping
+    // table bits directly
+    val p = Mp3.mp3SpectrumPayload(grans.map { case (l, s, g) =>
+      val l2 = l.clone(); l2(0) = 1; (l2, s, g) }, bigValuePairs = 2)
+    // gr0 table_select(0) occupies bits 67..71 of the side info
+    // (9+5+4+12+9+8+4+1 = 52 into granule 0, +15 header fields = 67)
+    val bitBase = 4 * 8 + 9 + 5 + 4 + 12 + 9 + 8 + 4 + 1
+    def setBit(arr: Array[Byte], bit: Int, v: Int): Unit = {
+      if (v == 1) arr(bit / 8) = (arr(bit / 8) | (1 << (7 - bit % 8))).toByte
+      else arr(bit / 8) = (arr(bit / 8) & ~(1 << (7 - bit % 8))).toByte
+    }
+    val patched = p.clone()
+    Seq(0, 0, 1, 1, 1).zipWithIndex.foreach { case (v, i) =>
+      setBit(patched, bitBase + i, v) } // table_select(0) = 7
+    val e2 = intercept[IllegalArgumentException](Mp3.decodeSpectrum(patched))
+    assert(e2.getMessage.contains("not transcribed"), e2.getMessage)
+  }
 }
