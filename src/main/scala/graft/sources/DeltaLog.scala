@@ -1768,7 +1768,19 @@ object DeltaLog {
     val rtBases: Seq[(Long, Long)] = // (baseRowId, rows) per moved file
       if (!rtEnabled) Seq.empty
       else {
-        val hwm = existingSnap.flatMap(_.rowIdHighWaterMark).getOrElse(-1L)
+        // a FOREIGN rowTracking table that carries live files but no
+        // delta.rowTracking high-water mark gives the allocator no
+        // floor — fresh ids could collide with burned ones, so refuse
+        // rather than corrupt the identities the feature exists for
+        val hwm = existingSnap.flatMap(_.rowIdHighWaterMark) match {
+          case Some(h) => h
+          case None =>
+            require(existingSnap.forall(_.files.isEmpty),
+              "DeltaLog: append into a rowTracking table with live files but no " +
+                "delta.rowTracking high-water-mark domain metadata — allocating " +
+                "fresh base row ids could reuse burned ones")
+            -1L
+        }
         movedCounts.scanLeft(hwm + 1L)(_ + _).zip(movedCounts)
       }
     def addLines(version: Long): Seq[String] = moved.zipWithIndex.map {
@@ -3757,7 +3769,10 @@ object DeltaLog {
     val rtBases: Seq[(Long, Long)] =
       if (!rt) Seq.empty
       else {
-        val hwm = snap.rowIdHighWaterMark.getOrElse(-1L)
+        require(snap.rowIdHighWaterMark.isDefined,
+          "DeltaLog: compact on a rowTracking table with no delta.rowTracking " +
+            "high-water-mark domain metadata — fresh base ids could reuse burned ones")
+        val hwm = snap.rowIdHighWaterMark.get
         val counts = adds.map { case (rel, _, _, _) => footerRowCount(fs, table, rel) }
         counts.scanLeft(hwm + 1L)(_ + _).zip(counts)
       }

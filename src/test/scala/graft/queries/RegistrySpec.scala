@@ -39,6 +39,8 @@ class RegistrySpec extends AnyFunSuite {
     "s50_iceberg_rename_drop", "s51_iceberg_widening",
     "s52_iceberg_files_table", "s53_delta_row_tracking", "s54_iceberg_range",
     "s55_iceberg_tag", "s56_iceberg_incremental", "s57_iceberg_txn_sink",
+    "s58_delta_row_tracking_write", "s59_delta_identity",
+    "s60_iceberg_v3_dv", "s61_iceberg_replication",
     "s3_malformed_scan",
     "s3_scan_project", "s7_partitioned_write", "set1_except", "set2_union",
     "set3_union_by_name", "w1_surrogate_key", "w1_surrogate_key_scalable",

@@ -177,7 +177,7 @@ class IcebergTableSpec extends SparkSpec {
     assert(metaTxt.contains("\"partition-specs\""), "modern spec list present")
   }
 
-  test("guards: format-version 3 refusal, schema-mismatch append, unsupported type") {
+  test("guards: unsupported format-version refusal, schema-mismatch append, unsupported type") {
     import spark.implicits._
     val t = newTable()
     IcebergTable.append(spark, t, Seq((1L, "a")).toDF("id", "tag"))
@@ -188,8 +188,10 @@ class IcebergTableSpec extends SparkSpec {
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$t/metadata/.v1.metadata.json.crc"))
     val txt = java.nio.file.Files.readString(p)
+    // v3 is now a SUPPORTED read version (deletion vectors); the
+    // refusal boundary moved to v4
     java.nio.file.Files.writeString(p,
-      txt.replace("\"format-version\" : 1", "\"format-version\" : 3"))
+      txt.replace("\"format-version\" : 1", "\"format-version\" : 4"))
     val e1 = intercept[IllegalArgumentException](IcebergTable.read(spark, t))
     assert(e1.getMessage.contains("format-version"), e1.getMessage)
     java.nio.file.Files.writeString(p, txt) // restore
