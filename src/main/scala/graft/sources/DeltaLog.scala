@@ -986,6 +986,10 @@ object DeltaLog {
   private def readFilesWithRowIds(
       spark: SparkSession, tablePath: String, snap: Snapshot,
       files: Seq[DeltaFile]): DataFrame = {
+    require(snap.columnMappingMode == "none",
+      s"DeltaLog: rowTracking reads on a column-mapped table are not supported " +
+        s"at $tablePath — the materialized identity columns' physical mapping " +
+        "is untested territory; refusing rather than guessing")
     val matId = snap.materializedRowIdCol
     val matVer = snap.materializedRowVersionCol
     require(matId.isDefined == matVer.isDefined,
@@ -1569,6 +1573,11 @@ object DeltaLog {
       require(!rowTracking || snap.writerFeatures.contains("rowTracking"),
         "DeltaLog: rowTracking is a CREATION option — the existing table does not " +
           "declare the feature (enabling it on existing files would need a backfill)")
+      require(!snap.writerFeatures.contains("rowTracking") ||
+          snap.columnMappingMode == "none",
+        "DeltaLog: appending into a rowTracking + column-mapped table is not " +
+          "supported — the materialized identity columns' physical mapping is " +
+          "untested territory")
       require(configuration.isEmpty || configuration.forall {
           case (k, v) => snap.configuration.get(k).contains(v) },
         "DeltaLog: configuration is a CREATION option — the existing table already " +
@@ -1683,6 +1692,12 @@ object DeltaLog {
     // the identity mark advances in THIS commit's metaData (field
     // metadata, per the protocol) — emitted via the evolution path
     identityState.foreach { case (f, step, hwmBefore) =>
+      // an add-column evolution and an identity-mark advance both want
+      // to own this commit's metaData — combining them would re-emit
+      // the PRE-evolution schema and silently drop the new column
+      require(!(tableExists && evolvedId.isDefined),
+        "DeltaLog: schema evolution and identity allocation in ONE append is " +
+          "not supported — evolve first, then append")
       val n = movedCounts.sum
       if (n > 0) {
         val updated = f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
