@@ -126,7 +126,7 @@ object Similarity {
     * sharing an LSH bucket (blocking keeps the pair count linear-ish).
     */
   /** Data-scaled plane count for near-dup LSH blocking: smallest
-    * p in [6, 24] with 2^p >= ceil(n/256), i.e. the bucket COUNT
+    * p in [3, 24] with 2^p >= ceil(n/256), i.e. the bucket COUNT
     * grows with the corpus so the EXPECTED bucket size stays ~256.
     * The IVF k = sqrt(N) lesson applied to LSH blocking: a FIXED
     * plane count makes the pair work (sum of bucket^2) quadratic in
@@ -136,10 +136,18 @@ object Similarity {
     * only on plane j, so the p-plane bucket IS the low p bits of the
     * 24-plane bucket — which is how the SQL twin computes it (one
     * static 24-plane expression masked by a scalar modulus CTE).
+    *
+    * The floor is 3, not the historical 6 (r16): a floor that binds
+    * UNDER-FILLS buckets below n ~ 16k, so a 10x step out of the
+    * floor region grows pair work super-linearly (measured 13.2x on
+    * a clean host at sf0.1 -> sf1 — the r15 matrices masked it
+    * because their sf0.1 leg ran hot). With the avg-256 target held
+    * at every scale the step measures ~6x, and small corpora only
+    * gain candidate recall.
     */
   def planesFor(n: Long): Int = {
     val target = (n + 255L) / 256L
-    var p = 6
+    var p = 3
     while (p < 24 && (1L << p) < target) p += 1
     p
   }

@@ -95,7 +95,7 @@ private[queries] trait ExtFragments { this: ExtQueries.type =>
     * plane j, so the masked value IS the p-plane bucket id).
     */
   private[queries] lazy val neardupBucketedSql: String = {
-    val whens = (6 to 23)
+    val whens = (3 to 23)
       .map(p => s"WHEN (COUNT(*) + 255) // 256 <= ${1L << p} THEN ${1L << p}")
       .mkString(" ")
     s"""nbp AS (SELECT CASE $whens ELSE ${1L << 24} END AS nb FROM embeddings),

@@ -371,13 +371,16 @@ private[queries] trait KnnQueries { this: ExtQueries.type =>
       Similarity.planesFor(Tables.embeddings(spark, dir).count()))
 
   /** Embedding near-dup pairs: cosine >= 0.25 within LSH buckets at
-    * the DATA-SCALED plane count ([[Similarity.planesFor]]): 6 planes
-    * up to ~16k vectors, then one more per doubling, so the pair work
+    * the DATA-SCALED plane count ([[Similarity.planesFor]]): the
+    * bucket count doubles per corpus doubling past 2^3, holding the
+    * EXPECTED bucket at ~256 vectors at EVERY scale, so the pair work
     * (sum of bucket^2) stays ~linear in the corpus instead of
     * quadratic — the measured sf0.1 -> sf1 step was 16x on the old
-    * fixed-6-plane blocking. Recall cost of the finer blocking is a
-    * measured number, not a guess: `x_semdedup_coverage` and the LSH
-    * quality queries audit the same pair relation.
+    * fixed-6-plane blocking, and 13.2x again (r16, clean host) while
+    * the p >= 6 floor under-filled the sf0.1 buckets. Recall cost of
+    * the finer blocking is a measured number, not a guess:
+    * `x_semdedup_coverage` and the LSH quality queries audit the same
+    * pair relation.
     */
   def xEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(Tables.embeddings(spark, dir),
